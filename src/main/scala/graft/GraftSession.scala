@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale defaults.
+  *
+  * Local testing runs `local[32]`; on a real cluster the same settings hold:
+  * AQE re-plans shuffles at runtime (coalescing small partitions, splitting
+  * skewed ones), and the broadcast threshold keeps dimension joins off the
+  * shuffle path.
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized like the driver's harness. */
+  def local(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val s = builder(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

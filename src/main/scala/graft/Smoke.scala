@@ -1,0 +1,15 @@
+package graft
+
+/** Replica of the driver's t1 smoke: run `SparkEntry.entry` on sf0.001 and
+  * require rows > 0. Handy for local end-to-end checks: `sbt "runMain graft.Smoke"`. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-smoke", 8)
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(5, truncate = false)
+    println(s"ENTRY_ROWS=$n")
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}
