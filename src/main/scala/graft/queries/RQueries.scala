@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators._
+import graft.functions.{BrFormats, TextClean}
+
+/** Reference-surface verify queries (SURVEY §2a), exercised on the TPC-H-ish
+  * test schema (customer=clients, orders=invoices, events=disposition log).
+  * Each query has an ANSI-SQL oracle with identical column names; every
+  * floating aggregate is rounded identically on both sides. */
+object RQueries {
+
+  private val NAO = "NÃO" // "NÃO"
+
+  def registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_per_key_totals" -> ((s, d) => q02(s, d)),
+    "q03_dedup_best_row" -> ((s, d) => q03(s, d)),
+    "q04_blocklist_threshold" -> ((s, d) => q04(s, d)),
+    "q05_enrich_topk_wide" -> ((s, d) => q05(s, d)),
+    "q06_priority_case" -> ((s, d) => q06(s, d)),
+    "q07_segment_flag" -> ((s, d) => q07(s, d)),
+    "q08_top3_pivot" -> ((s, d) => q08(s, d)),
+    "q09_br_format" -> ((s, d) => q09(s, d)),
+    "q10_clean_strings" -> ((s, d) => q10(s, d)),
+    "q11_events_daily" -> ((s, d) => q11(s, d)),
+    "q12_collect_distinct" -> ((s, d) => q12(s, d)),
+    "q13_status_filter" -> ((s, d) => q13(s, d)),
+    "q14_dedup_most_complete" -> ((s, d) => q14(s, d)),
+    "q15_profile_stats" -> ((s, d) => q15(s, d)),
+    "q16_sessionize" -> ((s, d) => q16(s, d)),
+  )
+
+  /** R10: per-key totals as per-row columns (window sum — one shuffle). */
+  def q02(s: SparkSession, d: String): DataFrame =
+    Aggregates.withPerKeyTotals(Tables.orders(s, d), col("o_custkey"), col("o_totalprice"))
+      .select("o_orderkey", "o_custkey", "valor_divida", "qtd_faturas")
+
+  /** R9: keyed dedup keeping best row (highest value, deterministic tiebreak). */
+  def q03(s: SparkSession, d: String): DataFrame =
+    Dedup.bestRowPerKey(Tables.orders(s, d),
+        Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderstatus"))
+
+  /** R8: count-threshold blocklist anti-join (blocklist side broadcast). */
+  def q04(s: SparkSession, d: String): DataFrame =
+    Blocklist.removeByStatusThreshold(
+        Tables.customer(s, d), col("c_custkey"),
+        Tables.events(s, d), col("user_id"), col("event_type"),
+        criticalStatuses = Seq("error"), threshold = 3)
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** R12: ranked enrichment → top-4 wide columns per key. */
+  def q05(s: SparkSession, d: String): DataFrame =
+    TopK.topKWide(Tables.orders(s, d), col("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 4,
+        Seq("valor" -> round(col("o_totalprice"), 2), "fatura" -> col("o_orderkey")),
+        keyName = "cpf")
+
+  /** R16: multi-column priority CASE chain. */
+  def q06(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      Prioritize.priorityLevel(
+        Seq(col("o_orderpriority"), col("o_orderstatus")),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM")).as("priority_level"))
+
+  /** R13+R17: per-client debt, conditional flag, threshold segmentation. */
+  def q07(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cpf"))
+      .agg(
+        round(sum("o_totalprice"), 2).as("valor_divida"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd").as("ultima_fatura"))
+      .select(
+        col("cpf"), col("valor_divida"), col("ultima_fatura"),
+        when(col("ultima_fatura") < "1997-06-01", lit("SIM")).otherwise(lit(NAO)).as("cliente_regulariza"),
+        Segmentation.segmentLabel(col("valor_divida"), 1500000.0).as("segmento"))
+
+  /** R18: robot master — 3 earliest invoices pivoted wide with BR formats. */
+  def q08(s: SparkSession, d: String): DataFrame =
+    TopK.topKWide(Tables.orders(s, d), col("o_custkey"),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc), k = 3,
+        Seq(
+          "dt" -> BrFormats.brDate(col("o_orderdate")),
+          "valor" -> BrFormats.brMoney(col("o_totalprice")),
+          "codbarra" -> col("o_orderkey")),
+        keyName = "cpf")
+
+  /** R5+R19: BR money/date formatting and parse round-trips. */
+  def q09(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      BrFormats.brMoney(col("o_totalprice")).as("valor_br"),
+      BrFormats.brMoneyCompact(col("o_totalprice")).as("valor_robo"),
+      BrFormats.brMoneyCompact(floor(col("o_totalprice"))).as("valor_robo_int"),
+      BrFormats.brDate(col("o_orderdate")).as("data_br"),
+      round(BrFormats.parseCommaDecimal(BrFormats.brMoney(col("o_totalprice"))), 2).as("valor_roundtrip"),
+      date_format(BrFormats.parseBrDate(BrFormats.brDate(col("o_orderdate"))), "yyyy-MM-dd").as("data_roundtrip"),
+      date_format(BrFormats.parseBrDate(lit("99/99/2024")), "yyyy-MM-dd").as("data_invalida"))
+
+  /** R4+R6+R7+R22: string cleaning family. */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val pre = when(col("c_mktsegment") === "BUILDING", lit("nan")).otherwise(col("c_mktsegment"))
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      TextClean.digitsOnly(col("c_name")).as("digits"),
+      TextClean.stripDotZero(concat(col("c_custkey").cast("string"), lit(".0"))).as("id_clean"),
+      TextClean.nanToNull(pre).as("seg_clean"),
+      TextClean.fixMojibake(concat(lit("AtÃ© "), col("c_mktsegment"), lit(" NÃƒO"))).as("fixed"))
+  }
+
+  /** S1 batch analog: per-user daily event rollup. */
+  def q11(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("dia"), col("event_type"))
+      .agg(count(lit(1)).as("qtd"), round(sum("value"), 2).as("soma_valor"))
+
+  /** R11: sorted distinct values joined per key + distinct count. */
+  def q12(s: SparkSession, d: String): DataFrame =
+    Aggregates.distinctJoined(Tables.orders(s, d).withColumnRenamed("o_custkey", "cpf"),
+      col("cpf"), col("o_orderstatus"))
+
+  /** R14: status-set filter (kept side of filterWithRejects). */
+  def q13(s: SparkSession, d: String): DataFrame =
+    Blocklist.filterWithRejects(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus"),
+        col("o_orderstatus"), Set("p"))._1
+
+  /** R21: most-complete-row dedup with synthesized nulls. */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_custkey"),
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("seg2"),
+      when(col("c_acctbal") < 0, lit(null).cast("double")).otherwise(round(col("c_acctbal"), 2)).as("bal2"))
+    Dedup.mostCompleteRowPerKey(c, Seq(col("c_nationkey")),
+      Seq(col("seg2"), col("bal2")), Seq(col("c_custkey").desc))
+  }
+
+  /** R26: column profiling (distinct/null counts, one-row summary). */
+  def q15(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("o_custkey")).as("d_cust"),
+      count_distinct(col("o_orderstatus")).as("d_status"),
+      count_distinct(col("o_orderpriority")).as("d_prio"),
+      round(min("o_totalprice"), 2).as("min_total"),
+      round(max("o_totalprice"), 2).as("max_total"))
+
+  /** S2 batch analog: lag-gap sessionization (30-minute gap). */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, d)
+      .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev").isNull || unix_micros(col("ts")) - col("__prev") > 1800L * 1000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("__new_sess").as("qtd_sessoes"), count(lit(1)).as("qtd_eventos"))
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q02_per_key_totals" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS valor_divida,
+        |       count(*) OVER (PARTITION BY o_custkey) AS qtd_faturas
+        |FROM orders""".stripMargin,
+    "q03_dedup_best_row" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) = 1""".stripMargin,
+    "q04_blocklist_threshold" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT user_id FROM events WHERE lower(trim(event_type)) = 'error'
+        |  GROUP BY user_id HAVING count(*) >= 3)""".stripMargin,
+    "q05_enrich_topk_wide" ->
+      """SELECT o_custkey AS cpf,
+        |       max(CASE WHEN rn = 1 THEN round(o_totalprice, 2) END) AS valor_1,
+        |       max(CASE WHEN rn = 2 THEN round(o_totalprice, 2) END) AS valor_2,
+        |       max(CASE WHEN rn = 3 THEN round(o_totalprice, 2) END) AS valor_3,
+        |       max(CASE WHEN rn = 4 THEN round(o_totalprice, 2) END) AS valor_4,
+        |       max(CASE WHEN rn = 1 THEN o_orderkey END) AS fatura_1,
+        |       max(CASE WHEN rn = 2 THEN o_orderkey END) AS fatura_2,
+        |       max(CASE WHEN rn = 3 THEN o_orderkey END) AS fatura_3,
+        |       max(CASE WHEN rn = 4 THEN o_orderkey END) AS fatura_4
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 4 GROUP BY o_custkey""".stripMargin,
+    "q06_priority_case" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CASE WHEN upper(trim(o_orderpriority)) = '1-URGENT' OR upper(trim(o_orderstatus)) = '1-URGENT' THEN 0
+        |            WHEN upper(trim(o_orderpriority)) = '2-HIGH'   OR upper(trim(o_orderstatus)) = '2-HIGH'   THEN 1
+        |            WHEN upper(trim(o_orderpriority)) = '3-MEDIUM' OR upper(trim(o_orderstatus)) = '3-MEDIUM' THEN 2
+        |            ELSE 3 END AS priority_level
+        |FROM orders""".stripMargin,
+    "q07_segment_flag" ->
+      ("""SELECT o_custkey AS cpf,
+        |       round(sum(o_totalprice), 2) AS valor_divida,
+        |       strftime(max(o_orderdate), '%Y-%m-%d') AS ultima_fatura,
+        |       CASE WHEN strftime(max(o_orderdate), '%Y-%m-%d') < '1997-06-01' THEN 'SIM' ELSE '""".stripMargin + NAO + """' END AS cliente_regulariza,
+        |       CASE WHEN round(sum(o_totalprice), 2) >= 1500000.0 THEN 'HUMANO' ELSE 'ROBO' END AS segmento
+        |FROM orders GROUP BY o_custkey""".stripMargin),
+    "q08_top3_pivot" ->
+      """SELECT o_custkey AS cpf,
+        |       max(CASE WHEN rn = 1 THEN strftime(o_orderdate, '%d/%m/%Y') END) AS dt_1,
+        |       max(CASE WHEN rn = 2 THEN strftime(o_orderdate, '%d/%m/%Y') END) AS dt_2,
+        |       max(CASE WHEN rn = 3 THEN strftime(o_orderdate, '%d/%m/%Y') END) AS dt_3,
+        |       max(CASE WHEN rn = 1 THEN replace(printf('%.2f', o_totalprice), '.', ',') END) AS valor_1,
+        |       max(CASE WHEN rn = 2 THEN replace(printf('%.2f', o_totalprice), '.', ',') END) AS valor_2,
+        |       max(CASE WHEN rn = 3 THEN replace(printf('%.2f', o_totalprice), '.', ',') END) AS valor_3,
+        |       max(CASE WHEN rn = 1 THEN o_orderkey END) AS codbarra_1,
+        |       max(CASE WHEN rn = 2 THEN o_orderkey END) AS codbarra_2,
+        |       max(CASE WHEN rn = 3 THEN o_orderkey END) AS codbarra_3
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 GROUP BY o_custkey""".stripMargin,
+    "q09_br_format" ->
+      """SELECT o_orderkey,
+        |       replace(printf('%.2f', o_totalprice), '.', ',') AS valor_br,
+        |       CASE WHEN o_totalprice = floor(o_totalprice)
+        |            THEN CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR)
+        |            ELSE replace(printf('%.2f', o_totalprice), '.', ',') END AS valor_robo,
+        |       CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS valor_robo_int,
+        |       strftime(o_orderdate, '%d/%m/%Y') AS data_br,
+        |       round(CAST(replace(replace(printf('%.2f', o_totalprice), '.', ','), ',', '.') AS DOUBLE), 2) AS valor_roundtrip,
+        |       strftime(try_strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y'), '%Y-%m-%d') AS data_roundtrip,
+        |       strftime(try_strptime('99/99/2024', '%d/%m/%Y'), '%Y-%m-%d') AS data_invalida
+        |FROM orders""".stripMargin,
+    "q10_clean_strings" ->
+      ("""SELECT c_custkey,
+        |       nullif(regexp_replace(c_name, '[^0-9]', '', 'g'), '') AS digits,
+        |       regexp_replace(CAST(c_custkey AS VARCHAR) || '.0', '\.0$', '') AS id_clean,
+        |       CASE WHEN pre IN ('nan', 'NaT', 'None', 'NAN') THEN NULL ELSE pre END AS seg_clean,
+        |       replace(replace('AtÃ© ' || c_mktsegment || ' NÃƒO', 'NÃƒO', '""" + NAO + """'), 'AtÃ©', 'Até') AS fixed
+        |FROM (SELECT *, CASE WHEN c_mktsegment = 'BUILDING' THEN 'nan' ELSE c_mktsegment END AS pre FROM customer) t""").stripMargin,
+    "q11_events_daily" ->
+      """SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dia, event_type,
+        |       count(*) AS qtd, round(sum(value), 2) AS soma_valor
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q12_collect_distinct" ->
+      """SELECT o_custkey AS cpf,
+        |       string_agg(DISTINCT o_orderstatus, ', ' ORDER BY o_orderstatus) AS ucs,
+        |       count(DISTINCT o_orderstatus) AS qtd_ucs
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q13_status_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE lower(trim(o_orderstatus)) NOT IN ('p')""".stripMargin,
+    "q14_dedup_most_complete" ->
+      """SELECT c_nationkey, c_custkey, seg2, bal2
+        |FROM (SELECT c_nationkey, c_custkey,
+        |             nullif(c_mktsegment, 'BUILDING') AS seg2,
+        |             CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal2
+        |      FROM customer) t
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY c_nationkey
+        |  ORDER BY (CASE WHEN seg2 IS NULL THEN 0 ELSE 1 END + CASE WHEN bal2 IS NULL THEN 0 ELSE 1 END) DESC,
+        |           c_custkey DESC) = 1""".stripMargin,
+    "q15_profile_stats" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT o_custkey) AS d_cust,
+        |       count(DISTINCT o_orderstatus) AS d_status,
+        |       count(DISTINCT o_orderpriority) AS d_prio,
+        |       round(min(o_totalprice), 2) AS min_total,
+        |       round(max(o_totalprice), 2) AS max_total
+        |FROM orders""".stripMargin,
+    "q16_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS qtd_sessoes, count(*) AS qtd_eventos
+        |FROM (SELECT user_id,
+        |             CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                    OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_sess
+        |      FROM events) t
+        |GROUP BY user_id""".stripMargin,
+  )
+}

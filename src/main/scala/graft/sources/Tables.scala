@@ -13,13 +13,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The events table carries TIMESTAMP(NANOS) which Spark 4 refuses to read
+    // natively; read nanos as long and normalize in events().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** `ts` arrives as nanos-since-epoch (see load); truncate to micros — the
+    * same conversion DuckDB applies casting TIMESTAMP_NS → TIMESTAMP. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
