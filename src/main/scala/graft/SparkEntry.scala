@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-family: reference-surface operators
     "q01_agg" -> ((s, dir) => Queries.q01Agg(s, dir)),
-  ) ++ Queries.registry ++ graft.queries.RQueries.registry
+  ) ++ Queries.registry ++ graft.queries.RQueries.registry ++ graft.queries.LQueries.registry
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -33,7 +33,7 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2024-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-  ) ++ Queries.oracles ++ graft.queries.RQueries.oracles
+  ) ++ Queries.oracles ++ graft.queries.RQueries.oracles ++ graft.queries.LQueries.oracles
 }
 
 /** Query implementations + registry (split out to keep SparkEntry small). */

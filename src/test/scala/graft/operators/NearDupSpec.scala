@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpec {
+  import ss.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e"),
+    (2L, "a b c d x"),   // shares 2 of its 3-grams' neighborhood with 1
+    (3L, "p q r s t"),
+    (4L, "x"))           // shorter than a shingle
+    .toDF("doc_id", "text")
+
+  test("wordShingles emits distinct k-grams and skips short docs") {
+    val sh = NearDup.wordShingles(docs, col("doc_id"), col("text"), 3)
+    val byId = sh.groupBy("id").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byId == Map(1L -> 3L, 2L -> 3L, 3L -> 3L)) // doc 4 absent
+    val g1 = sh.filter(col("id") === 1).select("gram").as[String].collect().sorted
+    assert(g1.toSeq == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("ngramJaccardPairs finds the overlapping pair with exact jaccard") {
+    val pairs = NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1,2 share grams {a b c, b c d}: jaccard = 2/(3+3-2) = 0.5
+    assert(pairs.toSeq == Seq((1L, 2L, 0.5)))
+  }
+
+  test("minHashLshPairs surfaces high-jaccard pairs with verified score") {
+    val near = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // identical → jaccard 1.0
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val pairs = NearDup.minHashLshPairs(near, col("doc_id"), col("text"), 3, 8, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simHash is 64 bits, deterministic, and equal for equal content") {
+    val out = NearDup.simHash(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    val again = NearDup.simHash(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == again)
+    // hamming distance between near-identical docs is below distant docs
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(out(1L), out(2L)) < ham(out(1L), out(3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import ss.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks exact-match first, orthogonal mid, opposite last") {
+    val out = Similarity.cosineTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 1.0, 1), (2L, 0.0, 2), (3L, -1.0, 3)))
+  }
+
+  test("lshCosineTopK returns only same-bucket neighbors with correct sims") {
+    val out = Similarity.lshCosineTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, 3, planes = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // identical vector 1 always lands in the same bucket as the query
+    assert(out.contains((1L, 1.0)))
+    // never returns the query itself
+    assert(!out.exists(_._1 == 0L))
+  }
+}
