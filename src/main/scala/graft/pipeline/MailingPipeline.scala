@@ -3,32 +3,95 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.operators._
+import graft.functions.BrFormats
 
 /** End-to-end analog of the reference mailing pipeline
-  * (`/root/reference/main.py`), run on the TPC-H-ish test schema:
-  * customers are mailing clients, orders are open invoices, events are the
-  * disposition (tabulação) log. Fleshed out stage-by-stage as the operators
-  * in SURVEY §2 land; `entry` smoke-checks rows > 0.
+  * (`/root/reference/main.py` stages 1-4), on the test schema: customers are
+  * mailing clients, orders are open invoices, events are the disposition
+  * (tabulação) log.
+  *
+  * Stage order mirrors the reference: blocklist → dedup → per-key aggregates
+  * → enrichment → flag → status filter → layout → priority → segmentation.
+  * Every keyed stage shares the customer-key partitioning; the two lookup
+  * sides (blocklist ids, enrichment pivots) broadcast.
   */
 object MailingPipeline {
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+
+  final case class Result(human: DataFrame, robot: DataFrame, rejected: DataFrame, report: StageReport)
+
+  val CanonicalColumns: Seq[String] = Seq(
+    "NOME_CLIENTE", "PRODUTO", "CPF", "parcelasEmAtrado", "LOCALIDADE",
+    "valorDivida", "Cliente_Regulariza",
+    "CONTATO_01", "CONTATO_02", "CONTATO_03", "CONTATO_04",
+    "Data_de_Importacao", "priority_level", "segmento")
+
+  def full(spark: SparkSession, sfDir: String, humanCutoff: Double = 1500000.0): Result = {
+    val report = new StageReport
     val customer = Tables.customer(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
 
-    val debts = orders
-      .groupBy("o_custkey")
-      .agg(
-        round(sum("o_totalprice"), 2).as("valor_divida"),
-        count(lit(1)).as("parcelas_em_atraso"))
+    // Stage: blocklist (≥3 critical dispositions → out); blocklist side broadcasts
+    val afterBlock = report.track("blocklist",
+      Blocklist.removeByStatusThreshold(customer, col("c_custkey"),
+        events, col("user_id"), col("event_type"), Seq("error"), 3))
 
-    customer
-      .join(debts, customer("c_custkey") === debts("o_custkey"), "inner")
-      .select(
-        col("c_custkey").as("cpf"),
-        col("c_name").as("nome_cliente"),
-        col("c_mktsegment").as("produto"),
-        col("valor_divida"),
-        col("parcelas_em_atraso"),
-        when(col("valor_divida") >= 150000.0, lit("HUMANO")).otherwise(lit("ROBO")).as("segmento"))
+    // Stage: smart dedup by client key (no-op on clean input, still exercised)
+    val deduped = Dedup.preferNonNull(afterBlock, col("c_custkey"), col("c_name"),
+      Seq(col("c_acctbal").desc))
+
+    // Stage: per-client invoice totals (window agg on orders, then broadcast-join
+    // the per-key result: orders >> customers, so aggregate before joining)
+    val debts = orders.groupBy(col("o_custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("valorDivida"),
+        count(lit(1)).as("parcelasEmAtrado"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd").as("ultima_fatura"))
+    val withDebts = report.track("aggregates",
+      deduped.join(debts, col("c_custkey") === col("o_custkey"), "left")
+        .drop("o_custkey")
+        .na.fill(0.0, Seq("valorDivida")).na.fill(0L, Seq("parcelasEmAtrado")))
+
+    // Stage: enrichment — top-4 invoice ids per client as contact slots
+    val contacts = TopK.topKWide(orders, col("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 4,
+      Seq("CONTATO" -> col("o_orderkey").cast("string")), keyName = "contact_key")
+    val enriched = withDebts.join(broadcast(contacts),
+      col("c_custkey") === col("contact_key"), "left").drop("contact_key")
+
+    // Stage: conditional flag
+    val flagged = enriched.withColumn("Cliente_Regulariza",
+      when(col("ultima_fatura") < "1997-06-01", lit("SIM")).otherwise(lit("NÃO")))
+
+    // Stage: status filter with rejected side-output
+    val (kept, rejected) = Blocklist.filterWithRejects(flagged, col("c_mktsegment"), Set("automobile"))
+    val filtered = report.track("status_filter", kept)
+
+    // Stage: localization join (tiny dim → broadcast) + layout
+    val located = filtered.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"), "left")
+    val laidOut = Layout.applyLayout(
+      located
+        .withColumn("Data_de_Importacao", BrFormats.brDate(current_date()))
+        .withColumnRenamed("n_name", "LOCALIDADE"),
+      renames = Map(
+        "c_name" -> "NOME_CLIENTE", "c_mktsegment" -> "PRODUTO", "c_custkey" -> "CPF",
+        "CONTATO_1" -> "CONTATO_01", "CONTATO_2" -> "CONTATO_02",
+        "CONTATO_3" -> "CONTATO_03", "CONTATO_4" -> "CONTATO_04"),
+      canonical = CanonicalColumns)
+      .withColumn("priority_level", Prioritize.priorityLevel(
+        Seq(col("PRODUTO")), Seq("BUILDING", "MACHINERY", "HOUSEHOLD")))
+
+    // Stage: segmentation
+    val (human, robot) = Segmentation.splitByThreshold(laidOut, col("valorDivida"), humanCutoff)
+    Result(
+      human.withColumn("segmento", lit("HUMANO")).select(CanonicalColumns.map(col): _*),
+      robot.withColumn("segmento", lit("ROBO")).select(CanonicalColumns.map(col): _*),
+      rejected.select(col("c_custkey").as("CPF"), col("c_name").as("NOME_CLIENTE"), col("motivo_remocao")),
+      report)
   }
+
+  /** Flagship entry: the human mailing at sf0.001. */
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    full(spark, sfDir, humanCutoff = 0.0).human
 }

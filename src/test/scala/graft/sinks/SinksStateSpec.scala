@@ -1,0 +1,64 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.state.StateStore
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class SinksStateSpec extends SparkSpec {
+  import ss.implicits._
+
+  test("BrCsvSink.polish formats money/dates and cleans text in-frame") {
+    val df = Seq((1234.5, "2024-01-31", "99.0", "NÃƒO", "nan"))
+      .toDF("valor", "dt", "id", "flag", "missing")
+      .withColumn("dt", col("dt").cast("date"))
+    val out = BrCsvSink.polish(df,
+      moneyCols = Seq("valor"), dateCols = Seq("dt"), idCols = Seq("id"),
+      textCols = Seq("flag", "missing")).collect().head
+    assert(out.getString(0) == "1234,50")
+    assert(out.getString(1) == "31/01/2024")
+    assert(out.getString(2) == "99")
+    assert(out.getString(3) == "NÃO")
+    assert(out.isNullAt(4))
+  }
+
+  test("BrCsvSink.writePartitioned writes per-value directories") {
+    val dir = Files.createTempDirectory("sink").toString + "/out"
+    val df = Seq(("A", 1), ("A", 2), ("B", 3)).toDF("produto", "v")
+    BrCsvSink.writePartitioned(df, dir, "produto")
+    val parts = Files.list(Paths.get(dir)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (parts.hasNext) names += parts.next().getFileName.toString
+    assert(names.count(_.startsWith("produto=")) == 2)
+    val back = ss.read.option("header", "true").option("sep", ";").csv(dir)
+    assert(back.count() == 3)
+  }
+
+  test("Archiver zips a directory and can remove the source") {
+    val dir = Files.createTempDirectory("arch")
+    Files.write(dir.resolve("a.csv"), "1;2\n".getBytes)
+    Files.createDirectories(dir.resolve("sub"))
+    Files.write(dir.resolve("sub/b.csv"), "3;4\n".getBytes)
+    val zip = dir.toString + ".zip"
+    val n = Archiver.zipDirectory(dir.toString, zip, removeSource = true)
+    assert(n == 2 && Files.exists(Paths.get(zip)) && !Files.exists(dir))
+    val zf = new java.util.zip.ZipFile(zip)
+    try {
+      val entries = zf.entries()
+      val names = new scala.collection.mutable.ArrayBuffer[String]
+      while (entries.hasMoreElements) names += entries.nextElement().getName
+      assert(names.toSet == Set("a.csv", "sub/b.csv"))
+    } finally zf.close()
+  }
+
+  test("StateStore round-trips success metrics and survives failure writes") {
+    val p = Files.createTempDirectory("state").toString + "/state.json"
+    val store = new StateStore(p)
+    assert(store.status.isEmpty && store.lastMetrics.isEmpty)
+    store.saveSuccess(Map("initial" -> 100L, "human" -> 60L))
+    assert(store.status.contains("COMPLETED"))
+    assert(store.lastMetrics == Map("initial" -> 100L, "human" -> 60L))
+    store.saveFailure("""boom "quoted" \path""")
+    assert(store.status.contains("FAILED") && store.lastMetrics.isEmpty)
+  }
+}
