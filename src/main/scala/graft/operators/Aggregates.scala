@@ -28,7 +28,9 @@ object Aggregates {
   def distinctJoined(df: DataFrame, key: Column, valueCol: Column,
                      joinedName: String = "ucs", countName: String = "qtd_ucs"): DataFrame =
     df.groupBy(key)
-      .agg(
-        array_join(array_sort(collect_set(valueCol.cast("string"))), ", ").as(joinedName),
-        count_distinct(valueCol).as(countName))
+      // one collect_set feeds both outputs — a separate count_distinct would
+      // add an Expand + two more exchanges to the plan
+      .agg(array_sort(collect_set(valueCol.cast("string"))).as("__set"))
+      .select(key, array_join(col("__set"), ", ").as(joinedName),
+        size(col("__set")).cast("long").as(countName))
 }

@@ -45,23 +45,33 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: numHashes md5-derived min-hashes per id.
-    * Result: (id, i, mh) with i in [0, numHashes). */
+  /** MinHash signatures, wide form: one groupBy(id) computing all
+    * `numHashes` md5-min-hashes as columns `mh_0..mh_{n-1}` — a single
+    * shuffle with map-side partial mins, instead of exploding the shingle
+    * set numHashes× and aggregating the blown-up set. */
   def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
-    shingles
-      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("gram"))
-      .groupBy("id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("gram")))).as("mh"))
+    shingles.groupBy("id").agg(
+      min(md5(concat(lit("0:"), col("gram")))).as("mh_0"),
+      (1 until numHashes).map(i =>
+        min(md5(concat(lit(s"$i:"), col("gram")))).as(s"mh_$i")): _*)
 
-  /** LSH candidate pairs: band the signature (rowsPerBand hashes per band),
-    * bucket-join on (band, band-hash), emit distinct candidate id pairs. */
+  /** LSH candidate pairs: band the wide signature (rowsPerBand hashes per
+    * band; bucket key "00=<mh0>|01=<mh1>"), self-join on (band, bucket),
+    * emit distinct candidate id pairs. */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val numHashes = signatures.columns.count(_.startsWith("mh_"))
+    val bands = numHashes / rowsPerBand
+    val bandStructs = (0 until bands).map { j =>
+      val key = md5(concat_ws("|",
+        (0 until rowsPerBand).map { r =>
+          val i = j * rowsPerBand + r
+          concat(lit(f"$i%02d="), col(s"mh_$i"))
+        }: _*))
+      struct(lit(j).as("band"), key.as("bucket"))
+    }
     val banded = signatures
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy("id", "band")
-      // within a band, order hashes by zero-padded i so the band key is
-      // deterministic and lexicographic order == numeric order
-      .agg(md5(concat_ws("|", array_sort(collect_list(concat(lpad(col("i").cast("string"), 2, "0"), lit("="), col("mh")))))).as("bucket"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -73,10 +83,13 @@ object NearDup {
   def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, k).cache()
-    val cand = lshCandidates(minHashSignatures(sh, numHashes), rowsPerBand)
+    // candidate pairs are a tiny fraction of the corpus (that's the point of
+    // banding) — broadcast them so the shingle table is probed in place and
+    // never shuffled for verification
+    val cand = broadcast(lshCandidates(minHashSignatures(sh, numHashes), rowsPerBand))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val inter = cand
-      .join(sh.toDF("id_a", "gram"), Seq("id_a"))
+    val inter = sh.toDF("id_a", "gram")
+      .join(cand, Seq("id_a"))
       .join(sh.toDF("id_b", "gram"), Seq("id_b", "gram"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))

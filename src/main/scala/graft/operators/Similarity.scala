@@ -31,35 +31,45 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
     val q = embeddings.filter(queryPredicate)
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
-    val sims = q.join(e, col("qid") =!= col("nid"))
+    // broadcast the small query set against the full corpus — never the
+    // corpus side (at 100 TB the corpus is the big side of this product)
+    val sims = e.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), round(cosine(col("qvec"), col("nvec")), 3).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane sign: md5-derived ±1 for
-    * (plane j, dimension d). */
-  private def planeSign(j: Column, d: Column): Column =
-    when(substring(md5(concat(j.cast("string"), lit(":"), d.cast("string"))), 1, 1)
-      .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic pseudo-random hyperplane signs, md5-derived per
+    * (plane j, dimension d) — computed once on the driver and shipped as
+    * literal arrays, NOT per row (an expression form would re-hash
+    * planes×dim times for every row). */
+  private def planeSigns(planes: Int, dim: Int): IndexedSeq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { j =>
+      (0 until dim).map { d =>
+        val h = digest.digest(s"$j:$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+  }
 
   /** Bucketed ANN: `planes` sign-bits form the bucket key; top-k search runs
     * only within each bucket (recall < 1, cost ~ n²/2^planes per bucket). */
   def lshCosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-                    queryPredicate: Column, k: Int, planes: Int): DataFrame = {
+                    queryPredicate: Column, k: Int, planes: Int, dim: Int = 64): DataFrame = {
+    val signs = planeSigns(planes, dim)
     val withBucket = embeddings.withColumn("__bucket",
-      concat_ws("", (0 until planes).map { j =>
+      concat_ws("", signs.map { sv =>
         val proj = aggregate(
-          zip_with(col(vecCol).cast("array<double>"),
-            transform(sequence(lit(0), size(col(vecCol)) - 1), d => planeSign(lit(j), d)),
-            (x, s) => x * s),
+          zip_with(col(vecCol).cast("array<double>"), typedlit(sv), (x, s) => x * s),
           lit(0.0), (acc, x) => acc + x)
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }: _*))
     val q = withBucket.filter(queryPredicate)
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"), col("__bucket").as("bucket"))
-    val sims = q.join(withBucket.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"), col("__bucket").as("bucket")),
-        Seq("bucket"))
+    val sims = withBucket
+      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"), col("__bucket").as("bucket"))
+      .join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), round(cosine(col("qvec"), col("nvec")), 3).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
