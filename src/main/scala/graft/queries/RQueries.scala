@@ -30,6 +30,8 @@ object RQueries {
     "q14_dedup_most_complete" -> ((s, d) => q14(s, d)),
     "q15_profile_stats" -> ((s, d) => q15(s, d)),
     "q16_sessionize" -> ((s, d) => q16(s, d)),
+    "q27_join_revenue" -> ((s, d) => q27(s, d)),
+    "q28_star_join" -> ((s, d) => q28(s, d)),
   )
 
   /** R10: per-key totals as per-row columns (window sum — one shuffle). */
@@ -159,6 +161,40 @@ object RQueries {
       .agg(sum("__new_sess").as("qtd_sessoes"), count(lit(1)).as("qtd_eventos"))
   }
 
+  /** Multi-way join: per-order revenue for one segment's open orders
+    * (TPC-H Q3 shape) — customer dim broadcasts into the orders⋈lineitem
+    * fact join; filters push to every scan. */
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("data_pedido"))
+      // integer cents via floor: Spark's round() diverges from binary-value
+      // rounding engines on boundary sums (e.g. x.xx4999…97) — see q22
+      .agg(floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100 + 0.50001).cast("long").as("revenue_cents"))
+  }
+
+  /** Star join: revenue per nation for one region (TPC-H Q5 shape) —
+    * region→nation→customer dims collapse to one broadcast, single fact
+    * shuffle for the aggregation. */
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.nation(s, d)
+      .join(Tables.load(s, d, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    broadcast(dims).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name")
+      .agg(floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100 + 0.50001).cast("long").as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q02_per_key_totals" ->
       """SELECT o_orderkey, o_custkey,
@@ -272,5 +308,22 @@ object RQueries {
         |                  THEN 1 ELSE 0 END AS new_sess
         |      FROM events) t
         |GROUP BY user_id""".stripMargin,
+    "q27_join_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS data_pedido,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) AS BIGINT) AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        |GROUP BY 1, 2""".stripMargin,
+    "q28_star_join" ->
+      """SELECT n_name,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_items
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |            JOIN customer ON c_nationkey = n_nationkey
+        |            JOIN orders ON o_custkey = c_custkey
+        |            JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
   )
 }
