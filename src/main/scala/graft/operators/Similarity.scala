@@ -39,6 +39,21 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
+    * threshold. Brute-force n²/2 — the correctness baseline; at corpus scale
+    * run [[lshCosineTopK]]-style bucketing first and verify within buckets
+    * (same shape as MinHash-LSH's candidate→verify split). Similarity is
+    * quantized (`floor(sim·10⁴)`) so the threshold cut is engine-portable. */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(cosine(col("va"), col("vb")) * 10000).cast("long").as("sim_q"))
+      .filter(col("sim_q") >= (threshold * 10000).toLong)
+  }
+
   /** Deterministic pseudo-random hyperplane signs, md5-derived per
     * (plane j, dimension d) — computed once on the driver and shipped as
     * literal arrays, NOT per row (an expression form would re-hash

@@ -21,6 +21,7 @@ object LQueries {
     "q24_fingerprint" -> ((s, d) => q24(s, d)),
     "q25_simhash" -> ((s, d) => q25(s, d)),
     "q26_lsh_ann" -> ((s, d) => q26(s, d)),
+    "q29_cosine_neardup" -> ((s, d) => q29(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -76,6 +77,11 @@ object LQueries {
   def q26(s: SparkSession, d: String): DataFrame =
     Similarity.lshCosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       col("vec_id") % 1000 === 0, k = 5, planes = 6)
+
+  /** L-family: embedding-cosine near-dup pairs (brute-force baseline;
+    * threshold tuned to the synthetic corpus's similarity range). */
+  def q29(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
 
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -173,5 +179,15 @@ object LQueries {
         |votes AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b)
         |SELECT id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
         |FROM votes GROUP BY id""".stripMargin,
+    "q29_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       CAST(floor(list_dot_product(a.v, b.v)
+        |                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |                  * 10000) AS BIGINT) AS sim_q
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(floor(list_dot_product(a.v, b.v)
+        |                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |                 * 10000) AS BIGINT) >= 4000""".stripMargin,
   )
 }
