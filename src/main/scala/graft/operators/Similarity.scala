@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
 
 /** Embedding similarity search.
   *
@@ -10,12 +11,18 @@ import org.apache.spark.sql.functions._
   * oracle and small-query-set serving). `lshCosineTopK` is the scale path:
   * deterministic random-hyperplane buckets bound the candidate set so the
   * join is equality-based and AQE-skew-splittable instead of a cross join.
-  * Dot products run inside codegen via `zip_with`/`aggregate` — no UDF.
+  *
+  * Per-pair arithmetic runs through the native `graft_dot` expression
+  * (`plans.DotProduct`, codegen'd tight loop) with norms precomputed once
+  * per vector — the higher-order-function form (`aggregate(zip_with(...))`)
+  * costs a lambda dispatch per element and recomputes norms per pair, which
+  * at n² pairs is the entire runtime. Both forms sum left-to-right, so
+  * results are bit-identical.
   */
 object Similarity {
 
-  /** Left-to-right fold dot product (deterministic summation order, so SQL
-    * oracles can reproduce the exact double). */
+  /** Portable fold form — kept as the reference semantics (what the SQL
+    * oracles express); prefer `nativeDot` in hot paths. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -23,18 +30,27 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  private def nativeDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** (id, vec, norm) projection with the norm computed once per vector. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       idName: String, vecName: String, normName: String): DataFrame =
+    df.select(col(idCol).as(idName), col(vecCol).cast("array<double>").as(vecName))
+      .withColumn(normName, sqrt(nativeDot(col(vecName), col(vecName))))
+
   /** Exact top-k cosine neighbors for each query vector (queries = a
     * predicate over the corpus itself). Ranking uses the rounded similarity
     * plus neighbor id so ordering is total and engine-independent. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                  queryPredicate: Column, k: Int): DataFrame = {
-    val e = embeddings.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
-    val q = embeddings.filter(queryPredicate)
-      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+    GraftExtensions.register(embeddings.sparkSession)
+    val e = withNorm(embeddings, idCol, vecCol, "nid", "nvec", "nnorm")
+    val q = withNorm(embeddings.filter(queryPredicate), idCol, vecCol, "qid", "qvec", "qnorm")
     // broadcast the small query set against the full corpus — never the
     // corpus side (at 100 TB the corpus is the big side of this product)
     val sims = e.join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), round(cosine(col("qvec"), col("nvec")), 3).as("sim"))
+      .select(col("qid"), col("nid"),
+        round(nativeDot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 3).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -46,11 +62,12 @@ object Similarity {
     * quantized (`floor(sim·10⁴)`) so the threshold cut is engine-portable. */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
+    GraftExtensions.register(embeddings.sparkSession)
+    val a = withNorm(embeddings, idCol, vecCol, "id_a", "va", "na")
+    val b = withNorm(embeddings, idCol, vecCol, "id_b", "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        floor(cosine(col("va"), col("vb")) * 10000).cast("long").as("sim_q"))
+        floor(nativeDot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000).cast("long").as("sim_q"))
       .filter(col("sim_q") >= (threshold * 10000).toLong)
   }
 
@@ -72,21 +89,21 @@ object Similarity {
     * only within each bucket (recall < 1, cost ~ n²/2^planes per bucket). */
   def lshCosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                     queryPredicate: Column, k: Int, planes: Int, dim: Int = 64): DataFrame = {
+    GraftExtensions.register(embeddings.sparkSession)
     val signs = planeSigns(planes, dim)
     val withBucket = embeddings.withColumn("__bucket",
       concat_ws("", signs.map { sv =>
-        val proj = aggregate(
-          zip_with(col(vecCol).cast("array<double>"), typedlit(sv), (x, s) => x * s),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, lit("1")).otherwise(lit("0"))
+        when(nativeDot(col(vecCol).cast("array<double>"), typedlit(sv)) >= 0, lit("1")).otherwise(lit("0"))
       }: _*))
-    val q = withBucket.filter(queryPredicate)
-      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"), col("__bucket").as("bucket"))
-    val sims = withBucket
-      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"), col("__bucket").as("bucket"))
-      .join(broadcast(q), Seq("bucket"))
+    def side(df: DataFrame, idName: String, vecName: String, normName: String) =
+      df.select(col(idCol).as(idName), col(vecCol).cast("array<double>").as(vecName), col("__bucket").as("bucket"))
+        .withColumn(normName, sqrt(nativeDot(col(vecName), col(vecName))))
+    val q = side(withBucket.filter(queryPredicate), "qid", "qvec", "qnorm")
+    val n = side(withBucket, "nid", "nvec", "nnorm")
+    val sims = n.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), round(cosine(col("qvec"), col("nvec")), 3).as("sim"))
+      .select(col("qid"), col("nid"),
+        round(nativeDot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 3).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension registration.
+  *
+  * Two entry points for the same registry:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  *    (cluster deployment path);
+  *  - `GraftExtensions.register(spark)` on a live session (library path).
+  *
+  * After either, `graft_simhash64(text)` is available to SQL and to
+  * `call_function` from the DataFrame API. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash64 takes exactly one argument")
+        SimHash64(args.head)
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes exactly two arguments")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** Register the graft function set on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

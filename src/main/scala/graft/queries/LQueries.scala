@@ -22,6 +22,7 @@ object LQueries {
     "q25_simhash" -> ((s, d) => q25(s, d)),
     "q26_lsh_ann" -> ((s, d) => q26(s, d)),
     "q29_cosine_neardup" -> ((s, d) => q29(s, d)),
+    "q30_simhash_native" -> ((s, d) => q30(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -82,6 +83,16 @@ object LQueries {
     * threshold tuned to the synthetic corpus's similarity range). */
   def q29(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+
+  /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
+    * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
+    * scalar projection, no explode/shuffle. Shares q25's oracle. */
+  def q30(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    Tables.documents(s, d).select(
+      col("doc_id").as("id"),
+      call_function("graft_simhash64", col("text")).as("simhash"))
+  }
 
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -169,6 +180,17 @@ object LQueries {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
     "q25_simhash" ->
+      """WITH words AS (SELECT DISTINCT id, w FROM (
+        |    SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS w FROM documents) x
+        |  WHERE w <> ''),
+        |bits AS (SELECT id, b,
+        |           CASE WHEN CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1)
+        |                           / power(2, 3 - b % 4)) AS INT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+        |         FROM (SELECT id, md5(w) AS h, unnest(range(64)) AS b FROM words) y),
+        |votes AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b)
+        |SELECT id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        |FROM votes GROUP BY id""".stripMargin,
+    "q30_simhash_native" ->
       """WITH words AS (SELECT DISTINCT id, w FROM (
         |    SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS w FROM documents) x
         |  WHERE w <> ''),
