@@ -31,7 +31,11 @@ object NearDup {
     * |A∩B| via equality join on shingles, |A∪B| = |A|+|B|−|A∩B|. */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         k: Int, threshold: Double): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, k).cache()
+    // Deliberately NOT cached: the shingle explosion is larger than the
+    // input corpus, so pinning it in memory is a scale bug at 100 TB.
+    // Shingling is narrow (split+explode over the scan) — recompute is the
+    // right trade.
+    val sh = wordShingles(df, idCol, textCol, k)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
@@ -79,26 +83,45 @@ object NearDup {
   }
 
   /** Full MinHash-LSH near-dup: candidates from banding, verified with exact
-    * shingle Jaccard ≥ threshold. */
+    * shingle Jaccard ≥ threshold.
+    *
+    * @param broadcastCandidateLimit broadcast the candidate-pair set for the
+    *   verification probe only when its measured row count is at or below
+    *   this limit. Banding usually keeps candidates tiny, but a
+    *   duplicate-heavy corpus can put O(n²) pairs in one hot bucket, and an
+    *   unconditional broadcast of that would OOM the driver — so the hint is
+    *   gated on the real count (one extra cheap job) and AQE handles the
+    *   shuffle-join path otherwise. */
   def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
-                      k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, k).cache()
-    // candidate pairs are a tiny fraction of the corpus (that's the point of
-    // banding) — broadcast them so the shingle table is probed in place and
-    // never shuffled for verification
-    val cand = broadcast(lshCandidates(minHashSignatures(sh, numHashes), rowsPerBand))
+                      k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+                      broadcastCandidateLimit: Long = 5000000L): DataFrame = {
+    // NOT cached — see ngramJaccardPairs; the shingle set outgrows the input.
+    val sh = wordShingles(df, idCol, textCol, k)
+    val candUnhinted = lshCandidates(minHashSignatures(sh, numHashes), rowsPerBand)
+    // MEMORY_AND_DISK persist (spill-safe) only for the duration of the gate
+    // count + verification join; released via unpersist below.
+    val candPersisted = candUnhinted.persist()
+    val candCount = candPersisted.count()
+    val cand =
+      if (candCount <= broadcastCandidateLimit) broadcast(candPersisted) else candPersisted
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val inter = sh.toDF("id_a", "gram")
       .join(cand, Seq("id_a"))
       .join(sh.toDF("id_b", "gram"), Seq("id_b", "gram"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val verified = inter
       .join(sizes.toDF("id_a", "na"), Seq("id_a"))
       .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
       .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // Materialize the verified pairs (tiny relative to the corpus) so the
+    // candidate persist can be released deterministically instead of leaking
+    // until session end; checkpoint blocks are GC-cleaned with the frame.
+    val out = verified.localCheckpoint(true)
+    candPersisted.unpersist(false)
+    out
   }
 
   /** SimHash: 64-bit fingerprint over distinct words, md5-derived bits,

@@ -20,14 +20,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  // NULL for token-less (empty/whitespace-only) docs, not just null input.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash64"
 
-  override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(SimHash64.compute(input.asInstanceOf[UTF8String].toString))
+  override protected def nullSafeEval(input: Any): Any = {
+    val fp = SimHash64.compute(input.asInstanceOf[UTF8String].toString)
+    if (fp == null) null else UTF8String.fromString(fp)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.plans.SimHash64.compute($c.toString()))")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |String graftFp = graft.plans.SimHash64.compute($c.toString());
+         |if (graftFp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(graftFp);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
 }
@@ -35,12 +46,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object SimHash64 {
 
   /** Bit-vote simhash over distinct tokens; md5-derived bits so the result
-    * matches the SQL-oracle formulation bit-for-bit. */
+    * matches the SQL-oracle formulation bit-for-bit. Returns `null` for
+    * token-less (empty/whitespace-only) text — the oracle's `words` CTE
+    * drops such docs, so the expression mirrors that by emitting NULL
+    * rather than a degenerate all-'1' zero-vote fingerprint. */
   def compute(text: String): String = {
     val votes = new Array[Int](64)
     val seen = new java.util.HashSet[String]()
     val digest = java.security.MessageDigest.getInstance("MD5")
-    val tokens = text.toLowerCase.split(" ", -1)
+    // Locale.ROOT: locale-independent, matching Spark's and DuckDB's lower().
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     var t = 0
     while (t < tokens.length) {
       val w = tokens(t)
@@ -56,6 +71,7 @@ object SimHash64 {
       }
       t += 1
     }
+    if (seen.isEmpty) return null
     val sb = new java.lang.StringBuilder(64)
     var b = 0
     while (b < 64) { sb.append(if (votes(b) >= 0) '1' else '0'); b += 1 }

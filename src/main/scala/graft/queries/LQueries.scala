@@ -90,8 +90,11 @@ object LQueries {
   def q30(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     Tables.documents(s, d).select(
-      col("doc_id").as("id"),
-      call_function("graft_simhash64", col("text")).as("simhash"))
+        col("doc_id").as("id"),
+        call_function("graft_simhash64", col("text")).as("simhash"))
+      // The expression emits NULL for token-less docs; the oracle's words
+      // CTE drops those docs, so filter to align row sets.
+      .where(col("simhash").isNotNull)
   }
 
   private val grams =

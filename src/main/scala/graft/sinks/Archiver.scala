@@ -16,7 +16,10 @@ object Archiver {
   def zipDirectory(dir: String, zipPath: String, removeSource: Boolean = false): Int = {
     val root = Paths.get(dir)
     require(Files.isDirectory(root), s"$dir is not a directory")
-    val files = Files.walk(root).iterator().asScala.filter(Files.isRegularFile(_)).toList
+    // Files.walk requires try-with-resources — close after materializing.
+    val files = scala.util.Using.resource(Files.walk(root)) { w =>
+      w.iterator().asScala.filter(Files.isRegularFile(_)).toList
+    }
     val zos = new ZipOutputStream(new FileOutputStream(zipPath))
     try {
       files.foreach { f =>
@@ -31,6 +34,7 @@ object Archiver {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    Files.walk(p).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+    val all = scala.util.Using.resource(Files.walk(p))(_.iterator().asScala.toList)
+    all.reverse.foreach(Files.deleteIfExists(_))
   }
 }

@@ -20,7 +20,20 @@ final class StateStore(path: String) {
     write(Map(
       "status" -> "\"FAILED\"",
       "last_failed_run" -> s""""$now"""",
-      "error_message" -> ("\"" + error.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")))
+      "error_message" -> jsonString(error)))
+
+  // Spark exception messages are routinely multi-line — escape control chars
+  // too, or the state file is invalid JSON for any external consumer.
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   def status: Option[String] = field("status")
 

@@ -21,11 +21,22 @@ class SimHash64Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val composed = NearDup.simHash(docs.filter(length(trim(col("text"))) > 0), col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // composed form drops token-less docs (explode of empty set); native
-    // returns the all-ones zero-vote fingerprint — compare where both exist
+    // both forms drop token-less docs: composed via explode of the empty
+    // set, native via NULL fingerprint
     composed.foreach { case (id, sh) => assert(native(id) == sh, s"doc $id") }
     assert(native(1L) == native(2L) && native(1L) != native(3L))
-    assert(native(4L).length == 64)
+    assert(native(4L) == null, "token-less doc must fingerprint to NULL")
+    assert(native.keySet == composed.keySet + 4L)
+  }
+
+  test("token-less text → NULL under both eval paths; blank variants too") {
+    assert(SimHash64.compute("") == null)
+    assert(SimHash64.compute("   ") == null)
+    GraftExtensions.register(ss)
+    val rows = Seq((1L, ""), (2L, "    "), (3L, "word")).toDF("id", "text")
+      .selectExpr("id", "graft_simhash64(text) AS sh").collect()
+    assert(rows.count(_.isNullAt(1)) == 2)
+    assert(rows.find(_.getLong(0) == 3L).get.getString(1).length == 64)
   }
 
   test("expression is SQL-visible after registration and survives codegen") {

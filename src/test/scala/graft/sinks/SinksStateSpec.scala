@@ -61,4 +61,15 @@ class SinksStateSpec extends SparkSpec {
     store.saveFailure("""boom "quoted" \path""")
     assert(store.status.contains("FAILED") && store.lastMetrics.isEmpty)
   }
+
+  test("StateStore failure with multi-line Spark-style message stays valid JSON") {
+    val p = Files.createTempDirectory("state").toString + "/state.json"
+    val store = new StateStore(p)
+    store.saveFailure("Job aborted.\nCaused by: java.io.IOException\n\tat org.apache\r")
+    val content = Files.readString(java.nio.file.Paths.get(p))
+    // no raw control characters may survive inside the JSON document
+    assert(!content.exists(c => c < ' ' && c != '\n'), "unescaped control char leaked")
+    assert(content.contains("\\n") && content.contains("\\t") && content.contains("\\r"))
+    assert(store.status.contains("FAILED"))
+  }
 }
