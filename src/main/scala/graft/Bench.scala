@@ -16,15 +16,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm every query once at the smallest SF: whole-stage codegen compiles
-    // per plan shape (10s+ for the complex near-dup plans) and is a one-time
-    // JVM cost, not query cost — time steady state at the target SF.
-    val warmDir = {
-      val small = "/root/testdata/sf0.001"
-      if (new java.io.File(small).isDirectory) small else sfDir
-    }
+    // Warm every query once at the TARGET SF: whole-stage codegen compiles
+    // per physical plan shape, and AQE picks different join strategies at
+    // different data sizes — warming at a smaller SF compiles the wrong
+    // shapes and the timed run still pays multi-second JIT. Steady state
+    // means the exact plans have run once (JMH-style same-workload warmup).
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
     spark.catalog.clearCache() // drop warmup-scale cached data before timing

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.NearDup
+import graft.sources.Tables
+
+/** Dev profiling harness: time the sub-stages of a slow query in isolation
+  * (each timed twice — cold then warm — so codegen compile cost is visible
+  * separately from steady-state). Usage:
+  * `sbt "runMain graft.Prof <sfDir>"`. */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.local("graft-prof", 8)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        println(f"PROF $name%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.3fs rows=$n")
+      }
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    time("docs_scan") { docs }
+    time("shingles") { NearDup.wordShingles(docs, col("doc_id"), col("text"), 3) }
+    time("signatures") {
+      NearDup.minHashSignatures(docs, col("doc_id"), col("text"), 3, 8)
+    }
+    time("lsh_candidates") {
+      NearDup.lshCandidates(
+        NearDup.minHashSignatures(docs, col("doc_id"), col("text"), 3, 8), 2)
+    }
+    time("q18_full") {
+      NearDup.minHashLshPairs(docs, col("doc_id"), col("text"), 3, 8, 2, 0.5)
+    }
+    time("q19_full") {
+      NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+    }
+    spark.stop()
+  }
+}

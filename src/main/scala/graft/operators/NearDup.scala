@@ -14,17 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Explode distinct word-k-grams: (id, gram). */
+  /** Explode distinct word-k-grams: (id, gram). Shingling runs in the native
+    * `graft_shingles` expression (`plans.WordShingles`) — the composed
+    * split/sequence/transform/array_distinct chain evaluated its lambda per
+    * element outside whole-stage codegen and was ~10× slower. */
   def wordShingles(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
-    val words = split(textCol, " ")
-    // guard: ANSI mode makes element_at fail on the descending sequence a
-    // short doc would produce, so docs with < k words yield no shingles
-    val grams = when(size(words) >= k,
-      transform(
-        sequence(lit(0), size(words) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(words, (i + j + 1).cast("int"))): _*)))
-      .otherwise(array().cast("array<string>"))
-    df.select(idCol.as("id"), explode(array_distinct(grams)).as("gram"))
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(idCol.as("id"),
+      explode(call_function("graft_shingles", textCol, lit(k))).as("gram"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
@@ -36,7 +33,11 @@ object NearDup {
     // Shingling is narrow (split+explode over the scan) — recompute is the
     // right trade.
     val sh = wordShingles(df, idCol, textCol, k)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    // narrow per-doc gram count off the shingle array — no aggregation shuffle
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val sizes = df.select(idCol.as("id"),
+        size(call_function("graft_shingles", textCol, lit(k))).cast("long").as("n_grams"))
+      .where(col("n_grams") > 0)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -49,19 +50,29 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures, wide form: one groupBy(id) computing all
-    * `numHashes` md5-min-hashes as columns `mh_0..mh_{n-1}` — a single
-    * shuffle with map-side partial mins, instead of exploding the shingle
-    * set numHashes× and aggregating the blown-up set. */
-  def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
-    shingles.groupBy("id").agg(
-      min(md5(concat(lit("0:"), col("gram")))).as("mh_0"),
-      (1 until numHashes).map(i =>
-        min(md5(concat(lit(s"$i:"), col("gram")))).as(s"mh_$i")): _*)
+  /** MinHash signatures, wide form: `id, mh_0..mh_{n-1}, n_grams` — computed
+    * by the native `graft_minhash` expression (`plans.MinHashSig`) as a
+    * NARROW map over the documents table. No shingle explode, no groupBy(id)
+    * shuffle: at 100 TB the exploded shingle set is bigger than the corpus,
+    * so keeping it out of the signature path entirely beats even a
+    * map-side-combined aggregation of it. `n_grams` rides along so Jaccard
+    * verification can read set sizes off the candidate pairs instead of
+    * joining a separate sizes table. */
+  def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                        k: Int, numHashes: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(idCol.as("id"),
+        call_function("graft_minhash", textCol, lit(k), lit(numHashes)).as("s"))
+      .where(col("s").isNotNull)
+      .select(col("id") +:
+        (0 until numHashes).map(i => col("s.mh")(i).as(s"mh_$i")) :+
+        col("s.n_grams").cast("long").as("n_grams"): _*)
+  }
 
   /** LSH candidate pairs: band the wide signature (rowsPerBand hashes per
     * band; bucket key "00=<mh0>|01=<mh1>"), self-join on (band, bucket),
-    * emit distinct candidate id pairs. */
+    * emit distinct candidate id pairs carrying both shingle-set sizes
+    * (`na`/`nb`, functionally determined by the ids — free to dedup). */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
     val numHashes = signatures.columns.count(_.startsWith("mh_"))
     val bands = numHashes / rowsPerBand
@@ -74,11 +85,12 @@ object NearDup {
       struct(lit(j).as("band"), key.as("bucket"))
     }
     val banded = signatures
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("n_grams"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("n_grams"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_grams").as("na"), col("b.n_grams").as("nb"))
       .distinct()
   }
 
@@ -97,22 +109,22 @@ object NearDup {
                       broadcastCandidateLimit: Long = 5000000L): DataFrame = {
     // NOT cached — see ngramJaccardPairs; the shingle set outgrows the input.
     val sh = wordShingles(df, idCol, textCol, k)
-    val candUnhinted = lshCandidates(minHashSignatures(sh, numHashes), rowsPerBand)
+    val candUnhinted =
+      lshCandidates(minHashSignatures(df, idCol, textCol, k, numHashes), rowsPerBand)
     // MEMORY_AND_DISK persist (spill-safe) only for the duration of the gate
     // count + verification join; released via unpersist below.
     val candPersisted = candUnhinted.persist()
     val candCount = candPersisted.count()
     val cand =
       if (candCount <= broadcastCandidateLimit) broadcast(candPersisted) else candPersisted
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val inter = sh.toDF("id_a", "gram")
+    // na/nb ride along on the candidate pairs (computed in the signature
+    // aggregation), so verification is just intersect-count + arithmetic —
+    // no separate sizes aggregation, no post-agg joins.
+    val verified = sh.toDF("id_a", "gram")
       .join(cand, Seq("id_a"))
       .join(sh.toDF("id_b", "gram"), Seq("id_b", "gram"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("n_inter"))
-    val verified = inter
-      .join(sizes.toDF("id_a", "na"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
       .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -35,6 +35,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot takes exactly two arguments")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles takes (text, k)")
+        WordShingles(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_minhash takes (text, k, numHashes)")
+        MinHashSig(args.head, args(1), args(2))
       }))
 
   /** Register the graft function set on an already-built session. */
