@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED: the driver parses Bench's
+// one-line JSON from stdout, and sbt's default LoggedOutput strategy would
+// prepend "[info] " to it (round-1 bench came back "parsed: null").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and no "[success] Total time" trailer after the JSON line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

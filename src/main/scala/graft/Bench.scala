@@ -34,7 +34,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing: the JSON line must be the last thing on
+    // stdout (shutdown logs go to stderr, but keep the ordering airtight for
+    // last-line parsers; first-line parsers see it unprefixed either way).
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (pre-partitioned) tables: the exchange-free co-located join
+  * path.
+  *
+  * At 100 TB the dominant cost of a fact⋈fact join is shuffling both sides.
+  * Writing each table bucketed by its join key (`bucketBy` + `sortBy`) hashes
+  * the data into a fixed number of bucket files at WRITE time; a later join
+  * on the bucket keys reads both sides already co-partitioned, so the plan
+  * has NO shuffle Exchange — and a follow-up aggregation keyed on (a subset
+  * of) the same key reuses the bucketing too. Pay the shuffle once at ingest,
+  * amortize it over every downstream join/agg.
+  *
+  * Re-expresses the reference's repeated per-CPF merge stages
+  * (`/root/reference/src/processing_pipeline.py:109-186` joins on the same
+  * key throughout) as one-time co-location instead of per-stage pandas
+  * merges. */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed+sorted by `key` into
+    * `buckets` buckets. Drops any prior catalog entry AND leftover managed
+    * files first: the in-memory catalog forgets tables across sessions but
+    * the warehouse files persist, and `saveAsTable` refuses to create a
+    * table over a non-empty location. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    df.write.format("parquet").bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
+  /** Join two tables bucketed on their respective join keys (same bucket
+    * count). The merge hint pins a sort-merge join; with both scans
+    * reporting hash-partitioning over the bucket key, the join needs no
+    * Exchange on either side. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, leftKey: String,
+                   rightTable: String, rightKey: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable), org.apache.spark.sql.functions.col(leftKey) ===
+        org.apache.spark.sql.functions.col(rightKey))
+}

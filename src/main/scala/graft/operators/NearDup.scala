@@ -136,6 +136,43 @@ object NearDup {
     out
   }
 
+  /** SimHash-banded near-duplicate pairs: fingerprint with the native
+    * `graft_simhash64` expression, split the 64-bit string into `bands`
+    * equal substrings, take candidate pairs from exact band equality, verify
+    * with exact hamming distance ≤ `maxHamming` via `graft_hamming`.
+    *
+    * Pigeonhole guarantee: any pair within hamming `bands - 1` differs in
+    * fewer positions than there are bands, so at least one band matches
+    * exactly — candidate generation has perfect recall for
+    * `maxHamming < bands`. The self-join is equality-based on (band,
+    * substring), so at corpus scale it shuffles on the band-key domain and
+    * AQE splits hot fingerprint buckets; nothing is ever compared pairwise
+    * globally. */
+  def simHashHammingPairs(df: DataFrame, idCol: Column, textCol: Column,
+                          bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"banding only guarantees recall for maxHamming < bands ($maxHamming >= $bands)")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val width = 64 / bands
+    val fp = df.select(idCol.as("id"), call_function("graft_simhash64", textCol).as("fp"))
+      .where(col("fp").isNotNull)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), substring(col("fp"), b * width + 1, width).as("sub"))
+    }
+    val banded = fp
+      .select(col("id"), col("fp"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.sub").as("sub"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sub") === col("b.sub") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        call_function("graft_hamming", col("fp_a"), col("fp_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash: 64-bit fingerprint over distinct words, md5-derived bits,
     * rendered as a 64-char '0'/'1' string (engine-portable, no uint64). */
   def simHash(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {

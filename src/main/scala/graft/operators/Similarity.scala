@@ -85,6 +85,46 @@ object Similarity {
     }
   }
 
+  /** IVF-style ANN (inverted-file index, nprobe=1): coarse centroids are a
+    * deterministic sample of the corpus (`id % centroidMod == 0`); every
+    * vector is assigned to its nearest centroid by quantized cosine
+    * (`floor(10⁴·cos)`, centroid-id tiebreak — total order, engine-
+    * portable); each query then searches ONLY its own centroid's inverted
+    * list. Cost drops from n² to ~n²/C for C centroids.
+    *
+    * Scale shape: the centroid set is tiny → broadcast for assignment (a
+    * narrow pass over the corpus — no shuffle); the probe join is
+    * equality-keyed on the centroid id, so hot centroids are AQE-skew-
+    * splittable; the query set is broadcast. Recall < 1 by design (as with
+    * any IVF index) — [[cosineTopK]] is the exact baseline. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryPredicate: Column, k: Int, centroidMod: Int): DataFrame = {
+    GraftExtensions.register(embeddings.sparkSession)
+    val base = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("__vec"))
+      .withColumn("__norm", sqrt(nativeDot(col("__vec"), col("__vec"))))
+    val cent = base.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cid"), col("__vec").as("cvec"), col("__norm").as("cnorm"))
+    val wAssign = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
+    val assigned = base.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        floor(nativeDot(col("__vec"), col("cvec")) / (col("__norm") * col("cnorm")) * 10000).cast("long"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("__vec"), col("__norm"), col("cid"))
+    val q = assigned.filter(queryPredicate)
+      .select(col(idCol).as("qid"), col("__vec").as("qvec"), col("__norm").as("qnorm"), col("cid"))
+    val n = assigned
+      .select(col(idCol).as("nid"), col("__vec").as("nvec"), col("__norm").as("nnorm"), col("cid"))
+    val sims = n.join(broadcast(q), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        floor(nativeDot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")) * 10000)
+          .cast("long").as("sim_q"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_q").desc, col("nid").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim_q"), col("rank").cast("long").as("rank"))
+  }
+
   /** Bucketed ANN: `planes` sign-bits form the bucket key; top-k search runs
     * only within each bucket (recall < 1, cost ~ n²/2^planes per bucket). */
   def lshCosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,

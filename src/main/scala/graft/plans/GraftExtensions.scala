@@ -47,6 +47,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_minhash takes (text, k, numHashes)")
         MinHashSig(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDist].getName, "graft_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hamming takes exactly two arguments")
+        HammingDist(args.head, args(1))
       }))
 
   /** Register the graft function set on an already-built session. */

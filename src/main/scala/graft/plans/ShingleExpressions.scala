@@ -90,16 +90,21 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
       k.asInstanceOf[Int], n.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (t, k, n) =>
+    nullSafeCodeGen(ctx, ev, (t, k, n) => {
+      // freshName: the expression can appear more than once in a codegen
+      // stage — a fixed variable name is a compile error and silently drops
+      // the whole stage back to the interpreted path.
+      val mh = ctx.freshName("graftMh")
       s"""
-         |org.apache.spark.sql.catalyst.InternalRow graftMh =
+         |org.apache.spark.sql.catalyst.InternalRow $mh =
          |  graft.plans.MinHashSig.compute($t.toString(), $k, $n);
-         |if (graftMh == null) {
+         |if ($mh == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graftMh;
+         |  ${ev.value} = $mh;
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): MinHashSig =

@@ -30,15 +30,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: a fixed name collides when the expression appears twice
+      // in one codegen stage (compile error → interpreted fallback).
+      val fp = ctx.freshName("graftFp")
       s"""
-         |String graftFp = graft.plans.SimHash64.compute($c.toString());
-         |if (graftFp == null) {
+         |String $fp = graft.plans.SimHash64.compute($c.toString());
+         |if ($fp == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(graftFp);
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($fp);
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
 }

@@ -23,6 +23,10 @@ object LQueries {
     "q26_lsh_ann" -> ((s, d) => q26(s, d)),
     "q29_cosine_neardup" -> ((s, d) => q29(s, d)),
     "q30_simhash_native" -> ((s, d) => q30(s, d)),
+    "q31_bucketed_join" -> ((s, d) => q31(s, d)),
+    "q32_simhash_hamming" -> ((s, d) => q32(s, d)),
+    "q33_ivf_ann" -> ((s, d) => q33(s, d)),
+    "q34_dedup_events" -> ((s, d) => q34(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -97,6 +101,44 @@ object LQueries {
       .where(col("simhash").isNotNull)
   }
 
+  /** B1: exchange-free co-located join + aggregation over tables bucketed by
+    * the join key (pay the shuffle at write time, reuse it for every
+    * downstream join/agg). Table names carry the sf-dir suffix so different
+    * scales don't clobber each other within a session. */
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val sfx = d.split('/').last.replaceAll("[^A-Za-z0-9]", "_")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    graft.operators.Bucketing.writeBucketed(o, s"graft_bkt_orders_$sfx", "o_orderkey", 8)
+    graft.operators.Bucketing.writeBucketed(l, s"graft_bkt_lineitem_$sfx", "l_orderkey", 8)
+    graft.operators.Bucketing
+      .bucketedJoin(s, s"graft_bkt_orders_$sfx", "o_orderkey", s"graft_bkt_lineitem_$sfx", "l_orderkey")
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100 + 0.50001)
+          .cast("long").as("revenue_cents"))
+  }
+
+  /** L-family: SimHash-banded near-dup pairs verified by exact hamming
+    * distance (native graft_simhash64 + graft_hamming expressions). */
+  def q32(s: SparkSession, d: String): DataFrame =
+    NearDup.simHashHammingPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      bands = 4, maxHamming = 3)
+
+  /** L-family: IVF-style ANN — deterministic coarse centroids, nprobe=1. */
+  def q33(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      col("vec_id") % 1000 === 0, k = 5, centroidMod = 31)
+
+  /** S3 batch analog: first event per (user_id, event_type) — the
+    * deterministic batch form of streaming.StreamDedup. */
+  def q34(s: SparkSession, d: String): DataFrame =
+    Dedup.bestRowPerKey(Tables.events(s, d),
+        Seq(col("user_id"), col("event_type")), Seq(col("ts").asc, col("event_id").asc))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        unix_micros(col("ts")).as("first_ts_us"))
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -105,7 +147,61 @@ object LQueries {
       |  FROM t WHERE len(w) >= 3) raw),
       |sizes AS (SELECT id, count(*) AS n_grams FROM g GROUP BY id)""".stripMargin
 
+  /** Shared simhash-fingerprint CTE body (same construction as the q25/q30
+    * oracles) ending in `fp(id, fp)`. */
+  private val simhashFp =
+    """WITH words AS (SELECT DISTINCT id, w FROM (
+      |    SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS w FROM documents) x
+      |  WHERE w <> ''),
+      |bits AS (SELECT id, b,
+      |           CASE WHEN CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1)
+      |                           / power(2, 3 - b % 4)) AS INT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+      |         FROM (SELECT id, md5(w) AS h, unnest(range(64)) AS b FROM words) y),
+      |votes AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b),
+      |fp AS (SELECT id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS fp
+      |       FROM votes GROUP BY id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q31_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
+    "q32_simhash_hamming" -> (simhashFp +
+      """,
+        |banded AS (SELECT id, fp, band, substr(fp, band * 16 + 1, 16) AS sub
+        |           FROM fp, (SELECT unnest(range(4)) AS band) bands),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+        |         FROM banded a JOIN banded b
+        |           ON a.band = b.band AND a.sub = b.sub AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |       CAST(len(list_filter(range(64), i -> fp_a[i + 1] <> fp_b[i + 1])) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE len(list_filter(range(64), i -> fp_a[i + 1] <> fp_b[i + 1])) <= 3""".stripMargin),
+    "q33_ivf_ann" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |              FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM base WHERE vec_id % 31 = 0),
+        |assigned AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT b.vec_id, b.v, b.nrm, c.cid,
+        |           row_number() OVER (PARTITION BY b.vec_id
+        |             ORDER BY CAST(floor(list_dot_product(b.v, c.cv) / (b.nrm * c.cnrm) * 10000) AS BIGINT) DESC,
+        |                      c.cid ASC) AS rn
+        |    FROM base b CROSS JOIN cent c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid FROM assigned WHERE vec_id % 1000 = 0),
+        |s AS (SELECT q.qid, n.vec_id AS nid,
+        |             CAST(floor(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) * 10000) AS BIGINT) AS sim_q
+        |      FROM assigned n JOIN q ON n.cid = q.cid AND q.qid <> n.vec_id)
+        |SELECT qid, nid, sim_q, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_q DESC, nid ASC) AS rank FROM s) t
+        |WHERE rank <= 5""".stripMargin,
+    "q34_dedup_events" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS first_ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1""".stripMargin,
     "q17_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
