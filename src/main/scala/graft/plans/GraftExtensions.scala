@@ -15,10 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * After either, `graft_simhash64(text)` is available to SQL and to
   * `call_function` from the DataFrame API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -56,8 +58,10 @@ object GraftExtensions {
       }))
 
   /** Register the graft function set on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    org.apache.spark.sql.graft.Internal.injectStrategy(spark, TopKPerKeyStrategy)
+  }
 }

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom plan (SURVEY extension point (c)): top-k rows per
+  * key under a sort order, WITHOUT sorting.
+  *
+  * The built-in spelling — `row_number().over(Window.partitionBy(keys)
+  * .orderBy(order)) <= k` — shuffles EVERY row to its key's reducer and then
+  * fully sorts each reducer partition, so at 100 TB the plan moves and sorts
+  * the entire input to keep k rows per key. This operator replaces the
+  * sort with bounded heaps and makes the reduction map-side:
+  *
+  *   1. partial [[TopKPerKeyExec]] on each input partition: one k-bounded
+  *      heap per key seen — emits ≤ k rows per (key, partition), no sort,
+  *      no shuffle;
+  *   2. Exchange hash-partitions only those survivors by key (the shuffle
+  *      shrinks from |input| to ≤ k·|keys|·partitions — usually orders of
+  *      magnitude);
+  *   3. final [[TopKPerKeyExec]] merges the per-partition winners with the
+  *      same bounded heap.
+  *
+  * The same two-phase shape Spark itself uses for partial aggregation,
+  * applied to an operator Catalyst only offers in sort-everything form.
+  * `order` must be a TOTAL order (add a unique tiebreak column) for the
+  * result to be deterministic; memory per task is O(k · distinct keys in
+  * partition) — the hash-aggregate memory shape, with small k.
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
+  extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerKey]] as final(exchange(partial(child))) — the Exchange is
+  * inserted by `EnsureRequirements` from the final node's required
+  * distribution. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                          partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String = if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val sortOrder = order
+    val schema = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      val ord = GenerateOrdering.generate(sortOrder, schema)
+      // Per key: a max-heap under the sort order (head = worst kept row) so
+      // a better row evicts the head in O(log k).
+      val worstFirst = ord.reversed()
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}

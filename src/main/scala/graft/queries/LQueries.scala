@@ -27,6 +27,7 @@ object LQueries {
     "q32_simhash_hamming" -> ((s, d) => q32(s, d)),
     "q33_ivf_ann" -> ((s, d) => q33(s, d)),
     "q34_dedup_events" -> ((s, d) => q34(s, d)),
+    "q35_topk_native" -> ((s, d) => q35(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -109,8 +110,8 @@ object LQueries {
     val sfx = d.split('/').last.replaceAll("[^A-Za-z0-9]", "_")
     val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
     val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
-    graft.operators.Bucketing.writeBucketed(o, s"graft_bkt_orders_$sfx", "o_orderkey", 8)
-    graft.operators.Bucketing.writeBucketed(l, s"graft_bkt_lineitem_$sfx", "l_orderkey", 8)
+    graft.operators.Bucketing.writeBucketedOnce(o, s"graft_bkt_orders_$sfx", "o_orderkey", 8)
+    graft.operators.Bucketing.writeBucketedOnce(l, s"graft_bkt_lineitem_$sfx", "l_orderkey", 8)
     graft.operators.Bucketing
       .bucketedJoin(s, s"graft_bkt_orders_$sfx", "o_orderkey", s"graft_bkt_lineitem_$sfx", "l_orderkey")
       .groupBy("o_orderkey", "o_orderstatus")
@@ -138,6 +139,20 @@ object LQueries {
       .select(col("user_id"), col("event_type"),
         col("event_id").as("first_event_id"),
         unix_micros(col("ts")).as("first_ts_us"))
+
+  /** Extension point (c): 3 priciest lineitems per order via the custom
+    * [[graft.plans.TopKPerKey]] logical+physical plan — bounded heaps and a
+    * survivors-only shuffle instead of the window sort. The (price desc,
+    * linenumber asc) order is total within an order, so results are
+    * deterministic and row_number-equivalent for the oracle. */
+  def q35(s: SparkSession, d: String): DataFrame =
+    graft.operators.TopK.topKPerKeyNative(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice").desc, col("l_linenumber").asc), k = 3)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        round(col("l_extendedprice"), 2).as("price"))
 
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -202,6 +217,12 @@ object LQueries {
         |       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS first_ts_us
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1""".stripMargin,
+    "q35_topk_native" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |       round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) <= 3""".stripMargin,
     "q17_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
