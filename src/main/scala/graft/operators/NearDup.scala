@@ -107,22 +107,31 @@ object NearDup {
   def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
                       broadcastCandidateLimit: Long = 5000000L): DataFrame = {
-    // NOT cached — see ngramJaccardPairs; the shingle set outgrows the input.
-    val sh = wordShingles(df, idCol, textCol, k)
     val candUnhinted =
       lshCandidates(minHashSignatures(df, idCol, textCol, k, numHashes), rowsPerBand)
     // MEMORY_AND_DISK persist (spill-safe) only for the duration of the gate
     // count + verification join; released via unpersist below.
     val candPersisted = candUnhinted.persist()
     val candCount = candPersisted.count()
-    val cand =
-      if (candCount <= broadcastCandidateLimit) broadcast(candPersisted) else candPersisted
+    val hintable = candCount <= broadcastCandidateLimit
+    val cand = if (hintable) broadcast(candPersisted) else candPersisted
+    // Explode shingles ONLY for docs that appear in a candidate pair: the
+    // semi-join runs on the un-exploded corpus, so the (corpus-sized ×
+    // shingle-factor) explosion shrinks to the near-dup suspects. On a
+    // mostly-unique corpus that's orders of magnitude less work than
+    // shingling everything on both sides of the verification join.
+    def candSide(pairIdCol: String): DataFrame = {
+      val idsUnhinted = candPersisted.select(col(pairIdCol).as("__cid")).distinct()
+      val ids = if (hintable) broadcast(idsUnhinted) else idsUnhinted
+      wordShingles(
+        df.join(ids, idCol === col("__cid"), "left_semi"), idCol, textCol, k)
+    }
     // na/nb ride along on the candidate pairs (computed in the signature
     // aggregation), so verification is just intersect-count + arithmetic —
     // no separate sizes aggregation, no post-agg joins.
-    val verified = sh.toDF("id_a", "gram")
+    val verified = candSide("id_a").toDF("id_a", "gram")
       .join(cand, Seq("id_a"))
-      .join(sh.toDF("id_b", "gram"), Seq("id_b", "gram"))
+      .join(candSide("id_b").toDF("id_b", "gram"), Seq("id_b", "gram"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))

@@ -28,6 +28,8 @@ object LQueries {
     "q33_ivf_ann" -> ((s, d) => q33(s, d)),
     "q34_dedup_events" -> ((s, d) => q34(s, d)),
     "q35_topk_native" -> ((s, d) => q35(s, d)),
+    "q36_hash_split" -> ((s, d) => q36(s, d)),
+    "q37_doc_freq" -> ((s, d) => q37(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -154,6 +156,22 @@ object LQueries {
         col("l_linenumber").cast("long").as("line_no"),
         round(col("l_extendedprice"), 2).as("price"))
 
+  /** Deterministic md5-bucket train/valid/test split (80/10/10) — same row,
+    * same split, every engine, every run; narrow projection, no shuffle. */
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Sampling.withSplit(docs, col("doc_id"), trainPct = 80, validPct = 10)
+      .select(col("doc_id"),
+        graft.operators.Sampling.hashBucket(col("doc_id")).cast("long").as("bucket"),
+        col("split"))
+  }
+
+  /** Corpus top-20 document-frequency words via the custom plan's global
+    * (AllTuples) top-k path. */
+  def q37(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusStats.topDocFrequency(
+      Tables.documents(s, d), col("doc_id"), col("text"), k = 20)
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -223,6 +241,22 @@ object LQueries {
         |FROM lineitem
         |QUALIFY row_number() OVER (
         |  PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) <= 3""".stripMargin,
+    "q36_hash_split" ->
+      """SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |       CASE WHEN bucket < 204 THEN 'train'
+        |            WHEN bucket < 230 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |      FROM documents) t""".stripMargin,
+    "q37_doc_freq" ->
+      """WITH words AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) x
+        |  WHERE w <> ''),
+        |freq AS (SELECT w AS word, count(*) AS doc_freq FROM words GROUP BY w)
+        |SELECT word, doc_freq FROM freq
+        |QUALIFY row_number() OVER (ORDER BY doc_freq DESC, word ASC) <= 20""".stripMargin,
     "q17_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import ss.implicits._
+
+  test("hashBucket is deterministic and spans 0..255") {
+    val df = (1L to 2000L).toDF("id")
+    val buckets = df.select(Sampling.hashBucket(col("id")).as("b"))
+    val (lo, hi) = buckets.agg(min("b"), max("b")).as[(Int, Int)].head()
+    assert(lo >= 0 && hi <= 255 && hi > 200)
+    val twice = df.select(Sampling.hashBucket(col("id")).as("b")).collect().map(_.getInt(0))
+    val again = df.select(Sampling.hashBucket(col("id")).as("b")).collect().map(_.getInt(0))
+    assert(twice.sameElements(again))
+  }
+
+  test("withSplit covers every row and roughly matches 80/10/10") {
+    val df = (1L to 5000L).toDF("id")
+    val counts = Sampling.withSplit(df, col("id"), 80, 10)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 5000L)
+    assert(counts("train") > 3700 && counts("train") < 4300)
+    assert(counts("valid") > 300 && counts("valid") < 750)
+    assert(counts("test") > 300 && counts("test") < 750)
+  }
+
+  test("hashSample keeps a stable subset of about pct%") {
+    val df = (1L to 4000L).toDF("id")
+    val n = Sampling.hashSample(df, col("id"), 25).count()
+    assert(n > 800 && n < 1200)
+    // subset property: sampling at 50% contains the 25% sample
+    val s25 = Sampling.hashSample(df, col("id"), 25).as[Long].collect().toSet
+    val s50 = Sampling.hashSample(df, col("id"), 50).as[Long].collect().toSet
+    assert(s25.subsetOf(s50))
+  }
+
+  test("documentFrequency counts docs, not occurrences") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma"),
+      (3L, "beta  beta")).toDF("doc_id", "text")
+    val freq = CorpusStats.documentFrequency(docs, col("doc_id"), col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(freq("alpha") == 2L) // in docs 1 and 2, despite repeats in doc 1
+    assert(freq("beta") == 2L)
+    assert(freq("gamma") == 1L)
+    val top = CorpusStats.topDocFrequency(docs, col("doc_id"), col("text"), 2)
+      .as[(String, Long)].collect().toMap
+    assert(top.keySet == Set("alpha", "beta")) // tie at 2, word-asc tiebreak
+  }
+}
