@@ -104,13 +104,23 @@ object Similarity {
       .withColumn("__norm", sqrt(nativeDot(col("__vec"), col("__vec"))))
     val cent = base.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cid"), col("__vec").as("cvec"), col("__norm").as("cnorm"))
-    val wAssign = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
-    val assigned = base.crossJoin(broadcast(cent))
-      .withColumn("csim",
-        floor(nativeDot(col("__vec"), col("cvec")) / (col("__norm") * col("cnorm")) * 10000).cast("long"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("__vec"), col("__norm"), col("cid"))
+    // Nearest centroid by (csim desc, cid asc) as a primitive MAX: pack
+    // (csim, cid) into one long — csim in the high bits, bit-inverted cid in
+    // the low 40 — so argmax-with-tiebreak is max(long). A primitive max
+    // keeps the aggregation in HashAggregate with map-side combine (the
+    // shuffle carries ONE row per vector, not C), where a window would
+    // sort+shuffle all n·C rows and a struct-max falls back to
+    // SortAggregate. Requires 0 <= id < 2^40 (~10^12) — comfortable for
+    // vector ids — and |csim| <= 10^4 by construction.
+    val P = 1L << 40
+    val assignedIds = base.crossJoin(broadcast(cent))
+      .select(col(idCol),
+        ((floor(nativeDot(col("__vec"), col("cvec")) / (col("__norm") * col("cnorm")) * 10000)
+          .cast("long") + 20000L) * P + (lit(P - 1) - col("cid"))).as("__packed"))
+      .groupBy(idCol)
+      .agg(max(col("__packed")).as("__p"))
+      .select(col(idCol), (lit(P - 1) - pmod(col("__p"), lit(P))).as("cid"))
+    val assigned = base.join(assignedIds, idCol)
     val q = assigned.filter(queryPredicate)
       .select(col(idCol).as("qid"), col("__vec").as("qvec"), col("__norm").as("qnorm"), col("cid"))
     val n = assigned
