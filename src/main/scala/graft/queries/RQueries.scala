@@ -32,7 +32,22 @@ object RQueries {
     "q16_sessionize" -> ((s, d) => q16(s, d)),
     "q27_join_revenue" -> ((s, d) => q27(s, d)),
     "q28_star_join" -> ((s, d) => q28(s, d)),
+    "q38_event_stats" -> ((s, d) => q38(s, d)),
   )
+
+  /** Per-type event stats: JSON property extraction + exact interpolated
+    * percentiles, quantized (`floor(x·10³)`) so the interpolation result
+    * compares bit-stably across engines (both use rank = p·(n−1) linear
+    * interpolation over identical doubles). */
+  def q38(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        floor(expr("percentile(value, 0.5)") * 1000 + 0.50001).cast("long").as("median_q"),
+        floor(expr("percentile(value, 0.9)") * 1000 + 0.50001).cast("long").as("p90_q"),
+        sum("k").as("sum_k"))
 
   /** R10: per-key totals as per-row columns (window sum — one shuffle). */
   def q02(s: SparkSession, d: String): DataFrame =
@@ -325,5 +340,11 @@ object RQueries {
         |            JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q38_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(floor(quantile_cont(value, 0.5) * 1000 + 0.50001) AS BIGINT) AS median_q,
+        |       CAST(floor(quantile_cont(value, 0.9) * 1000 + 0.50001) AS BIGINT) AS p90_q,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }
