@@ -32,7 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole "cluster" in one heap — an 8g default GC-
+  // thrashes once ~38 warmup+timed queries accumulate broadcasts and
+  // checkpoint blocks (observed 2.6× bench degradation); the box has 128g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
 
 scalacOptions ++= Seq("-encoding", "UTF-8")

@@ -172,14 +172,19 @@ object NearDup {
     val banded = fp
       .select(col("id"), col("fp"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.band").as("band"), col("bb.sub").as("sub"))
+    // Hamming BEFORE distinct: the per-row byte compare is codegen'd and
+    // cheap (re-computing it for a pair that matched in several bands costs
+    // nothing), while running distinct first would shuffle the whole
+    // candidate set carrying both 64-char fingerprints. Filtering to the
+    // accepted pairs first means the dedup exchange only carries the
+    // near-dup survivors as (id, id, long) rows. Hamming is functionally
+    // determined by the pair, so distinct-after-filter is equivalent.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sub") === col("b.sub") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        call_function("graft_hamming", col("fp_a"), col("fp_b")).cast("long").as("hamming"))
+        call_function("graft_hamming", col("a.fp"), col("b.fp")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash: 64-bit fingerprint over distinct words, md5-derived bits,
