@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
 }
 
@@ -63,5 +64,6 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
     org.apache.spark.sql.graft.Internal.injectStrategy(spark, TopKPerKeyStrategy)
+    org.apache.spark.sql.graft.Internal.injectOptimization(spark, TopKRewriteRule)
   }
 }

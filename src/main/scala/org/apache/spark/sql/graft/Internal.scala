@@ -30,4 +30,13 @@ object Internal {
     if (!cs.experimental.extraStrategies.contains(strategy))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
+
+  /** Idempotently append an optimizer rule on a live session (analog of
+    * `SparkSessionExtensions.injectOptimizerRule`). */
+  def injectOptimization(spark: SparkSession,
+                         rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    if (!cs.experimental.extraOptimizations.contains(rule))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ rule
+  }
 }
