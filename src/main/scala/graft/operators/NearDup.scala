@@ -28,23 +28,23 @@ object NearDup {
     * |A∩B| via equality join on shingles, |A∪B| = |A|+|B|−|A∩B|. */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         k: Int, threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
     // Deliberately NOT cached: the shingle explosion is larger than the
     // input corpus, so pinning it in memory is a scale bug at 100 TB.
-    // Shingling is narrow (split+explode over the scan) — recompute is the
-    // right trade.
-    val sh = wordShingles(df, idCol, textCol, k)
-    // narrow per-doc gram count off the shingle array — no aggregation shuffle
-    graft.plans.GraftExtensions.register(df.sparkSession)
-    val sizes = df.select(idCol.as("id"),
-        size(call_function("graft_shingles", textCol, lit(k))).cast("long").as("n_grams"))
-      .where(col("n_grams") > 0)
-    val inter = sh.as("a").join(sh.as("b"),
+    // Shingling is narrow (one native-expression call + explode over the
+    // scan) — recompute is the right trade. The per-doc gram count rides
+    // along on every shingle row (8 bytes in the shuffle) so |A| and |B|
+    // fall out of the intersection groupBy keys — no separate sizes
+    // aggregation and no post-agg joins (which also re-planned differently
+    // run to run).
+    val sh = df.select(idCol.as("id"),
+        call_function("graft_shingles", textCol, lit(k)).as("g"))
+      .select(col("id"), size(col("g")).cast("long").as("n"), explode(col("g")).as("gram"))
+    sh.as("a").join(sh.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
       .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
