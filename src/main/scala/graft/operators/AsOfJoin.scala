@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join: for every left row, attach the single right row
+  * with the LARGEST right timestamp ≤ the left timestamp within the same
+  * key — the "latest state as of this moment" lookup (prices, account
+  * status, most recent order).
+  *
+  * Spark has no native as-of join; the naive spelling is a range join
+  * (`l.k = r.k AND r.t <= l.t` + a per-row max), which Catalyst executes as
+  * an exploding inner join + aggregation. This operator instead interleaves
+  * both sides in ONE shuffle: union the tagged sides, then a per-key
+  * running `last(payload, ignoreNulls)` over (ts, right-before-left) order
+  * gives every left row the most recent right payload — O(n log n) in the
+  * per-key partition sort, no row explosion, AQE-skew-splittable on the
+  * key.
+  *
+  * Determinism: right rows must be unique per (key, ts) — pre-aggregate
+  * the right side (e.g. `max` tiebreak) if they are not; ties between a
+  * left and right row at the SAME ts match (as-of is `<=`), because right
+  * rows sort before left rows at equal timestamps.
+  *
+  * Output: all left columns, plus the matched right row as a struct column
+  * `__asof` (null when no right row precedes the left row).
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, lKey: Column, lTs: Column,
+           right: DataFrame, rKey: Column, rTs: Column): DataFrame = {
+    val lStruct = struct(left.columns.map(left(_)): _*)
+    val rStruct = struct(right.columns.map(right(_)): _*)
+    val rType = right.select(rStruct.as("p")).schema.head.dataType
+    val lType = left.select(lStruct.as("l")).schema.head.dataType
+    val l2 = left.select(lKey.as("__k"), lTs.as("__t"), lit(0).as("__r"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__p"))
+    val r2 = right.select(rKey.as("__k"), rTs.as("__t"), lit(1).as("__r"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__p"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
+      .select(col("__l.*"), col("__asof"))
+  }
+}

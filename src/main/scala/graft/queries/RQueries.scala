@@ -33,7 +33,25 @@ object RQueries {
     "q27_join_revenue" -> ((s, d) => q27(s, d)),
     "q28_star_join" -> ((s, d) => q28(s, d)),
     "q38_event_stats" -> ((s, d) => q38(s, d)),
+    "q39_asof_join" -> ((s, d) => q39(s, d)),
   )
+
+  /** As-of join: each event picks up the customer's most recent order on or
+    * before the event date (right side pre-aggregated to one row per
+    * (customer, date) for determinism; nulls coalesced for the gate). */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("okey"))
+    graft.operators.AsOfJoin.asOf(ev, col("user_id"), col("d"),
+        ord, col("o_custkey"), col("o_orderdate"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("event_date"),
+        coalesce(col("__asof.okey"), lit(-1L)).as("last_order"),
+        coalesce(date_format(col("__asof.o_orderdate"), "yyyy-MM-dd"), lit("none")).as("order_date"))
+  }
 
   /** Per-type event stats: JSON property extraction + exact interpolated
     * percentiles, quantized (`floor(x·10³)`) so the interpolation result
@@ -346,5 +364,13 @@ object RQueries {
         |       CAST(floor(quantile_cont(value, 0.9) * 1000 + 0.50001) AS BIGINT) AS p90_q,
         |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q39_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |      FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT l.event_id, l.user_id, strftime(l.d, '%Y-%m-%d') AS event_date,
+        |       CAST(coalesce(r.okey, -1) AS BIGINT) AS last_order,
+        |       coalesce(strftime(r.o_orderdate, '%Y-%m-%d'), 'none') AS order_date
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.d >= r.o_orderdate""".stripMargin,
   )
 }
