@@ -34,7 +34,24 @@ object RQueries {
     "q28_star_join" -> ((s, d) => q28(s, d)),
     "q38_event_stats" -> ((s, d) => q38(s, d)),
     "q39_asof_join" -> ((s, d) => q39(s, d)),
+    "q40_range_join" -> ((s, d) => q40(s, d)),
   )
+
+  /** Banded range join (self): pairs of a user's events within one hour of
+    * each other — the burst-detection interval join, banded so it never
+    * degenerates into a per-user cross product. */
+  def q40(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) DIV 1000000").as("sec"))
+    val evB = ev.select(col("event_id").as("id_b"), col("user_id").as("uid_b"),
+      col("sec").as("sec_b"))
+    graft.operators.RangeJoin.withinRange(ev, col("user_id"), col("sec"),
+        evB, col("uid_b"), col("sec_b"), width = 3600L)
+      .filter(col("event_id") < col("id_b"))
+      .select(col("event_id").as("id_a"), col("id_b"), col("user_id"),
+        abs(col("sec") - col("sec_b")).as("gap_s"))
+  }
 
   /** As-of join: each event picks up the customer's most recent order on or
     * before the event date (right side pre-aggregated to one row per
@@ -372,5 +389,13 @@ object RQueries {
         |       CAST(coalesce(r.okey, -1) AS BIGINT) AS last_order,
         |       coalesce(strftime(r.o_orderdate, '%Y-%m-%d'), 'none') AS order_date
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.d >= r.o_orderdate""".stripMargin,
+    "q40_range_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+        |       CAST(abs(a.sec - b.sec) AS BIGINT) AS gap_s
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(a.sec - b.sec) <= 3600""".stripMargin,
   )
 }
