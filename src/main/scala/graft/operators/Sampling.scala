@@ -26,6 +26,17 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: Column, pct: Int): DataFrame =
     df.filter(hashBucket(idCol) < (pct * 256 + 50) / 100)
 
+  /** Stratified deterministic sample: at most `perStratum` rows from each
+    * stratum (class/language/source), chosen by md5(id) order — every
+    * engine and every run picks the same rows, and the per-stratum quota
+    * balances skewed class distributions. Runs through the custom
+    * [[graft.plans.TopKPerKey]] plan: bounded heaps, survivors-only
+    * shuffle, no sort of the corpus. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+                       perStratum: Int): DataFrame =
+    TopK.topKPerKeyNative(df, Seq(stratumCol),
+      Seq(md5(idCol.cast("string")).asc, idCol.asc), perStratum)
+
   /** train/valid/test assignment by bucket range: `trainPct`% → train, next
     * `validPct`% → valid, rest → test. Duplicate ids always co-assign, so
     * near-dup leakage across splits can be controlled upstream by splitting

@@ -30,6 +30,7 @@ object LQueries {
     "q35_topk_native" -> ((s, d) => q35(s, d)),
     "q36_hash_split" -> ((s, d) => q36(s, d)),
     "q37_doc_freq" -> ((s, d) => q37(s, d)),
+    "q41_stratified_sample" -> ((s, d) => q41(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -172,6 +173,14 @@ object LQueries {
     graft.operators.CorpusStats.topDocFrequency(
       Tables.documents(s, d), col("doc_id"), col("text"), k = 20)
 
+  /** Stratified sample: 10 docs per predicted language, md5-deterministic,
+    * through the custom top-k plan. */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    graft.operators.Sampling.stratifiedSample(docs, col("lang_pred"), col("doc_id"), 10)
+  }
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -241,6 +250,20 @@ object LQueries {
         |FROM lineitem
         |QUALIFY row_number() OVER (
         |  PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) <= 3""".stripMargin,
+    "q41_stratified_sample" -> {
+      def hits(words: Seq[String]) = words.map(w =>
+        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)").mkString(" + ")
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ${hits(TextAnalysis.EnStop)} >= ${hits(TextAnalysis.PtStop)}
+         |               AND ${hits(TextAnalysis.EnStop)} >= ${hits(TextAnalysis.EsStop)} THEN 'en'
+         |              WHEN ${hits(TextAnalysis.PtStop)} >= ${hits(TextAnalysis.EsStop)} THEN 'pt'
+         |              ELSE 'es' END AS lang_pred
+         |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) t)
+         |SELECT doc_id, lang_pred FROM l
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY lang_pred ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10""".stripMargin
+    },
     "q36_hash_split" ->
       """SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
         |       CASE WHEN bucket < 204 THEN 'train'
