@@ -36,6 +36,19 @@ class SamplingSpec extends SparkSpec {
     assert(s25.subsetOf(s50))
   }
 
+  test("stratifiedSample honors per-stratum quota deterministically") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
+    val s1 = Sampling.stratifiedSample(df, col("cls"), col("id"), 7)
+      .as[(Long, String)].collect().toSet
+    assert(s1.count(_._2 == "a") == 7 && s1.count(_._2 == "b") == 7)
+    val s2 = Sampling.stratifiedSample(df, col("cls"), col("id"), 7)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    // quota larger than a stratum returns the whole stratum
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "cls")
+    assert(Sampling.stratifiedSample(tiny, col("cls"), col("id"), 10).count() == 3)
+  }
+
   test("documentFrequency counts docs, not occurrences") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
