@@ -107,8 +107,16 @@ object NearDup {
   def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
                       broadcastCandidateLimit: Long = 5000000L): DataFrame = {
-    val candUnhinted =
-      lshCandidates(minHashSignatures(df, idCol, textCol, k, numHashes), rowsPerBand)
+    // Persist the SIGNATURES (not the shingles): the banded self-join reads
+    // its subtree twice, and unpersisted that re-scans the corpus and
+    // re-hashes every shingle per side. Signatures are rows × numHashes
+    // hex strings — a compact derived projection (what a production
+    // pipeline would materialize as a table), unlike the shingle explosion,
+    // which outgrows the corpus and stays uncached. Spill-safe
+    // MEMORY_AND_DISK; released below with the candidates.
+    val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candUnhinted = lshCandidates(sigs, rowsPerBand)
     // MEMORY_AND_DISK persist (spill-safe) only for the duration of the gate
     // count + verification join; released via unpersist below.
     val candPersisted = candUnhinted.persist()
@@ -142,6 +150,7 @@ object NearDup {
     // until session end; checkpoint blocks are GC-cleaned with the frame.
     val out = verified.localCheckpoint(true)
     candPersisted.unpersist(false)
+    sigs.unpersist(false)
     out
   }
 
