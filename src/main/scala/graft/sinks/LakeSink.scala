@@ -26,4 +26,18 @@ object LakeSink {
 
   /** Read back with the partition columns restored to the schema. */
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Sorted parquet write — the row-group-skipping layout. Sorting WITHIN
+    * partitions (no global sort, no extra shuffle) makes each row group's
+    * min/max footer statistics for `sortCol` narrow and disjoint, so a
+    * later read with a `sortCol` predicate skips whole row groups at scan
+    * time. The complement to [[writePartitioned]]: partition columns prune
+    * directories, the sort column prunes inside files. */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  rowGroupBytes: Long = 128L * 1024 * 1024): Unit =
+    df.sortWithinPartitions(sortCol)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
 }

@@ -26,6 +26,36 @@ class LakeSinkSpec extends SparkSpec {
       (1 to 1000).filter(_ % 4 == 2).map(_ * 1.5).sum)
   }
 
+  test("writeSorted produces disjoint ordered row-group stats for the sort column") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = Files.createTempDirectory("lake_sorted").toString
+    // shuffled input, tiny row groups so one file holds several
+    val df = scala.util.Random.shuffle((1 to 60000).toList)
+      .map(i => (i.toLong, s"payload_$i")).toDF("ts", "v").repartition(1)
+    LakeSink.writeSorted(df, dir, "ts", rowGroupBytes = 64L * 1024)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val footer = ParquetFileReader.readFooter(
+      HadoopInputFile.fromPath(new Path(file.getAbsolutePath),
+        ss.sparkContext.hadoopConfiguration).getConfiguration,
+      new Path(file.getAbsolutePath))
+    val blocks = footer.getBlocks
+    assert(blocks.size() > 1, s"expected several row groups, got ${blocks.size()}")
+    val ranges = (0 until blocks.size()).map { i =>
+      val stats = blocks.get(i).getColumns.get(0).getStatistics
+      (stats.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+        stats.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+    }
+    // sorted write → each row group's range starts after the previous ends,
+    // which is exactly what lets a ts-predicate scan skip groups
+    ranges.sliding(2).foreach { case Seq((_, prevMax), (curMin, _)) =>
+      assert(curMin > prevMax, s"overlapping row groups: $ranges")
+    }
+    assert(LakeSink.read(ss, dir).count() == 60000)
+  }
+
   test("maxRecordsPerFile splits large partitions into multiple files") {
     val dir = Files.createTempDirectory("lake_split").toString
     val df = (1 to 900).map(i => (i.toLong, "only", i.toString)).toDF("id", "product", "v")
