@@ -31,6 +31,7 @@ object LQueries {
     "q36_hash_split" -> ((s, d) => q36(s, d)),
     "q37_doc_freq" -> ((s, d) => q37(s, d)),
     "q41_stratified_sample" -> ((s, d) => q41(s, d)),
+    "q42_dup_clusters" -> ((s, d) => q42(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -181,6 +182,14 @@ object LQueries {
     graft.operators.Sampling.stratifiedSample(docs, col("lang_pred"), col("doc_id"), 10)
   }
 
+  /** Duplicate clustering: connected components over the exact-Jaccard
+    * near-dup pairs (q19's edges), labeling each doc with the component's
+    * minimum doc id — the canonical-doc assignment. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    graft.operators.DupClusters.connectedComponents(
+      NearDup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        k = 3, threshold = 0.5))
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -250,6 +259,21 @@ object LQueries {
         |FROM lineitem
         |QUALIFY row_number() OVER (
         |  PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) <= 3""".stripMargin,
+    "q42_dup_clusters" -> (grams.replace("WITH ", "WITH RECURSIVE ") +
+      """,
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+        |pairs AS (SELECT i.id_a, i.id_b
+        |          FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+        |          WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.5),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin),
     "q41_stratified_sample" -> {
       def hits(words: Seq[String]) = words.map(w =>
         s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)").mkString(" + ")

@@ -1,0 +1,25 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DupClustersSpec extends SparkSpec {
+  import ss.implicits._
+
+  test("connectedComponents labels every component with its min id") {
+    // chain 1-2-3-4, separate pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = DupClusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("a long chain converges (label must travel the diameter)") {
+    val n = 24
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = DupClusters.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), got.sortBy(_._1).mkString(","))
+  }
+}
