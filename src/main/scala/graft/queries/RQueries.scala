@@ -35,7 +35,18 @@ object RQueries {
     "q38_event_stats" -> ((s, d) => q38(s, d)),
     "q39_asof_join" -> ((s, d) => q39(s, d)),
     "q40_range_join" -> ((s, d) => q40(s, d)),
+    "q43_salted_join" -> ((s, d) => q43(s, d)),
   )
+
+  /** Skew-salted join, oracle-checked: salting redistributes the shuffle
+    * but CANNOT change the result rows, so a plain SQL join verifies it. */
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    Skew.saltedJoin(o, c, col("o_custkey"), col("c_custkey"), col("o_orderkey"), 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+  }
 
   /** Banded range join (self): pairs of a user's events within one hour of
     * each other — the burst-detection interval join, banded so it never
@@ -397,5 +408,9 @@ object RQueries {
         |FROM e a JOIN e b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(a.sec - b.sec) <= 3600""".stripMargin,
+    "q43_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 }
