@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Empty and degenerate inputs must flow through every operator without
+  * throwing — at pipeline scale an empty partition, an empty day, or a
+  * filter that matches nothing is routine, not exceptional. */
+class EdgeCasesSpec extends SparkSpec {
+  import ss.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+
+  test("near-dup family on an empty corpus") {
+    assert(NearDup.minHashLshPairs(noDocs, col("doc_id"), col("text"), 3, 8, 2, 0.5).count() == 0)
+    assert(NearDup.ngramJaccardPairs(noDocs, col("doc_id"), col("text"), 3, 0.5).count() == 0)
+    assert(NearDup.simHashHammingPairs(noDocs, col("doc_id"), col("text")).count() == 0)
+    assert(Dedup.exactByHash(noDocs, col("text"), col("doc_id")).count() == 0)
+  }
+
+  test("custom top-k plan, clustering, sampling on empty input") {
+    assert(TopK.topKPerKeyNative(noDocs, Seq(col("doc_id")), Seq(col("text").asc), 3).count() == 0)
+    assert(DupClusters.connectedComponents(noEdges).count() == 0)
+    assert(Sampling.withSplit(noDocs, col("doc_id"), 80, 10).count() == 0)
+    assert(Sampling.stratifiedSample(noDocs, col("text"), col("doc_id"), 5).count() == 0)
+    assert(CorpusStats.topDocFrequency(noDocs, col("doc_id"), col("text"), 5).count() == 0)
+  }
+
+  test("joins on empty sides") {
+    val rows = Seq((1L, 10L)).toDF("k", "t")
+    val empty = Seq.empty[(Long, Long)].toDF("k", "t")
+    assert(AsOfJoin.asOf(rows, col("k"), col("t"), empty, col("k"), col("t"))
+      .select(col("__asof")).head.isNullAt(0)) // no state yet → null, not a crash
+    assert(AsOfJoin.asOf(empty, col("k"), col("t"), rows, col("k"), col("t")).count() == 0)
+    assert(RangeJoin.withinRange(rows, col("k"), col("t"), empty, col("k"), col("t"), 5L).count() == 0)
+  }
+
+  test("single-doc corpus yields no pairs but valid fingerprints") {
+    val one = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(NearDup.minHashLshPairs(one, col("doc_id"), col("text"), 3, 8, 2, 0.5).count() == 0)
+    assert(NearDup.simHash(one, col("doc_id"), col("text")).count() == 1)
+  }
+}
