@@ -32,6 +32,7 @@ object LQueries {
     "q37_doc_freq" -> ((s, d) => q37(s, d)),
     "q41_stratified_sample" -> ((s, d) => q41(s, d)),
     "q42_dup_clusters" -> ((s, d) => q42(s, d)),
+    "q44_cluster_split" -> ((s, d) => q44(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -190,6 +191,20 @@ object LQueries {
       NearDup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         k = 3, threshold = 0.5))
 
+  /** Leakage-safe train/valid/test split: split on the near-dup CLUSTER's
+    * canonical id (q42's labels; singletons are their own canon), so
+    * near-duplicate documents always co-assign — the composition that makes
+    * hash splitting safe for training data. */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val clusters = graft.operators.DupClusters.connectedComponents(
+      NearDup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        k = 3, threshold = 0.5))
+    val canon = docs.join(clusters, docs("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("canon_id"))
+    graft.operators.Sampling.withSplit(canon, col("canon_id"), trainPct = 80, validPct = 10)
+  }
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -274,6 +289,30 @@ object LQueries {
         |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin),
+    "q44_cluster_split" -> (grams.replace("WITH ", "WITH RECURSIVE ") +
+      """,
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+        |pairs AS (SELECT i.id_a, i.id_b
+        |          FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+        |          WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.5),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |canon AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS canon_id
+        |          FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id)
+        |SELECT doc_id, CAST(canon_id AS BIGINT) AS canon_id,
+        |       CASE WHEN bucket < 204 THEN 'train'
+        |            WHEN bucket < 230 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, canon_id,
+        |        (strpos('0123456789abcdef', substr(md5(CAST(canon_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(md5(CAST(canon_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |      FROM canon) t""".stripMargin),
     "q41_stratified_sample" -> {
       def hits(words: Seq[String]) = words.map(w =>
         s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)").mkString(" + ")
