@@ -84,7 +84,9 @@ object LQueries {
   def q25(s: SparkSession, d: String): DataFrame =
     NearDup.simHash(Tables.documents(s, d), col("doc_id"), col("text"))
 
-  /** L6: LSH-bucketed ANN (scale path; rows-only check — no SQL oracle). */
+  /** L6: LSH-bucketed ANN (scale path). Fully deterministic — md5-derived
+    * plane signs, fixed tiebreaks — so despite being "approximate" (recall
+    * < 1 vs q20), it is SQL-oracle-checkable exactly. */
   def q26(s: SparkSession, d: String): DataFrame =
     Similarity.lshCosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       col("vec_id") % 1000 === 0, k = 5, planes = 6)
@@ -274,6 +276,28 @@ object LQueries {
         |FROM lineitem
         |QUALIFY row_number() OVER (
         |  PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) <= 3""".stripMargin,
+    "q26_lsh_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, list_transform(range(64), d ->
+        |    CASE WHEN strpos('0123456789abcdef',
+        |                     substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) <= 8
+        |         THEN 1.0 ELSE -1.0 END) AS p
+        |  FROM (SELECT unnest(range(6)) AS j) js),
+        |b AS (SELECT vec_id,
+        |             string_agg(CASE WHEN list_dot_product(v, p) >= 0 THEN '1' ELSE '0' END, ''
+        |                        ORDER BY j) AS bucket
+        |      FROM e CROSS JOIN planes GROUP BY vec_id),
+        |eb AS (SELECT e.vec_id, e.v, b.bucket, sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |       FROM e JOIN b USING (vec_id)),
+        |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |             round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 3) AS sim
+        |      FROM eb q JOIN eb n ON q.bucket = n.bucket
+        |       AND q.vec_id % 1000 = 0 AND q.vec_id <> n.vec_id)
+        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+        |      FROM s) t
+        |WHERE rank <= 5""".stripMargin,
     "q42_dup_clusters" -> (grams.replace("WITH ", "WITH RECURSIVE ") +
       """,
         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
