@@ -56,6 +56,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_hamming takes exactly two arguments")
         HammingDist(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc takes exactly one argument")
+        NfcNormalize(args.head)
       }))
 
   /** Register the graft function set on an already-built session. */

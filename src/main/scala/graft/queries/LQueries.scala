@@ -33,6 +33,8 @@ object LQueries {
     "q41_stratified_sample" -> ((s, d) => q41(s, d)),
     "q42_dup_clusters" -> ((s, d) => q42(s, d)),
     "q44_cluster_split" -> ((s, d) => q44(s, d)),
+    "q45_nfc_normalize" -> ((s, d) => q45(s, d)),
+    "q46_pii_scrub" -> ((s, d) => q46(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -207,6 +209,25 @@ object LQueries {
     graft.operators.Sampling.withSplit(canon, col("canon_id"), trainPct = 80, validPct = 10)
   }
 
+  /** Unicode NFC normalization via the native `graft_nfc` expression —
+    * fingerprints compare pre/post normalization. */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(call_function("graft_nfc", col("text"))).as("fp_nfc"),
+      (call_function("graft_nfc", col("text")) =!= col("text")).cast("long").as("changed"))
+  }
+
+  /** PII scrubbing: emails and long digit runs replaced by placeholders;
+    * counts of each redaction per doc. */
+  def q46(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(graft.functions.PiiScrub.scrub(col("text"))).as("fp_scrubbed"),
+      graft.functions.PiiScrub.emailCount(col("text")).as("n_emails"),
+      graft.functions.PiiScrub.longDigitCount(col("text")).as("n_nums"))
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -276,6 +297,18 @@ object LQueries {
         |FROM lineitem
         |QUALIFY row_number() OVER (
         |  PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) <= 3""".stripMargin,
+    "q45_nfc_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS fp_nfc,
+        |       CAST(nfc_normalize(text) <> text AS BIGINT) AS changed
+        |FROM documents""".stripMargin,
+    "q46_pii_scrub" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(regexp_replace(text,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '[0-9]{9,}', '<NUM>', 'g')) AS fp_scrubbed,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_nums
+        |FROM documents""".stripMargin,
     "q26_lsh_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |planes AS (
