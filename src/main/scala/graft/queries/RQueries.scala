@@ -36,7 +36,41 @@ object RQueries {
     "q39_asof_join" -> ((s, d) => q39(s, d)),
     "q40_range_join" -> ((s, d) => q40(s, d)),
     "q43_salted_join" -> ((s, d) => q43(s, d)),
+    "q47_histogram" -> ((s, d) => q47(s, d)),
+    "q48_running_total" -> ((s, d) => q48(s, d)),
+    "q49_daily_delta" -> ((s, d) => q49(s, d)),
   )
+
+  /** Day-over-day event-count deltas per type: aggregate then lag — the
+    * window runs over the small aggregated frame, not the events. */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("dia")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("dia"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("dia"), col("n"),
+        (col("n") - coalesce(lag("n", 1).over(w), lit(0L))).as("delta"))
+  }
+
+  /** Fixed-width histogram of order totals: one narrow pass, the bucket id
+    * is pure arithmetic so partial aggregation combines map-side. */
+  def q47(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select((floor(col("o_totalprice") / 25000).cast("long") * 25000).as("bucket_lo"))
+      .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
+
+  /** Per-customer running order total in date order (cumulative window with
+    * a deterministic orderkey tiebreak) — the classic frame-bounded window. */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+      round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
 
   /** Skew-salted join, oracle-checked: salting redistributes the shuffle
     * but CANNOT change the result rows, so a plain SQL join verifies it. */
@@ -412,5 +446,22 @@ object RQueries {
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q47_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000 AS bucket_lo,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q48_running_total" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS dt,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+    "q49_daily_delta" ->
+      """WITH d AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dia,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, dia, n,
+        |       CAST(n - coalesce(lag(n, 1) OVER (PARTITION BY event_type ORDER BY dia), 0) AS BIGINT) AS delta
+        |FROM d""".stripMargin,
   )
 }
