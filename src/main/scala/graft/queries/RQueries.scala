@@ -39,7 +39,37 @@ object RQueries {
     "q47_histogram" -> ((s, d) => q47(s, d)),
     "q48_running_total" -> ((s, d) => q48(s, d)),
     "q49_daily_delta" -> ((s, d) => q49(s, d)),
+    "q50_rollup" -> ((s, d) => q50(s, d)),
+    "q51_set_ops" -> ((s, d) => q51(s, d)),
   )
+
+  /** Rollup: revenue subtotals at (nation, segment), (nation), and grand
+    * total in ONE aggregation pass (Expand + single shuffle, not three
+    * scans). Null grouping keys mark the subtotal rows on both engines. */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    // SQL form: Dataset.rollup over joined inputs trips Spark 4.1's
+    // ambiguous-self-join detector (Expand re-creates the grouping attrs);
+    // GROUP BY ROLLUP through the parser resolves cleanly and exercises the
+    // SQL surface.
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    s.sql(
+      """SELECT n_name, c_mktsegment, count(1) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        |                JOIN v_nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin)
+  }
+
+  /** Set ops: event users with no orders (EXCEPT), and users present in
+    * both (INTERSECT), labeled and unioned. */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val eventUsers = Tables.events(s, d).select(col("user_id").as("id")).distinct()
+    val orderUsers = Tables.orders(s, d).select(col("o_custkey").as("id")).distinct()
+    eventUsers.except(orderUsers).withColumn("tag", lit("events_only"))
+      .unionByName(eventUsers.intersect(orderUsers).withColumn("tag", lit("both")))
+  }
 
   /** Day-over-day event-count deltas per type: aggregate then lag — the
     * window runs over the small aggregated frame, not the events. */
@@ -463,5 +493,16 @@ object RQueries {
         |SELECT event_type, dia, n,
         |       CAST(n - coalesce(lag(n, 1) OVER (PARTITION BY event_type ORDER BY dia), 0) AS BIGINT) AS delta
         |FROM d""".stripMargin,
+    "q50_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
+    "q51_set_ops" ->
+      """WITH e AS (SELECT DISTINCT user_id AS id FROM events),
+        |o AS (SELECT DISTINCT o_custkey AS id FROM orders)
+        |SELECT id, 'events_only' AS tag FROM (SELECT id FROM e EXCEPT SELECT id FROM o) x
+        |UNION ALL
+        |SELECT id, 'both' AS tag FROM (SELECT id FROM e INTERSECT SELECT id FROM o) y""".stripMargin,
   )
 }
