@@ -30,8 +30,11 @@ object DupClusters {
     val sym = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // Seed with min(self, direct neighbors) — propagation round zero fused
+    // into the init aggregation; diameter-1 components (plain duplicate
+    // pairs, the overwhelming majority) then converge after one check.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(col("src").as("id"), min(col("dst"))).as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
