@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,23 +10,43 @@ import org.apache.spark.storage.StorageLevel
   * output ([[NearDup]], [[Similarity.cosineNearDupPairs]]) into "keep this
   * one, drop those".
   *
-  * Hash-to-min label propagation: every node starts labeled with itself;
-  * each round pushes labels one hop across edges and keeps the per-node
-  * minimum, so convergence takes component-diameter rounds — near-dup
-  * components are shallow (docs linked through shared shingles), so a few
-  * rounds settle it even at corpus scale. Each round is one equality join
-  * + one min-aggregation (map-side combinable) over (id, label) pairs
-  * only. Rounds are cut off with an EAGER localCheckpoint: persist alone
-  * truncates recomputation but NOT lineage, and the logical plan of an
-  * iterated frame otherwise grows a join+agg layer per round until
-  * analysis itself dominates (the classic iterative-Spark trap).
+  * Algorithm: hash-to-min label propagation with a pointer-jumping
+  * shortcut. Each round (a) pushes labels one hop across edges and keeps
+  * the per-node minimum, then (b) shortcuts through the label graph
+  * (`L(v) ← min(L(v), L(L(v)))`). The one-hop step alone converges in
+  * component-diameter rounds; the shortcut roughly doubles the label
+  * horizon per round, so chains converge in O(log diameter) rounds —
+  * near-dup components are usually shallow, but real corpora do produce
+  * chain-shaped components (A~B~C where A≁C) and diameter rounds on those
+  * is the classic iterative-Spark tail.
+  *
+  * Per-round cost: the edge-propagation job (join + union + min-agg over
+  * (id, label) pairs) plus a cheap label-table-only jump join — and NO
+  * separate convergence probe: the changed-label count is an `observe`
+  * metric collected during the round's own materializing action, replacing
+  * the old join + isEmpty job. Rounds are cut off with an EAGER
+  * localCheckpoint: persist alone truncates recomputation but NOT lineage,
+  * and the logical plan of an iterated frame otherwise grows per round
+  * until analysis itself dominates (the classic iterative-Spark trap).
+  *
+  * Stopping rule: changed == 0 means this round's labels equal last
+  * round's; the process is deterministic, so that is a fixpoint. (At a
+  * one-hop fixpoint every node's label is ≤ all neighbors' labels, which
+  * on a connected component forces all labels equal to the min — so the
+  * fixpoint IS full convergence, not a plateau.)
   */
 object DupClusters {
 
   /** `edges` needs columns (id_a, id_b). Returns (id, cluster_id) for every
     * id appearing in an edge; docs with no near-dup pair are their own
     * implicit singleton cluster and are not emitted. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** Same, also returning the number of propagation rounds executed —
+    * exposed for round-complexity assertions in tests. */
+  private[graft] def connectedComponentsWithRounds(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val BIG = Long.MaxValue
     val sym = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -39,19 +59,44 @@ object DupClusters {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = labels.join(sym, col("id") === col("src"))
-        .select(col("dst").as("id"), col("cluster_id"))
-        .union(labels.select(col("id"), col("cluster_id")))
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true) // eager: truncates the per-round lineage
-      converged = prop.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
+      // (a) one-hop push: neighbors' labels arrive tagged with prev=BIG so
+      // min(prev) recovers each node's own previous label for the change
+      // count — no second pass over last round's frame.
+      val pushed = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("cluster_id"), lit(BIG).as("prev"))
+      val self = labels.select(col("id"), col("cluster_id"), col("cluster_id").as("prev"))
+      // Eager checkpoint BEFORE the jump self-join: joining a plan that
+      // contains a Union with itself trips Catalyst's Union constraint
+      // rewrite (the dedup-relations re-aliasing leaves the Union's cached
+      // constraint set referencing stale exprIds → key-not-found during
+      // planning). Checkpointing flattens the subtree to a LogicalRDD, and
+      // the heavy work (join + union + agg) runs exactly once per round.
+      val oneHop = pushed.union(self)
+        .groupBy("id")
+        .agg(min("cluster_id").as("lbl"), min("prev").as("prev"))
+        .localCheckpoint(true)
+      // (b) pointer jump: follow each node's label to THAT node's label.
+      // Every label is itself a node id (it is the min of ids seen), so the
+      // left join always finds it unless the labelled node kept itself.
+      // This second per-round job only joins the two label tables — cheap
+      // relative to the edge-propagation job above.
+      val jump = oneHop.as("x")
+        .join(oneHop.select(col("id").as("yid"), col("lbl").as("ylbl")).as("y"),
+          col("x.lbl") === col("y.yid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.lbl"), coalesce(col("ylbl"), col("x.lbl"))).as("cluster_id"),
+          col("x.prev").as("prev"))
+      val obs = Observation()
+      val prop = jump
+        .observe(obs, sum(when(col("cluster_id") < col("prev"), 1L).otherwise(0L)).as("changed"))
+        .select("id", "cluster_id")
+        .localCheckpoint(true) // eager: truncates the per-round lineage AND collects the metric
+      // sum over an empty round is SQL NULL — treat as converged
+      converged = obs.get.get("changed").forall(v => v == null || v.asInstanceOf[Long] == 0L)
       labels = prop
       i += 1
     }
     sym.unpersist(false)
-    labels
+    (labels, i)
   }
 }

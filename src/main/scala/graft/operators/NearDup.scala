@@ -25,9 +25,19 @@ object NearDup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
-    * |A∩B| via equality join on shingles, |A∪B| = |A|+|B|−|A∩B|. */
+    * |A∩B| via equality join on shingles, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * @param maxDocFreq when > 0, grams present in more than this many
+    *   documents are dropped BEFORE the self-join (the standard stop-gram
+    *   cap): a gram in f docs contributes f² join rows, so without the cap
+    *   the head of the gram distribution dominates the whole job at corpus
+    *   scale — AQE can split the hot partitions but not reduce the O(f²)
+    *   work. Set sizes (|A|, |B|) still count ALL grams, so capped Jaccard
+    *   is a lower bound of exact Jaccard: the cap only loses pairs whose
+    *   overlap above threshold depends on corpus-ubiquitous grams. 0 = off
+    *   (the exact baseline). */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                        k: Int, threshold: Double): DataFrame = {
+                        k: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     // Deliberately NOT cached: the shingle explosion is larger than the
     // input corpus, so pinning it in memory is a scale bug at 100 TB.
@@ -37,9 +47,20 @@ object NearDup {
     // fall out of the intersection groupBy keys — no separate sizes
     // aggregation and no post-agg joins (which also re-planned differently
     // run to run).
-    val sh = df.select(idCol.as("id"),
+    val shAll = df.select(idCol.as("id"),
         call_function("graft_shingles", textCol, lit(k)).as("g"))
       .select(col("id"), size(col("g")).cast("long").as("n"), explode(col("g")).as("gram"))
+    // The df cap shares the self-join's shuffle key (gram): one aggregate
+    // over the already-partitioned shingle rows finds the hot grams (a tiny
+    // set by definition — bounded by corpus_size / maxDocFreq), and the
+    // anti-join against them is map-side after AQE broadcasts it.
+    val sh =
+      if (maxDocFreq <= 0L) shAll
+      else {
+        val hot = shAll.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select(col("gram").as("__hot_gram"))
+        shAll.join(hot, col("gram") === col("__hot_gram"), "left_anti")
+      }
     sh.as("a").join(sh.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

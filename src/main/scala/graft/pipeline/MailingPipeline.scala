@@ -13,8 +13,11 @@ import graft.functions.BrFormats
   *
   * Stage order mirrors the reference: blocklist → dedup → per-key aggregates
   * → enrichment → flag → status filter → layout → priority → segmentation.
-  * Every keyed stage shares the customer-key partitioning; the two lookup
-  * sides (blocklist ids, enrichment pivots) broadcast.
+  * Every keyed stage shares the customer-key partitioning. Only genuinely
+  * bounded sides carry broadcast hints (the nation dim; the blocked-key set,
+  * count-gated inside [[Blocklist.removeByStatusThreshold]]); the
+  * customer-cardinality frames (debts, contacts) join through the shuffle
+  * path where AQE may still broadcast them when measured-small.
   */
 object MailingPipeline {
 
@@ -53,11 +56,18 @@ object MailingPipeline {
         .drop("o_custkey")
         .na.fill(0.0, Seq("valorDivida")).na.fill(0L, Seq("parcelasEmAtrado")))
 
-    // Stage: enrichment — top-4 invoice ids per client as contact slots
+    // Stage: enrichment — top-4 invoice ids per client as contact slots.
+    // NO broadcast hint here: `contacts` has one row per customer — the same
+    // cardinality as the mailing table itself — so broadcasting it is a
+    // driver/executor OOM at corpus scale. Both sides hash-partition on the
+    // customer key (the window/dedup stages upstream already produced that
+    // partitioning), so the sort-merge/shuffle-hash join co-locates cheaply
+    // and AQE still converts to broadcast at runtime when the measured size
+    // happens to be small.
     val contacts = TopK.topKWide(orders, col("o_custkey"),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 4,
       Seq("CONTATO" -> col("o_orderkey").cast("string")), keyName = "contact_key")
-    val enriched = withDebts.join(broadcast(contacts),
+    val enriched = withDebts.join(contacts,
       col("c_custkey") === col("contact_key"), "left").drop("contact_key")
 
     // Stage: conditional flag

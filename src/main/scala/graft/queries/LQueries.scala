@@ -187,13 +187,17 @@ object LQueries {
     graft.operators.Sampling.stratifiedSample(docs, col("lang_pred"), col("doc_id"), 10)
   }
 
-  /** Duplicate clustering: connected components over the exact-Jaccard
-    * near-dup pairs (q19's edges), labeling each doc with the component's
-    * minimum doc id — the canonical-doc assignment. */
+  /** Duplicate clustering: connected components over the gram-df-capped
+    * Jaccard near-dup pairs, labeling each doc with the component's minimum
+    * doc id — the canonical-doc assignment. The df cap (drop grams in > 10%
+    * of the corpus before the self-join) is the scale path: without it a
+    * stop-gram in f docs costs f² join rows and the flagship clustering
+    * inherits q19's O(f²) hot-gram bottleneck. The oracle applies the same
+    * cap, so this is the capped semantics verified end-to-end. */
   def q42(s: SparkSession, d: String): DataFrame =
     graft.operators.DupClusters.connectedComponents(
       NearDup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-        k = 3, threshold = 0.5))
+        k = 3, threshold = 0.5, maxDocFreq = 50L))
 
   /** Leakage-safe train/valid/test split: split on the near-dup CLUSTER's
     * canonical id (q42's labels; singletons are their own canon), so
@@ -203,7 +207,7 @@ object LQueries {
     val docs = Tables.documents(s, d).select("doc_id")
     val clusters = graft.operators.DupClusters.connectedComponents(
       NearDup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
-        k = 3, threshold = 0.5))
+        k = 3, threshold = 0.5, maxDocFreq = 50L))
     val canon = docs.join(clusters, docs("doc_id") === clusters("id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("canon_id"))
     graft.operators.Sampling.withSplit(canon, col("canon_id"), trainPct = 80, validPct = 10)
@@ -235,6 +239,14 @@ object LQueries {
       |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
       |  FROM t WHERE len(w) >= 3) raw),
       |sizes AS (SELECT id, count(*) AS n_grams FROM g GROUP BY id)""".stripMargin
+
+  /** `grams` + the df cap used by q42/q44: intersections run over `gk`
+    * (grams in ≤ 50 docs) while `sizes` still counts all grams — exactly
+    * the `maxDocFreq` semantics of `NearDup.ngramJaccardPairs`. */
+  private val gramsCapped = grams +
+    """,
+      |gk AS (SELECT id, gram FROM g
+      |       WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50))""".stripMargin
 
   /** Shared simhash-fingerprint CTE body (same construction as the q25/q30
     * oracles) ending in `fp(id, fp)`. */
@@ -331,10 +343,10 @@ object LQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
         |      FROM s) t
         |WHERE rank <= 5""".stripMargin,
-    "q42_dup_clusters" -> (grams.replace("WITH ", "WITH RECURSIVE ") +
+    "q42_dup_clusters" -> (gramsCapped.replace("WITH ", "WITH RECURSIVE ") +
       """,
         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-        |          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+        |          FROM gk a JOIN gk b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
         |pairs AS (SELECT i.id_a, i.id_b
         |          FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
         |          WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.5),
@@ -346,10 +358,10 @@ object LQueries {
         |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin),
-    "q44_cluster_split" -> (grams.replace("WITH ", "WITH RECURSIVE ") +
+    "q44_cluster_split" -> (gramsCapped.replace("WITH ", "WITH RECURSIVE ") +
       """,
         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-        |          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+        |          FROM gk a JOIN gk b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
         |pairs AS (SELECT i.id_a, i.id_b
         |          FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
         |          WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.5),

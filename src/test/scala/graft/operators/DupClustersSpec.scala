@@ -22,4 +22,23 @@ class DupClustersSpec extends SparkSpec {
     assert(got.length == n)
     assert(got.forall(_._2 == 1L), got.sortBy(_._1).mkString(","))
   }
+
+  test("pointer jumping converges a chain in O(log diameter) rounds") {
+    // Chain of 33 nodes, diameter 32: plain hash-to-min needs ~diameter
+    // rounds; one-hop + pointer-jump roughly doubles the label horizon per
+    // round, so this must settle (including the final no-change round) in
+    // well under half the diameter.
+    val n = 33
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val (labels, rounds) = DupClusters.connectedComponentsWithRounds(edges)
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 1L))
+    assert(rounds <= 8, s"expected O(log n) rounds on a 33-chain, took $rounds")
+  }
+
+  test("empty edge set yields an empty labeling without iteration blowup") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (labels, rounds) = DupClusters.connectedComponentsWithRounds(edges)
+    assert(labels.count() == 0L)
+    assert(rounds <= 1)
+  }
 }

@@ -28,6 +28,26 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0.5)))
   }
 
+  test("ngramJaccardPairs df cap: identity below cap, drops hot-gram-only pairs above") {
+    // cap above every gram's doc frequency → bit-identical to the exact path
+    val exact = NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.3, maxDocFreq = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == exact)
+    // a corpus-ubiquitous gram (df=3 > cap=2) no longer generates pairs on
+    // its own, while sizes still count all grams (capped jaccard ≤ exact)
+    val stop = Seq(
+      (1L, "the common tail a b c"),
+      (2L, "the common tail x y z"),
+      (3L, "the common tail p q r")).toDF("doc_id", "text")
+    // each doc has 4 grams, pairs share only 'the common tail' → 1/7 ≈ 0.143
+    val exactStop = NearDup.ngramJaccardPairs(stop, col("doc_id"), col("text"), 3, 0.1)
+    assert(exactStop.count() == 3)
+    val cappedStop = NearDup.ngramJaccardPairs(stop, col("doc_id"), col("text"), 3, 0.1, maxDocFreq = 2L)
+    assert(cappedStop.count() == 0)
+  }
+
   test("minHashLshPairs surfaces high-jaccard pairs with verified score") {
     val near = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),

@@ -28,6 +28,24 @@ class MailingPipelineSpec extends SparkSpec {
     human.unpersist()
   }
 
+  test("no corpus-scale side carries a user broadcast hint") {
+    // Scale guard: the only explicit broadcast hints in the flagship plan
+    // must be genuinely bounded sides (nation dim, count-gated blocklist
+    // keys). A hint whose subtree scans `orders` (customer-cardinality
+    // contacts/debts frames) would OOM at 100×, so its absence is asserted
+    // on the analyzed plan — AQE is still free to broadcast at runtime when
+    // the measured size is small, which is the scale-safe behavior.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val human = MailingPipeline.full(ss, sfDir).human
+    val hints = human.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "expected the bounded-dim hints to survive analysis")
+    hints.foreach { h =>
+      val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
+      assert(!leaves.contains("orders"),
+        s"corpus-scale (orders-derived) side under a broadcast hint:\n$leaves")
+    }
+  }
+
   test("stage report observes real per-stage row counts") {
     val r = MailingPipeline.full(ss, sfDir)
     val counts = r.report.collect(r.human).toMap
