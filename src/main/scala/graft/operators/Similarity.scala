@@ -71,6 +71,48 @@ object Similarity {
       .filter(col("sim_q") >= (threshold * 10000).toLong)
   }
 
+  /** LSH-bucketed embedding near-dup pairs — the SCALE path for the
+    * threshold-pairs shape (find ALL pairs with cosine ≥ threshold, the
+    * dedup-relevant query [[cosineNearDupPairs]] answers by brute force).
+    *
+    * `numTables` independent sign-bucket tables of `planes` hyperplanes
+    * each: a pair is a candidate when all `planes` sign bits agree in at
+    * least one table (per-table collision probability (1 − θ/π)^planes, so
+    * multiple tables trade work for recall — recall < 1 by design, like any
+    * LSH index; [[cosineNearDupPairs]] is the exact baseline). The
+    * self-join is equality-keyed on (table, bucket): at corpus scale it
+    * shuffles on the bucket domain (AQE-skew-splittable) and nothing is
+    * ever compared all-pairs. Vectors+norms ride through the bucket join
+    * (same shape as [[NearDup.simHashHammingPairs]] carrying fingerprints):
+    * the cosine filter runs codegen'd per matching bucket row BEFORE the
+    * dedup exchange, so distinct only shuffles surviving (id, id, sim)
+    * triples. Plane signs are md5-derived (table t uses plane indices
+    * [t·planes, (t+1)·planes)) and the similarity is quantized
+    * (`floor(sim·10⁴)`) — fully reproducible in any SQL engine. */
+  def cosineNearDupPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Int = 4, numTables: Int = 3,
+                            dim: Int = 64): DataFrame = {
+    GraftExtensions.register(embeddings.sparkSession)
+    val signs = planeSigns(numTables * planes, dim)
+    val base = withNorm(embeddings, idCol, vecCol, "id", "vec", "nrm")
+    val tableBuckets = (0 until numTables).map { t =>
+      val bits = (t * planes until (t + 1) * planes).map { j =>
+        when(nativeDot(col("vec"), typedlit(signs(j))) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      struct(lit(t).as("tbl"), concat(bits: _*).as("bucket"))
+    }
+    val banded = base
+      .select(col("id"), col("vec"), col("nrm"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        floor(nativeDot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")) * 10000)
+          .cast("long").as("sim_q"))
+      .filter(col("sim_q") >= (threshold * 10000).toLong)
+      .distinct()
+  }
+
   /** Deterministic pseudo-random hyperplane signs, md5-derived per
     * (plane j, dimension d) — computed once on the driver and shipped as
     * literal arrays, NOT per row (an expression form would re-hash

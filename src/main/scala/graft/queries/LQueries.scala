@@ -35,6 +35,7 @@ object LQueries {
     "q44_cluster_split" -> ((s, d) => q44(s, d)),
     "q45_nfc_normalize" -> ((s, d) => q45(s, d)),
     "q46_pii_scrub" -> ((s, d) => q46(s, d)),
+    "q52_cosine_neardup_lsh" -> ((s, d) => q52(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -97,6 +98,15 @@ object LQueries {
     * threshold tuned to the synthetic corpus's similarity range). */
   def q29(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+
+  /** L12 scale path: LSH-bucketed embedding near-dup THRESHOLD-PAIRS (q29's
+    * dedup shape without the n²/2 cartesian) — 3 tables × 4 md5-derived
+    * hyperplanes, candidate pairs from bucket equality, exact quantized
+    * cosine verify. Deterministic end-to-end, so the recall-<1 result is
+    * still SQL-oracle-checkable exactly (same plane construction as q26). */
+  def q52(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4, planes = 4, numTables = 3)
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -510,6 +520,27 @@ object LQueries {
         |votes AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b)
         |SELECT id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
         |FROM votes GROUP BY id""".stripMargin,
+    "q52_cosine_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, list_transform(range(64), d ->
+        |    CASE WHEN strpos('0123456789abcdef',
+        |                     substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) <= 8
+        |         THEN 1.0 ELSE -1.0 END) AS p
+        |  FROM (SELECT unnest(range(12)) AS j) js),
+        |b AS (SELECT vec_id, CAST(j // 4 AS INT) AS tbl,
+        |             string_agg(CASE WHEN list_dot_product(v, p) >= 0 THEN '1' ELSE '0' END, ''
+        |                        ORDER BY j) AS bucket
+        |      FROM e CROSS JOIN planes GROUP BY vec_id, CAST(j // 4 AS INT)),
+        |eb AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, b.tbl, b.bucket
+        |       FROM e JOIN b ON e.vec_id = b.vec_id),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |w AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT c.id_a, c.id_b,
+        |       CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_q
+        |FROM cand c JOIN w x ON x.vec_id = c.id_a JOIN w y ON y.vec_id = c.id_b
+        |WHERE CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) >= 4000""".stripMargin,
     "q29_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -86,6 +86,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1.0, 1), (2L, 0.0, 2), (3L, -1.0, 3)))
   }
 
+  test("cosineNearDupPairsLsh is a subset of brute-force pairs and finds exact dups") {
+    // 3-dim vectors, dim param must match the data
+    val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9,
+        planes = 2, numTables = 2, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted a pair brute force did not: ${lsh -- exact}")
+    // identical vectors share every sign bucket in every table → always found
+    assert(lsh.contains((0L, 1L, 10000L)))
+    // verified similarity is exact (quantized), not approximate
+    lsh.foreach { case (a, b, s) => assert(exact.contains((a, b, s))) }
+  }
+
   test("lshCosineTopK returns only same-bucket neighbors with correct sims") {
     val out = Similarity.lshCosineTopK(vecs, "vec_id", "embedding", col("vec_id") === 0, 3, planes = 4)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
