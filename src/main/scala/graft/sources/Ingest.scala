@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Normalized ingestion, the reference's `_load_excel_file` column handling
   * (`/root/reference/src/data_loader.py:26-46`): lowercase/trim headers,
-  * strip BOM. The reference reads Excel; this engine's equivalent exchange
-  * formats are CSV (same option surface: separator, encoding) and parquet. */
+  * strip BOM. Formats: the reference's native `.xlsx` (single and
+  * multi-sheet, via [[XlsxReader]]), CSV (same option surface: separator,
+  * encoding) and parquet. */
 object Ingest {
 
   /** Lowercase, trim, and BOM-strip every column name. */
@@ -30,4 +31,22 @@ object Ingest {
   /** Parquet read + normalized headers. */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     normalizeColumns(spark.read.parquet(path))
+
+  /** Excel read + normalized headers — `pd.read_excel(sheet_name=0)` /
+    * a named sheet. All-string columns, first row as header. */
+  def readXlsx(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame =
+    normalizeColumns(XlsxReader.readSheet(spark, path, sheet))
+
+  /** Every sheet of a workbook, each column-normalized, workbook order —
+    * `pd.read_excel(sheet_name=None)` (the reference's enrichment file). */
+  def readXlsxAll(spark: SparkSession, path: String): Map[String, DataFrame] =
+    XlsxReader.readAllSheets(spark, path).map { case (k, v) => k -> normalizeColumns(v) }
+
+  /** Newest workbook matching `glob` under `dir` ([[InputResolver]]) →
+    * normalized frame; the reference's find-latest-then-load composition
+    * (`data_loader.py:12-41`). None when `optional` and nothing matches. */
+  def readLatestXlsx(spark: SparkSession, dir: String, glob: String,
+                     sheet: Option[String] = None, optional: Boolean = false): Option[DataFrame] =
+    InputResolver.findLatest(spark, dir, glob, optional)
+      .map(p => readXlsx(spark, new org.apache.hadoop.fs.Path(p).toUri.getPath, sheet))
 }

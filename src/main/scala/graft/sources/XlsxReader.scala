@@ -1,0 +1,244 @@
+package graft.sources
+
+import java.io.InputStream
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal `.xlsx` reader — the reference's primary input format
+  * (`/root/reference/src/data_loader.py:26-41`, `pd.read_excel` with
+  * `sheet_name=None` for multi-sheet workbooks).
+  *
+  * Built from the public OOXML SpreadsheetML layout only: a `.xlsx` is a
+  * zip containing `xl/workbook.xml` (sheet names + relationship ids),
+  * `xl/_rels/workbook.xml.rels` (relationship id → worksheet part),
+  * `xl/sharedStrings.xml` (the interned string table) and
+  * `xl/worksheets/sheetN.xml` (rows of cells with A1-style references).
+  * Parsed with JDK StAX — no external dependency, streaming (never
+  * materializes the XML DOM).
+  *
+  * Scale note: xlsx is an inherently non-splittable single-file format and
+  * the reference's input is a single mailing drop measured in MBs, so the
+  * parse runs once driver-side and the resulting frame is distributed for
+  * everything downstream — the same boundary the reference's pandas read
+  * sits at. A 100 TB pipeline lands parquet ([[Ingest.readParquet]]); this
+  * source exists for reference-compatible ingest of operator drops.
+  *
+  * All cells surface as strings (like [[Ingest.readCsv]] with
+  * `inferSchema=false`): numerics keep their raw lexical form, booleans
+  * become "TRUE"/"FALSE", missing cells are null. The first row is the
+  * header; downstream normalization is [[Ingest.normalizeColumns]].
+  */
+object XlsxReader {
+
+  private val factory = {
+    val f = XMLInputFactory.newInstance()
+    // no DTDs / external entities in workbook parts — also hardens the parse
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  /** Sheet names in workbook order. */
+  def sheetNames(path: String): Seq[String] = withZip(path) { zip =>
+    parseWorkbook(zip).map(_._1)
+  }
+
+  /** (name, relationship id) pairs in workbook order. */
+  private def parseWorkbook(zip: ZipFile): Seq[(String, String)] = {
+    val out = mutable.ListBuffer[(String, String)]()
+    eachElement(zip, "xl/workbook.xml") { r =>
+      if (r.getLocalName == "sheet") {
+        val name = attr(r, "name").getOrElse("")
+        // r:id is namespaced; match on local name
+        val rid = attr(r, "id").getOrElse("")
+        out += name -> rid
+      }
+    }
+    out.toList
+  }
+
+  /** relationship id → worksheet zip entry path. */
+  private def parseRels(zip: ZipFile): Map[String, String] = {
+    val out = mutable.Map[String, String]()
+    eachElement(zip, "xl/_rels/workbook.xml.rels") { r =>
+      if (r.getLocalName == "Relationship") {
+        (attr(r, "Id"), attr(r, "Target")) match {
+          case (Some(id), Some(t)) =>
+            val target = if (t.startsWith("/")) t.drop(1) else "xl/" + t
+            out += id -> target
+          case _ =>
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** The shared-string table, index order. An `<si>` is either one `<t>` or
+    * styled runs `<r><t>…</t></r>…` — concatenate every `<t>` under it. */
+  private def parseSharedStrings(zip: ZipFile): IndexedSeq[String] = {
+    if (zip.getEntry("xl/sharedStrings.xml") == null) return IndexedSeq.empty
+    val out = mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inT = false
+    stream(zip, "xl/sharedStrings.xml") { r =>
+      r.getEventType match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => sb.clear()
+            case "t"  => inT = true
+            case _    =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT => sb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "si" => out += sb.toString
+            case "t"  => inT = false
+            case _    =>
+          }
+        case _ =>
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** "BC" → 54 (0-based column index from an A1 cell reference). */
+  private[sources] def colIndex(cellRef: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < cellRef.length && cellRef.charAt(i).isLetter) {
+      acc = acc * 26 + (cellRef.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  /** One worksheet part → rows of (possibly null) cell strings. */
+  private def parseSheet(zip: ZipFile, entry: String,
+                         shared: IndexedSeq[String]): Seq[Array[String]] = {
+    val rows = mutable.ListBuffer[Array[String]]()
+    var row: mutable.ArrayBuffer[String] = null
+    var cellCol = 0
+    var cellType = ""
+    var inV = false
+    var inIsT = false
+    val sb = new StringBuilder
+    def endCell(): Unit = {
+      // a valueless <c/> contributes nothing — the gap-fill below nulls it
+      if (row != null && sb.nonEmpty) {
+        val raw = sb.toString
+        val value = cellType match {
+          case "s" => shared.lift(raw.trim.toInt).orNull
+          case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+          case _   => raw // n (default), str, inlineStr: lexical form
+        }
+        while (row.length < cellCol) row += null
+        if (row.length == cellCol) row += value else row(cellCol) = value
+      }
+      sb.clear(); cellType = ""
+    }
+    stream(zip, entry) { r =>
+      r.getEventType match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => row = mutable.ArrayBuffer[String]()
+            case "c" =>
+              cellCol = attr(r, "r").map(colIndex).getOrElse(if (row == null) 0 else row.length)
+              cellType = attr(r, "t").getOrElse("")
+              sb.clear()
+            case "v" => inV = true
+            case "t" if cellType == "inlineStr" => inIsT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inV || inIsT => sb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "row" => if (row != null) { rows += row.toArray; row = null }
+            case "c"   => endCell()
+            case "v"   => inV = false
+            case "t"   => inIsT = false
+            case _     =>
+          }
+        case _ =>
+      }
+    }
+    rows.toList
+  }
+
+  /** Read one sheet (by name, or the first sheet when `sheet` is None) into
+    * an all-string DataFrame, first row as header. */
+  def readSheet(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame =
+    withZip(path) { zip =>
+      val sheets = parseWorkbook(zip)
+      require(sheets.nonEmpty, s"no sheets in $path")
+      val (name, rid) = sheet match {
+        case Some(s) => sheets.find(_._1 == s)
+          .getOrElse(throw new IllegalArgumentException(
+            s"sheet '$s' not in $path (has: ${sheets.map(_._1).mkString(", ")})"))
+        case None => sheets.head
+      }
+      toDf(spark, zip, rid, name)
+    }
+
+  /** Every sheet, workbook order preserved — `pd.read_excel(sheet_name=None)`. */
+  def readAllSheets(spark: SparkSession, path: String): ListMap[String, DataFrame] =
+    withZip(path) { zip =>
+      ListMap(parseWorkbook(zip).map { case (name, rid) =>
+        name -> toDf(spark, zip, rid, name)
+      }: _*)
+    }
+
+  private def toDf(spark: SparkSession, zip: ZipFile, rid: String, name: String): DataFrame = {
+    val rels = parseRels(zip)
+    val entry = rels.getOrElse(rid,
+      throw new IllegalArgumentException(s"unresolvable sheet relationship $rid for '$name'"))
+    val shared = parseSharedStrings(zip)
+    val rows = parseSheet(zip, entry, shared)
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
+    val width = rows.map(_.length).max
+    val header = rows.head.padTo(width, null: String).zipWithIndex.map {
+      case (h, i) => if (h == null || h.trim.isEmpty) s"_c$i" else h
+    }
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val data = new java.util.ArrayList[Row](rows.size - 1)
+    rows.tail.foreach(r => data.add(Row.fromSeq(r.padTo(width, null: String).toSeq)))
+    spark.createDataFrame(data, schema)
+  }
+
+  // --- plumbing ---
+
+  private def withZip[A](path: String)(f: ZipFile => A): A = {
+    val zip = new ZipFile(path)
+    try f(zip) finally zip.close()
+  }
+
+  private def attr(r: XMLStreamReader, local: String): Option[String] = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == local) return Some(r.getAttributeValue(i))
+      i += 1
+    }
+    None
+  }
+
+  /** Stream every event of a zip entry through `f`. */
+  private def stream(zip: ZipFile, entry: String)(f: XMLStreamReader => Unit): Unit = {
+    val e = zip.getEntry(entry)
+    require(e != null, s"missing zip entry $entry")
+    val in: InputStream = zip.getInputStream(e)
+    val r = factory.createXMLStreamReader(in)
+    try {
+      while (r.hasNext) { r.next(); f(r) }
+    } finally { r.close(); in.close() }
+  }
+
+  /** Start-elements only. */
+  private def eachElement(zip: ZipFile, entry: String)(f: XMLStreamReader => Unit): Unit =
+    stream(zip, entry) { r =>
+      if (r.getEventType == XMLStreamConstants.START_ELEMENT) f(r)
+    }
+}

@@ -33,6 +33,76 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  // Hand-authored minimal OOXML workbook: two sheets, shared + inline
+  // strings, a numeric cell, a skipped cell (gap → null), a BOM'd header.
+  private def writeFixtureXlsx(path: java.nio.file.Path): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Mailing" sheetId="1" r:id="rId1"/>
+        |        <sheet name="Extra" sheetId="2" r:id="rId2"/></sheets>
+        |</workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="w" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>﻿ Empresa </t></si><si><t>NCPF</t></si>
+        |<si><r><t>An</t></r><r><t>a</t></r></si>
+        |</sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>Valor</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>123</v></c><c r="C2"><v>10.5</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>Bea</t></is></c><c r="C3"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    put("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>K</t></is></c></row>
+        |<row r="2"><c r="A2" t="b"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
+
+  test("XlsxReader reads shared/inline strings, numbers, gaps, multi-sheet") {
+    val dir = Files.createTempDirectory("xlsx")
+    val f = dir.resolve("MAILING_NUCLEO_1.xlsx")
+    writeFixtureXlsx(f)
+    assert(XlsxReader.sheetNames(f.toString) == Seq("Mailing", "Extra"))
+    val df = Ingest.readXlsx(ss, f.toString) // first sheet, normalized headers
+    assert(df.columns.toSeq == Seq("empresa", "ncpf", "valor"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("Ana", "123", "10.5"), ("Bea", null, "7")))
+    // multi-sheet: pd.read_excel(sheet_name=None) analog, order preserved
+    val all = Ingest.readXlsxAll(ss, f.toString)
+    assert(all.keys.toSeq == Seq("Mailing", "Extra"))
+    assert(all("Extra").columns.toSeq == Seq("k"))
+    assert(all("Extra").collect().map(_.getString(0)).toSeq == Seq("TRUE"))
+    // named-sheet selection + find-latest wiring
+    val named = Ingest.readXlsx(ss, f.toString, Some("Extra"))
+    assert(named.columns.toSeq == Seq("k"))
+    val latest = Ingest.readLatestXlsx(ss, dir.toString, "MAILING_NUCLEO_*.xlsx")
+    assert(latest.exists(_.columns.toSeq == Seq("empresa", "ncpf", "valor")))
+    intercept[IllegalArgumentException] {
+      Ingest.readXlsx(ss, f.toString, Some("Nope"))
+    }
+  }
+
   test("SchemaValidator flags missing and extra columns") {
     val df = Seq((1, "x")).toDF("ncpf", "surprise")
     val r = SchemaValidator.check(df, Seq("ncpf", "valor"))
