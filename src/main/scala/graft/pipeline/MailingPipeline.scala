@@ -29,7 +29,13 @@ object MailingPipeline {
     "CONTATO_01", "CONTATO_02", "CONTATO_03", "CONTATO_04",
     "Data_de_Importacao", "priority_level", "segmento")
 
-  def full(spark: SparkSession, sfDir: String, humanCutoff: Double = 1500000.0): Result = {
+  def full(spark: SparkSession, sfDir: String, humanCutoff: Double = 1500000.0): Result =
+    full(spark, sfDir, GraftConfig.default.copy(humanCutoff = humanCutoff))
+
+  /** Config-driven form — status sets, thresholds, cutoff, priority order
+    * and export columns all come from the [[GraftConfig]] (the reference's
+    * `config.ini` surface). */
+  def full(spark: SparkSession, sfDir: String, config: GraftConfig): Result = {
     val report = new StageReport
     val customer = Tables.customer(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)
@@ -39,7 +45,7 @@ object MailingPipeline {
     // Stage: blocklist (≥3 critical dispositions → out); blocklist side broadcasts
     val afterBlock = report.track("blocklist",
       Blocklist.removeByStatusThreshold(customer, col("c_custkey"),
-        events, col("user_id"), col("event_type"), Seq("error"), 3))
+        events, col("user_id"), col("event_type"), config.criticalStatuses, config.blockThreshold))
 
     // Stage: smart dedup by client key (no-op on clean input, still exercised)
     val deduped = Dedup.preferNonNull(afterBlock, col("c_custkey"), col("c_name"),
@@ -75,7 +81,7 @@ object MailingPipeline {
       when(col("ultima_fatura") < "1997-06-01", lit("SIM")).otherwise(lit("NÃO")))
 
     // Stage: status filter with rejected side-output
-    val (kept, rejected) = Blocklist.filterWithRejects(flagged, col("c_mktsegment"), Set("automobile"))
+    val (kept, rejected) = Blocklist.filterWithRejects(flagged, col("c_mktsegment"), config.statusesToRemove)
     val filtered = report.track("status_filter", kept)
 
     // Stage: localization join (tiny dim → broadcast) + layout
@@ -90,13 +96,13 @@ object MailingPipeline {
         "CONTATO_3" -> "CONTATO_03", "CONTATO_4" -> "CONTATO_04"),
       canonical = CanonicalColumns)
       .withColumn("priority_level", Prioritize.priorityLevel(
-        Seq(col("PRODUTO")), Seq("BUILDING", "MACHINERY", "HOUSEHOLD")))
+        Seq(col("PRODUTO")), config.priorityOrder))
 
     // Stage: segmentation
-    val (human, robot) = Segmentation.splitByThreshold(laidOut, col("valorDivida"), humanCutoff)
+    val (human, robot) = Segmentation.splitByThreshold(laidOut, col("valorDivida"), config.humanCutoff)
     Result(
-      human.withColumn("segmento", lit("HUMANO")).select(CanonicalColumns.map(col): _*),
-      robot.withColumn("segmento", lit("ROBO")).select(CanonicalColumns.map(col): _*),
+      human.withColumn("segmento", lit("HUMANO")).select(config.exportColumns.map(col): _*),
+      robot.withColumn("segmento", lit("ROBO")).select(config.exportColumns.map(col): _*),
       rejected.select(col("c_custkey").as("CPF"), col("c_name").as("NOME_CLIENTE"), col("motivo_remocao")),
       report)
   }

@@ -43,4 +43,34 @@ object BrCsvSink {
       .option("emptyValue", "")
       .option("nullValue", "")
       .csv(out)
+
+  /** Robot export grouped by TIME SLOT: many products map to one slot
+    * (`grupos_08hrs = P1,P2,…` in the reference config) and each slot gets
+    * its own output under `<out>/slot=<SLOT>/`. The reference loops on the
+    * driver filtering per slot and rewriting
+    * (`gerador_robo_mestre.py:119-137`); here the slot is ONE derived
+    * column and `partitionBy` fans the write out in a single distributed
+    * pass — no repeated scans, no driver loop. Rows whose product is in no
+    * slot group are dropped, like the reference's `isin` filter. Robot
+    * files use the `|` separator. */
+  def writeBySlots(df: DataFrame, productCol: Column, slotGroups: Map[String, Seq[String]],
+                   out: String, sep: String = "|"): Unit = {
+    require(slotGroups.nonEmpty, "writeBySlots needs at least one slot group")
+    val overlaps = slotGroups.toSeq.flatMap { case (s, ps) => ps.map(_ -> s) }
+      .groupBy(_._1).filter(_._2.size > 1)
+    require(overlaps.isEmpty, s"products in several slots: ${overlaps.keys.mkString(", ")}")
+    val slot = slotGroups.foldLeft(lit(null).cast("string")) { case (acc, (s, products)) =>
+      when(productCol.isin(products: _*), lit(s)).otherwise(acc)
+    }
+    df.withColumn("slot", slot)
+      .filter(col("slot").isNotNull)
+      .write
+      .mode("overwrite")
+      .partitionBy("slot")
+      .option("header", "true")
+      .option("sep", sep)
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      .csv(out)
+  }
 }

@@ -34,6 +34,30 @@ class SinksStateSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("BrCsvSink.writeBySlots fans products into slot-named partitions") {
+    val dir = Files.createTempDirectory("slots").toString + "/robo"
+    val df = Seq(("EPB", 1), ("EMR", 2), ("ERO", 3), ("EAC", 4), ("ZZZ", 5))
+      .toDF("PRODUTO", "v")
+    BrCsvSink.writeBySlots(df, col("PRODUTO"),
+      Map("08HRS" -> Seq("EPB", "EMR"), "09HRS" -> Seq("ERO"), "10HRS" -> Seq("EAC")), dir)
+    val slots = Files.list(Paths.get(dir)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (slots.hasNext) names += slots.next().getFileName.toString
+    assert(names.filter(_.startsWith("slot=")).sorted ==
+      Seq("slot=08HRS", "slot=09HRS", "slot=10HRS"))
+    val back = ss.read.option("header", "true").option("sep", "|").csv(dir)
+    // unmapped product ZZZ dropped; slot recovers the grouping
+    assert(back.count() == 4)
+    val in08 = back.filter(col("slot") === "08HRS")
+      .select("PRODUTO").collect().map(_.getString(0)).sorted
+    assert(in08.toSeq == Seq("EMR", "EPB"))
+    // a product in two slots is a config error, not a silent double-write
+    intercept[IllegalArgumentException] {
+      BrCsvSink.writeBySlots(df, col("PRODUTO"),
+        Map("08HRS" -> Seq("EPB"), "09HRS" -> Seq("EPB")), dir)
+    }
+  }
+
   test("Archiver zips a directory and can remove the source") {
     val dir = Files.createTempDirectory("arch")
     Files.write(dir.resolve("a.csv"), "1;2\n".getBytes)
