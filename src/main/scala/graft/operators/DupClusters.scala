@@ -71,29 +71,39 @@ object DupClusters {
       // constraint set referencing stale exprIds → key-not-found during
       // planning). Checkpointing flattens the subtree to a LogicalRDD, and
       // the heavy work (join + union + agg) runs exactly once per round.
+      val obs1 = Observation()
       val oneHop = pushed.union(self)
         .groupBy("id")
         .agg(min("cluster_id").as("lbl"), min("prev").as("prev"))
+        .observe(obs1, sum(when(col("lbl") < col("prev"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      // (b) pointer jump: follow each node's label to THAT node's label.
-      // Every label is itself a node id (it is the min of ids seen), so the
-      // left join always finds it unless the labelled node kept itself.
-      // This second per-round job only joins the two label tables — cheap
-      // relative to the edge-propagation job above.
-      val jump = oneHop.as("x")
-        .join(oneHop.select(col("id").as("yid"), col("lbl").as("ylbl")).as("y"),
-          col("x.lbl") === col("y.yid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.lbl"), coalesce(col("ylbl"), col("x.lbl"))).as("cluster_id"),
-          col("x.prev").as("prev"))
-      val obs = Observation()
-      val prop = jump
-        .observe(obs, sum(when(col("cluster_id") < col("prev"), 1L).otherwise(0L)).as("changed"))
-        .select("id", "cluster_id")
-        .localCheckpoint(true) // eager: truncates the per-round lineage AND collects the metric
       // sum over an empty round is SQL NULL — treat as converged
-      converged = obs.get.get("changed").forall(v => v == null || v.asInstanceOf[Long] == 0L)
-      labels = prop
+      def noChange(o: Observation) =
+        o.get.get("changed").forall(v => v == null || v.asInstanceOf[Long] == 0L)
+      if (noChange(obs1)) {
+        // one-hop fixpoint IS full convergence (see Scaladoc) — skip the
+        // jump join entirely; this is every run's terminal round, and for
+        // diameter-1 corpora (plain duplicate pairs) the only round.
+        converged = true
+      } else {
+        // (b) pointer jump: follow each node's label to THAT node's label.
+        // Every label is itself a node id (it is the min of ids seen), so
+        // the left join always finds it unless the labelled node kept
+        // itself. This second job only joins the two checkpointed label
+        // tables — cheap relative to the edge-propagation job above.
+        val obs2 = Observation()
+        val prop = oneHop.as("x")
+          .join(oneHop.select(col("id").as("yid"), col("lbl").as("ylbl")).as("y"),
+            col("x.lbl") === col("y.yid"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.lbl"), coalesce(col("ylbl"), col("x.lbl"))).as("cluster_id"),
+            col("x.prev").as("prev"))
+          .observe(obs2, sum(when(col("cluster_id") < col("prev"), 1L).otherwise(0L)).as("changed"))
+          .select("id", "cluster_id")
+          .localCheckpoint(true) // eager: truncates the per-round lineage AND collects the metric
+        converged = noChange(obs2)
+        labels = prop
+      }
       i += 1
     }
     sym.unpersist(false)

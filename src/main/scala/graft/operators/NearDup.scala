@@ -50,15 +50,17 @@ object NearDup {
     val shAll = df.select(idCol.as("id"),
         call_function("graft_shingles", textCol, lit(k)).as("g"))
       .select(col("id"), size(col("g")).cast("long").as("n"), explode(col("g")).as("gram"))
-    // The df cap shares the self-join's shuffle key (gram): one aggregate
-    // over the already-partitioned shingle rows finds the hot grams (a tiny
-    // set by definition — bounded by corpus_size / maxDocFreq), and the
-    // anti-join against them is map-side after AQE broadcasts it.
+    // The hot-gram set is tiny by definition (bounded by corpus_size /
+    // maxDocFreq), so materialize it ONCE with an eager checkpoint — it
+    // feeds BOTH sides of the self-join, and left lazy each side would pay
+    // its own full shingle aggregation to recompute it. The anti-join
+    // against the materialized set is map-side after AQE broadcasts it.
     val sh =
       if (maxDocFreq <= 0L) shAll
       else {
         val hot = shAll.groupBy("gram").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDocFreq).select(col("gram").as("__hot_gram"))
+          .localCheckpoint(true)
         shAll.join(hot, col("gram") === col("__hot_gram"), "left_anti")
       }
     sh.as("a").join(sh.as("b"),
