@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BaseOrdering, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom plan (SURVEY extension point (c)): top-k rows per
   * key under a sort order, WITHOUT sorting.
@@ -52,8 +52,44 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** Per-task accumulation state: one k-bounded heap per key. Shared by the
+  * interpreted path (`doExecute`) and the whole-stage-codegen path (the
+  * generated class holds one instance per task and calls `insertRow` /
+  * `rowIterator` — both must stay public for the generated Java). */
+final class TopKRowBuffer(keyProj: UnsafeProjection, ord: BaseOrdering, k: Int) {
+  // Per key: a max-heap under the sort order (head = worst kept row) so a
+  // better row evicts the head in O(log k).
+  private val worstFirst = ord.reversed()
+  private val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+
+  def insertRow(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    var heap = heaps.get(key)
+    if (heap == null) {
+      heap = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+      heaps.put(key.copy(), heap)
+    }
+    if (heap.size < k) heap.add(row.copy())
+    else if (ord.compare(row, heap.peek()) < 0) {
+      heap.poll()
+      heap.add(row.copy())
+    }
+  }
+
+  def iterator: Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+  }
+
+  def rowIterator(): java.util.Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    iterator.asJava
+  }
+}
+
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+                          partial: Boolean, child: SparkPlan)
+  extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -64,36 +100,75 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  /** Called from the generated class's init (via the plan reference object,
+    * like SortExec.createSorter) — one buffer per task. */
+  def createBuffer(): TopKRowBuffer =
+    new TopKRowBuffer(UnsafeProjection.create(keys, child.output),
+      GenerateOrdering.generate(order, child.output), k)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
     val sortOrder = order
     val schema = child.output
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, schema)
-      val ord = GenerateOrdering.generate(sortOrder, schema)
-      // Per key: a max-heap under the sort order (head = worst kept row) so
-      // a better row evicts the head in O(log k).
-      val worstFirst = ord.reversed()
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      val buf = new TopKRowBuffer(UnsafeProjection.create(keyExprs, schema),
+        GenerateOrdering.generate(sortOrder, schema), kLocal)
+      while (iter.hasNext) buf.insertRow(iter.next())
+      buf.iterator
     }
   }
+
+  // ---- whole-stage codegen (SortExec's blocking-operator pattern) ----
+  //
+  // Consume side: the child's generated pipeline (scan/filter/project, or
+  // the shuffle's InputAdapter) feeds rows straight into this task's
+  // TopKRowBuffer — no iterator boundary, no extra row materialization
+  // beyond the insert copy the heap needs anyway. Produce side: once input
+  // is exhausted, the surviving rows stream to the parent's generated code.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  private var bufferVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needInput = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "needTopKInput",
+      v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    bufferVariable = ctx.addMutableState(classOf[TopKRowBuffer].getName, "topKBuffer",
+      v => s"$v = $thisPlan.createBuffer();", forceInline = true)
+    val outputIter = ctx.addMutableState(
+      "java.util.Iterator<org.apache.spark.sql.catalyst.InternalRow>", "topKOutputIter",
+      forceInline = true)
+    val addInputName = ctx.freshName("addTopKInput")
+    val addInput = ctx.addNewFunction(addInputName,
+      s"""
+         |private void $addInputName() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topKOutputRow")
+    s"""
+       |if ($needInput) {
+       |  $addInput();
+       |  $outputIter = $bufferVariable.rowIterator();
+       |  $needInput = false;
+       |}
+       |while ($limitNotReachedCond $outputIter.hasNext()) {
+       |  org.apache.spark.sql.catalyst.InternalRow $outputRow =
+       |    (org.apache.spark.sql.catalyst.InternalRow) $outputIter.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$bufferVariable.insertRow((org.apache.spark.sql.catalyst.InternalRow) ${row.value});
+     """.stripMargin
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)

@@ -40,7 +40,17 @@ class TopKPerKeySpec extends SparkSpec {
     // the exchange between partial and final carries ≤ k·keys·partitions rows
     // (string match: AQE wraps the plan, hiding the Exchange from collect)
     assert(s.contains("Exchange hashpartitioning"), s)
-    native.count() // executes end-to-end
+    // collect() (NOT count(), which builds its own QueryExecution) so THIS
+    // plan executes and AQE materializes the real stages
+    native.collect()
+    // both exec nodes fuse into whole-stage codegen (SortExec-style
+    // blocking-operator support): in the FINAL adaptive plan each carries a
+    // codegen-stage star, not an iterator boundary
+    val fin = native.queryExecution.executedPlan.toString
+    val partialLine = fin.linesIterator.find(_.contains("TopKPerKeyPartial")).get
+    val finalLine = fin.linesIterator.find(_.contains("TopKPerKeyFinal")).get
+    assert(partialLine.contains("*"), s"partial not codegen'd:\n$fin")
+    assert(finalLine.contains("*"), s"final not codegen'd:\n$fin")
   }
 
   test("empty keys = bounded global top-k (AllTuples)") {
