@@ -25,4 +25,35 @@ object CorpusStats {
   def topDocFrequency(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame =
     TopK.topKPerKeyNative(documentFrequency(df, idCol, textCol),
       Seq.empty, Seq(col("doc_freq").desc, col("word").asc), k)
+
+  /** Per-document top-k terms by tf-idf (id, word, tf, score_q).
+    *
+    * The idf factor is INTEGER-quantized — `score_q = tf · ⌊10⁴·N/df⌋` —
+    * instead of the textbook `tf·ln(N/df)`: ln is a transcendental whose
+    * last-ulp rounding differs between libm implementations, which would
+    * make a cross-engine hash-equality oracle flaky at quantization
+    * boundaries; the integer weight keeps the identical ranking shape
+    * (monotone in N/df) and is bit-reproducible everywhere. The division's
+    * floor is deterministic because exactly-representable int quotients are
+    * correctly rounded.
+    *
+    * Plan shape: tf = one (id, word) aggregation (map-side combinable), df
+    * = one (word) aggregation OVER the tf frame (already word-distinct per
+    * doc — no count-distinct), join on word, then per-doc top-k through the
+    * custom [[graft.plans.TopKPerKey]] plan — bounded heaps, never a
+    * per-doc sort. `n` is the corpus row count (one cheap count job). */
+  def tfIdfTopTerms(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
+    val n = df.count()
+    val tf = df.select(idCol.as("id"), explode(split(lower(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "word")
+      .select(col("id"), col("word"), col("tf"),
+        (col("tf") * floor(lit(10000.0) * n / col("df")).cast("long")).as("score_q"))
+    TopK.topKPerKeyNative(scored, Seq(col("id")),
+      Seq(col("score_q").desc, col("word").asc), k)
+      .select("id", "word", "tf", "score_q")
+  }
 }

@@ -36,6 +36,7 @@ object LQueries {
     "q45_nfc_normalize" -> ((s, d) => q45(s, d)),
     "q46_pii_scrub" -> ((s, d) => q46(s, d)),
     "q52_cosine_neardup_lsh" -> ((s, d) => q52(s, d)),
+    "q53_tfidf_topk" -> ((s, d) => q53(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -107,6 +108,13 @@ object LQueries {
   def q52(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.4, planes = 4, numTables = 3)
+
+  /** L25: per-doc top-5 terms by (integer-quantized) tf-idf, ranked through
+    * the custom TopKPerKey plan — keyed aggregations + bounded heaps, no
+    * per-doc sort. */
+  def q53(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusStats.tfIdfTopTerms(
+      Tables.documents(s, d), col("doc_id"), col("text"), k = 5)
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -520,6 +528,17 @@ object LQueries {
         |votes AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b)
         |SELECT id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
         |FROM votes GROUP BY id""".stripMargin,
+    "q53_tfidf_topk" ->
+      """WITH words AS (SELECT doc_id AS id, w AS word FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) x
+        |  WHERE w <> ''),
+        |tfs AS (SELECT id, word, count(*) AS tf FROM words GROUP BY id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tfs GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT id, word, tf,
+        |       CAST(tf * CAST(floor(10000.0 * n.n / df) AS BIGINT) AS BIGINT) AS score_q
+        |FROM tfs JOIN dfreq USING (word) CROSS JOIN n
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY score_q DESC, word ASC) <= 5""".stripMargin,
     "q52_cosine_neardup_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |planes AS (

@@ -49,6 +49,19 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(tiny, col("cls"), col("id"), 10).count() == 3)
   }
 
+  test("tfIdfTopTerms ranks rare repeated terms above ubiquitous ones") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the the the zebra zebra"),
+      (2L, "the apple"),
+      (3L, "the banana banana")).toDF("doc_id", "text")
+    val out = CorpusStats.tfIdfTopTerms(docs, col("doc_id"), col("text"), 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // 'the' is in every doc (idf weight 10000*3/3 = 10000); zebra: df=1 →
+    // weight 30000, tf=2 → 60000 beats the (tf=3 → 30000)
+    assert(out == Map(1L -> "zebra", 2L -> "apple", 3L -> "banana"))
+  }
+
   test("documentFrequency counts docs, not occurrences") {
     val docs = Seq(
       (1L, "alpha beta alpha"),

@@ -56,6 +56,59 @@ class LakeSinkSpec extends SparkSpec {
     assert(LakeSink.read(ss, dir).count() == 60000)
   }
 
+  test("writeZOrdered narrows row-group stats on EVERY z column") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+
+    // deterministic scattered 2-D grid: hash-ordered so neither column
+    // arrives pre-sorted
+    val grid = (0 until 65536).sortBy(i => (i * 2654435761L) & 0xffffffffL)
+      .map { i => (i % 256L, i / 256L, s"payload_${i}_${"x" * 32}") }
+    val df = grid.toDF("x", "y", "v").repartition(1)
+
+    def groupRanges(dir: String, colName: String): Seq[(Long, Long)] = {
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .flatMap { file =>
+          val footer = ParquetFileReader.readFooter(
+            HadoopInputFile.fromPath(new Path(file.getAbsolutePath),
+              ss.sparkContext.hadoopConfiguration).getConfiguration,
+            new Path(file.getAbsolutePath))
+          (0 until footer.getBlocks.size()).map { i =>
+            val cols = footer.getBlocks.get(i).getColumns
+            val stats = (0 until cols.size())
+              .find(j => cols.get(j).getPath.toDotString == colName)
+              .map(j => cols.get(j).getStatistics).get
+            (stats.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+              stats.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          }
+        }
+    }
+    def matching(ranges: Seq[(Long, Long)], v: Long): Int =
+      ranges.count { case (lo, hi) => lo <= v && v <= hi }
+
+    val linDir = Files.createTempDirectory("lake_lin").toString
+    LakeSink.writeSorted(df, linDir, "x", rowGroupBytes = 64L * 1024)
+    val zDir = Files.createTempDirectory("lake_z").toString
+    LakeSink.writeZOrdered(df, zDir, Seq("x", "y"), bits = 8, numFiles = 1,
+      rowGroupBytes = 64L * 1024)
+
+    val linY = groupRanges(linDir, "y")
+    val zX = groupRanges(zDir, "x")
+    val zY = groupRanges(zDir, "y")
+    assert(zY.size > 4, s"need several row groups to measure skipping, got ${zY.size}")
+    // linear-by-x layout: y stats span everything — a y predicate reads ~all groups
+    val linYHits = matching(linY, 137L)
+    assert(linYHits == linY.size, "x-sorted layout was expected to be useless for y")
+    // z-order: BOTH columns skip a meaningful share of row groups
+    assert(matching(zY, 137L) * 2 <= zY.size,
+      s"y predicate should skip >= half the z-ordered groups: ${matching(zY, 137L)}/${zY.size}")
+    assert(matching(zX, 137L) * 2 <= zX.size,
+      s"x predicate should skip >= half the z-ordered groups: ${matching(zX, 137L)}/${zX.size}")
+    // and the data round-trips
+    assert(LakeSink.read(ss, zDir).count() == 65536)
+  }
+
   test("maxRecordsPerFile splits large partitions into multiple files") {
     val dir = Files.createTempDirectory("lake_split").toString
     val df = (1 to 900).map(i => (i.toLong, "only", i.toString)).toDF("id", "product", "v")
