@@ -54,6 +54,63 @@ object Multimodal {
       }
   }
 
+  /** Media-lake ingestion: a directory (or glob) of raw media files →
+    * a frame shaped like [[MediaSchema]], via Spark's `binaryFile` source —
+    * files are read WHERE THEY LAND (distributed, one task per file chunk
+    * set), never funneled through the driver. `media_id` is the first 60
+    * bits of md5(path) (15 hex digits — fits signed 64-bit, always
+    * positive): deterministic across runs/engines, no zipWithIndex/window
+    * global ordering. Format metadata comes from the file extension;
+    * width/height belong to the (stubbed) decode stage. */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, path: String,
+                   glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        col("path"),
+        col("content").as("media"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("__ext"))
+      .select(
+        conv(substring(md5(col("path")), 1, 15), 16, 10).cast("long").as("media_id"),
+        col("path"),
+        col("media"),
+        struct(col("__ext").as("format"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height")).as("meta"))
+
+  /** BATCHED decode — the `mapInPandas`/Arrow batch contract re-expressed
+    * for a JVM codec: rows are fed to the decoder `batchSize` at a time so
+    * a real implementation can (a) initialize the codec ONCE per batch
+    * rather than per row and (b) hand the whole batch to a vectorized /
+    * native kernel. `decodeBatch` is the swap-in point; the stub applies
+    * [[decodeStub]] per element but proves the batching contract (the spec
+    * asserts batch shapes and output equality with the row-at-a-time
+    * path). Iterator-to-iterator: at most one batch is resident per task. */
+  def extractFeaturesBatched(df: DataFrame, dim: Int = 16,
+                             batchSize: Int = 64): Dataset[MediaFeatures] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    implicit val enc = Encoders.product[MediaFeatures]
+    df.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real codec initializes here, once per batch
+          val ids = batch.map(_.getLong(0))
+          val payloads = batch.map(r =>
+            Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray))
+          decodeBatch(ids, payloads, dim)
+        }
+      }
+  }
+
+  /** STUB batch decoder — same signature a vectorized/native codec binding
+    * would have: parallel id/payload sequences in, features out, sizes
+    * equal. */
+  def decodeBatch(ids: Seq[Long], payloads: Seq[Array[Byte]], dim: Int): Seq[MediaFeatures] = {
+    require(ids.length == payloads.length)
+    ids.lazyZip(payloads).map((id, bytes) => decodeStub(id, bytes, dim))
+  }
+
   /** Frame/segment sampling: cut the payload into fixed-size chunks and
     * keep every `stride`-th one — the shape of video frame-sampling, over
     * opaque bytes. Pure projection (codegen'd), no shuffle. */
