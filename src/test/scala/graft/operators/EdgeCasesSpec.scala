@@ -27,6 +27,20 @@ class EdgeCasesSpec extends SparkSpec {
     assert(CorpusStats.topDocFrequency(noDocs, col("doc_id"), col("text"), 5).count() == 0)
   }
 
+  test("round-3 additions on empty/degenerate input") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDupPairsLsh(noVecs, "vec_id", "embedding", 0.4,
+      planes = 2, numTables = 2, dim = 3).count() == 0)
+    assert(CorpusStats.tfIdfTopTerms(noDocs, col("doc_id"), col("text"), 5).count() == 0)
+    // blank-only text: no words → no tf rows → no output, no div-by-zero
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(CorpusStats.tfIdfTopTerms(blank, col("doc_id"), col("text"), 5).count() == 0)
+    // capped jaccard where EVERY gram is hot: empty result, no crash
+    val same = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c")).toDF("doc_id", "text")
+    assert(NearDup.ngramJaccardPairs(same, col("doc_id"), col("text"), 3, 0.1,
+      maxDocFreq = 2L).count() == 0)
+  }
+
   test("joins on empty sides") {
     val rows = Seq((1L, 10L)).toDF("k", "t")
     val empty = Seq.empty[(Long, Long)].toDF("k", "t")
