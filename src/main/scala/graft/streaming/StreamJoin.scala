@@ -22,17 +22,26 @@ import org.apache.spark.sql.functions.{col, expr}
   */
 object StreamJoin {
 
-  /** Inner interval join. `within` is a SQL interval literal body, e.g.
+  /** Interval join. `within` is a SQL interval literal body, e.g.
     * `"10 minutes"`; `watermark` is the lateness bound for both sides.
-    * Column names must be distinct across the two sides. */
+    * Column names must be distinct across the two sides.
+    *
+    * `joinType` "inner" emits matches as they arrive; "left_outer" ALSO
+    * emits each unmatched left row null-padded — but only once the right
+    * watermark has passed the end of its match window (before that a match
+    * could still arrive), so outer results trail live matches by the
+    * watermark delay. That is the attribution-report shape: impressions
+    * with their click, or with NULL once no click can come. */
   def intervalJoin(left: DataFrame, leftTs: String, leftKey: String,
                    right: DataFrame, rightTs: String, rightKey: String,
-                   within: String, watermark: String): DataFrame = {
+                   within: String, watermark: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"interval $within"))
+        col(rightTs) <= col(leftTs) + expr(s"interval $within"),
+      joinType)
   }
 }

@@ -34,6 +34,32 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer emits unmatched impressions once the watermark closes their window") {
+    implicit val sq = ss.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = StreamJoin.intervalJoin(
+      imps.toDF().toDF("imp_ts", "imp_user"), "imp_ts", "imp_user",
+      clicks.toDF().toDF("click_ts", "click_user"), "click_ts", "click_user",
+      within = "10 minutes", watermark = "5 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("stream_join_outer").start()
+    try {
+      imps.addData((ts(0), 1L), (ts(1), 2L))
+      clicks.addData((ts(5), 1L))
+      q.processAllAvailable()
+      // push both watermarks far past every match window, then one more
+      // batch so the state-eviction results land in the sink
+      imps.addData((ts(50), 9L)); clicks.addData((ts(50), 9L))
+      q.processAllAvailable()
+      imps.addData((ts(55), 9L)); clicks.addData((ts(56), 9L))
+      q.processAllAvailable()
+      val rows = ss.table("stream_join_outer").collect()
+        .map(r => (r.getLong(1), Option(r.getTimestamp(2)))).toSet
+      assert(rows.contains((1L, Some(ts(5)))), s"matched pair missing: $rows")
+      assert(rows.contains((2L, None)), s"unmatched impression not emitted: $rows")
+    } finally q.stop()
+  }
+
   test("the physical plan is a symmetric hash join with watermarks on both sides") {
     implicit val sq = ss.sqlContext
     val imps = MemoryStream[(Timestamp, Long)]
