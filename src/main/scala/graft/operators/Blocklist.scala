@@ -23,12 +23,14 @@ object Blocklist {
     * @param broadcastLimit broadcast the blocked-key set only when its
     *   measured row count is at or below this limit (one extra cheap job
     *   over the log aggregate); above it the anti-join goes through the
-    *   shuffle path and AQE decides. */
+    *   shuffle path and AQE decides. Default 1M keys ≈ tens of MB as a
+    *   HashedRelation — safely inside a default-sized driver; anything
+    *   bigger belongs on the shuffle path anyway. */
   def removeByStatusThreshold(
       main: DataFrame, mainKey: Column,
       log: DataFrame, logKey: Column, statusCol: Column,
       criticalStatuses: Seq[String], threshold: Int,
-      broadcastLimit: Long = 10000000L): DataFrame = {
+      broadcastLimit: Long = 1000000L): DataFrame = {
     val blocked = log
       .filter(TextClean.normKey(statusCol).isin(criticalStatuses.map(_.toLowerCase): _*))
       .groupBy(logKey.as("__blocked_key"))

@@ -26,16 +26,23 @@ object CorpusStats {
     TopK.topKPerKeyNative(documentFrequency(df, idCol, textCol),
       Seq.empty, Seq(col("doc_freq").desc, col("word").asc), k)
 
-  /** Per-document top-k terms by tf-idf (id, word, tf, score_q).
+  /** Per-document top-k terms by a tf-idf-style score (id, word, tf,
+    * score_q), using the LINEAR inverse-frequency weight `score_q =
+    * tf · ⌊10⁴·N/df⌋` — one of the standard idf variants (the "inverse
+    * frequency, non-log" weighting) rather than the textbook `tf·ln(N/df)`.
+    * Two consequences to be aware of:
     *
-    * The idf factor is INTEGER-quantized — `score_q = tf · ⌊10⁴·N/df⌋` —
-    * instead of the textbook `tf·ln(N/df)`: ln is a transcendental whose
-    * last-ulp rounding differs between libm implementations, which would
-    * make a cross-engine hash-equality oracle flaky at quantization
-    * boundaries; the integer weight keeps the identical ranking shape
-    * (monotone in N/df) and is bit-reproducible everywhere. The division's
-    * floor is deterministic because exactly-representable int quotients are
-    * correctly rounded.
+    *   - Rankings are NOT identical to ln-idf across a document's mixed-tf
+    *     terms: the linear weight leans harder on rarity, so a one-off very
+    *     rare token can outrank a repeated moderately-rare one where ln-idf
+    *     would not. Both orderings are legitimate idf variants; this one is
+    *     chosen deliberately because
+    *   - it is bit-reproducible across engines: ln is a transcendental
+    *     whose last-ulp rounding differs between libm implementations,
+    *     which would make a cross-engine hash-equality oracle flaky at
+    *     quantization boundaries. The linear weight's floor is
+    *     deterministic (exactly-representable integer quotients are
+    *     correctly rounded).
     *
     * Plan shape: tf = one (id, word) aggregation (map-side combinable), df
     * = one (word) aggregation OVER the tf frame (already word-distinct per

@@ -91,17 +91,15 @@ object DupClusters {
         // the left join always finds it unless the labelled node kept
         // itself. This second job only joins the two checkpointed label
         // tables — cheap relative to the edge-propagation job above.
-        val obs2 = Observation()
+        // No convergence check here: when one-hop changed a label, the
+        // jump result differs from last round by construction, so only the
+        // NEXT round's one-hop metric can detect the fixpoint.
         val prop = oneHop.as("x")
           .join(oneHop.select(col("id").as("yid"), col("lbl").as("ylbl")).as("y"),
             col("x.lbl") === col("y.yid"), "left")
           .select(col("x.id").as("id"),
-            least(col("x.lbl"), coalesce(col("ylbl"), col("x.lbl"))).as("cluster_id"),
-            col("x.prev").as("prev"))
-          .observe(obs2, sum(when(col("cluster_id") < col("prev"), 1L).otherwise(0L)).as("changed"))
-          .select("id", "cluster_id")
-          .localCheckpoint(true) // eager: truncates the per-round lineage AND collects the metric
-        converged = noChange(obs2)
+            least(col("x.lbl"), coalesce(col("ylbl"), col("x.lbl"))).as("cluster_id"))
+          .localCheckpoint(true) // eager: truncates the per-round lineage
         labels = prop
       }
       i += 1

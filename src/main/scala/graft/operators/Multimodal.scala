@@ -57,20 +57,25 @@ object Multimodal {
   /** Media-lake ingestion: a directory (or glob) of raw media files →
     * a frame shaped like [[MediaSchema]], via Spark's `binaryFile` source —
     * files are read WHERE THEY LAND (distributed, one task per file chunk
-    * set), never funneled through the driver. `media_id` is the first 60
-    * bits of md5(path) (15 hex digits — fits signed 64-bit, always
-    * positive): deterministic across runs/engines, no zipWithIndex/window
-    * global ordering. Format metadata comes from the file extension;
-    * width/height belong to the (stubbed) decode stage. */
+    * set), never funneled through the driver. `path` is the PRIMARY key;
+    * `media_id` is a 60-bit md5(path) prefix (15 hex digits — fits signed
+    * 64-bit, always positive) kept as a compact join/shuffle key:
+    * deterministic across runs/engines, no zipWithIndex/window global
+    * ordering, birthday-collision-free to ~10⁸ files — beyond that, key on
+    * `path` (or widen to the full digest). Format metadata is the
+    * basename's extension (null when it has none); width/height belong to
+    * the (stubbed) decode stage. */
   def readMediaDir(spark: org.apache.spark.sql.SparkSession, path: String,
-                   glob: String = "*"): DataFrame =
+                   glob: String = "*"): DataFrame = {
+    val base = element_at(split(col("path"), "/"), -1)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(path)
       .select(
         col("path"),
         col("content").as("media"),
-        lower(element_at(split(col("path"), "\\."), -1)).as("__ext"))
+        when(base.contains("."), lower(element_at(split(base, "\\."), -1)))
+          .otherwise(lit(null).cast("string")).as("__ext"))
       .select(
         conv(substring(md5(col("path")), 1, 15), 16, 10).cast("long").as("media_id"),
         col("path"),
@@ -78,6 +83,7 @@ object Multimodal {
         struct(col("__ext").as("format"),
           lit(null).cast("int").as("width"),
           lit(null).cast("int").as("height")).as("meta"))
+  }
 
   /** BATCHED decode — the `mapInPandas`/Arrow batch contract re-expressed
     * for a JVM codec: rows are fed to the decoder `batchSize` at a time so

@@ -59,12 +59,16 @@ object GraftConfig {
         out(section)(lastKey).append('\n').append(trimmed)
       } else {
         val eq = line.indexOf('=')
-        if (eq >= 0) {
-          val k = line.substring(0, eq).trim.toLowerCase
-          val v = line.substring(eq + 1).trim
-          out.getOrElseUpdate(section, scala.collection.mutable.LinkedHashMap())(k) = new StringBuilder(v)
-          lastKey = k
-        }
+        if (eq < 0)
+          // configparser raises ParsingError here; silently dropping the
+          // line would run the pipeline on defaults after a typo AND
+          // attach following continuation lines to the wrong key
+          throw new IllegalArgumentException(
+            s"malformed config line (no '='): '$trimmed'")
+        val k = line.substring(0, eq).trim.toLowerCase
+        val v = line.substring(eq + 1).trim
+        out.getOrElseUpdate(section, scala.collection.mutable.LinkedHashMap())(k) = new StringBuilder(v)
+        lastKey = k
       }
     }
     out.map { case (s, kv) => s -> kv.map { case (k, v) => k -> v.toString }.toMap }.toMap

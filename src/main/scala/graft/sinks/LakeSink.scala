@@ -70,11 +70,18 @@ object LakeSink {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).head()
     val side = 1L << bits
     val buckets: Seq[Column] = zCols.zipWithIndex.map { case (c, i) =>
+      // empty input / all-null column → min/max are SQL NULL: degrade to a
+      // constant bucket (plain write) instead of throwing
+      if (statsRow.isNullAt(2 * i) || statsRow.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val lo = statsRow.getDouble(2 * i)
       val hi = statsRow.getDouble(2 * i + 1)
       if (hi <= lo) lit(0L)
-      else least(lit(side - 1), greatest(lit(0L),
-        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * side).cast("long")))
+      // null cell values bucket to 0 (coalesce) rather than nulling the
+      // whole interleaved z-value
+      else coalesce(least(lit(side - 1), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * side).cast("long"))), lit(0L))
+      }
     }
     // Morton interleave: bit b of bucket i lands at position b*N + i.
     val n = zCols.size

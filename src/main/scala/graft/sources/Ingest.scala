@@ -44,9 +44,28 @@ object Ingest {
 
   /** Newest workbook matching `glob` under `dir` ([[InputResolver]]) →
     * normalized frame; the reference's find-latest-then-load composition
-    * (`data_loader.py:12-41`). None when `optional` and nothing matches. */
+    * (`data_loader.py:12-41`). None when `optional` and nothing matches.
+    *
+    * [[InputResolver]] resolves against any Hadoop filesystem; the zip
+    * parse needs a seekable local file, so a non-local workbook (HDFS,
+    * object store) is first copied to a driver temp file through the
+    * Hadoop FS API — workbooks are MB-scale operator drops, so the copy is
+    * trivial next to parsing. */
   def readLatestXlsx(spark: SparkSession, dir: String, glob: String,
                      sheet: Option[String] = None, optional: Boolean = false): Option[DataFrame] =
-    InputResolver.findLatest(spark, dir, glob, optional)
-      .map(p => readXlsx(spark, new org.apache.hadoop.fs.Path(p).toUri.getPath, sheet))
+    InputResolver.findLatest(spark, dir, glob, optional).map { p =>
+      val hPath = new org.apache.hadoop.fs.Path(p)
+      val scheme = Option(hPath.toUri.getScheme)
+      val localPath =
+        if (scheme.forall(_ == "file")) hPath.toUri.getPath
+        else {
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tmp = java.nio.file.Files.createTempFile("graft_xlsx_", ".xlsx")
+          tmp.toFile.deleteOnExit()
+          fs.copyToLocalFile(false, hPath,
+            new org.apache.hadoop.fs.Path(tmp.toUri), true)
+          tmp.toString
+        }
+      readXlsx(spark, localPath, sheet)
+    }
 }

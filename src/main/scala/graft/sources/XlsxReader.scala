@@ -180,22 +180,25 @@ object XlsxReader {
             s"sheet '$s' not in $path (has: ${sheets.map(_._1).mkString(", ")})"))
         case None => sheets.head
       }
-      toDf(spark, zip, rid, name)
+      toDf(spark, zip, parseRels(zip), parseSharedStrings(zip), rid, name)
     }
 
-  /** Every sheet, workbook order preserved — `pd.read_excel(sheet_name=None)`. */
+  /** Every sheet, workbook order preserved — `pd.read_excel(sheet_name=None)`.
+    * The rels part and the shared-string table (which typically holds most
+    * of a text-heavy workbook's data) are parsed ONCE, not once per sheet. */
   def readAllSheets(spark: SparkSession, path: String): ListMap[String, DataFrame] =
     withZip(path) { zip =>
+      val rels = parseRels(zip)
+      val shared = parseSharedStrings(zip)
       ListMap(parseWorkbook(zip).map { case (name, rid) =>
-        name -> toDf(spark, zip, rid, name)
+        name -> toDf(spark, zip, rels, shared, rid, name)
       }: _*)
     }
 
-  private def toDf(spark: SparkSession, zip: ZipFile, rid: String, name: String): DataFrame = {
-    val rels = parseRels(zip)
+  private def toDf(spark: SparkSession, zip: ZipFile, rels: Map[String, String],
+                   shared: IndexedSeq[String], rid: String, name: String): DataFrame = {
     val entry = rels.getOrElse(rid,
       throw new IllegalArgumentException(s"unresolvable sheet relationship $rid for '$name'"))
-    val shared = parseSharedStrings(zip)
     val rows = parseSheet(zip, entry, shared)
     if (rows.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))

@@ -31,9 +31,13 @@ class MultimodalAnnSpec extends SparkSpec {
     java.nio.file.Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3))
     java.nio.file.Files.write(dir.resolve("b.png"), Array[Byte](4, 5))
     java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](9))
+    java.nio.file.Files.write(dir.resolve("noext"), Array[Byte](8))
     val df = Multimodal.readMediaDir(ss, dir.toString, glob = "*.{jpg,png}")
     val rows = df.collect()
     assert(rows.length == 2)
+    // extensionless basename → null format, not path garbage
+    val bare = Multimodal.readMediaDir(ss, dir.toString, glob = "noext").collect()
+    assert(bare.length == 1 && bare.head.getStruct(3).isNullAt(0))
     val byFmt = rows.map(r => (r.getStruct(3).getString(0),
       (r.getLong(0), r.getAs[Array[Byte]]("media").length))).toMap
     assert(byFmt("jpg")._2 == 3 && byFmt("png")._2 == 2)

@@ -43,6 +43,12 @@ class GraftConfigSpec extends SparkSpec {
     assert(c.slotGroups == ListMap("08HRS" -> Seq("EPB", "EMR"), "09HRS" -> Seq("ERO")))
   }
 
+  test("malformed lines raise instead of silently running on defaults") {
+    intercept[IllegalArgumentException] {
+      GraftConfig.fromIni("[BLOCKLIST]\nthreshold 5\n")
+    }
+  }
+
   test("absent sections fall back to the pinned defaults") {
     val c = GraftConfig.fromIni("[SEGMENTACAO]\nhuman_cutoff = 1.0\n")
     assert(c.humanCutoff == 1.0)

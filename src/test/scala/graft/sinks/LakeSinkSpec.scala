@@ -109,6 +109,18 @@ class LakeSinkSpec extends SparkSpec {
     assert(LakeSink.read(ss, zDir).count() == 65536)
   }
 
+  test("writeZOrdered degrades gracefully on empty input and null cells") {
+    val emptyDir = Files.createTempDirectory("lake_z_empty").toString
+    LakeSink.writeZOrdered(Seq.empty[(Long, Long)].toDF("x", "y"), emptyDir,
+      Seq("x", "y"), numFiles = 1)
+    assert(LakeSink.read(ss, emptyDir).count() == 0)
+    val nullDir = Files.createTempDirectory("lake_z_null").toString
+    val withNulls = Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L))
+      .toDF("x", "y")
+    LakeSink.writeZOrdered(withNulls, nullDir, Seq("x", "y"), numFiles = 1)
+    assert(LakeSink.read(ss, nullDir).count() == 3)
+  }
+
   test("maxRecordsPerFile splits large partitions into multiple files") {
     val dir = Files.createTempDirectory("lake_split").toString
     val df = (1 to 900).map(i => (i.toLong, "only", i.toString)).toDF("id", "product", "v")
