@@ -61,6 +61,16 @@ object XlsxReader {
     out.toList
   }
 
+  /** `<workbookPr date1904="1"/>` → the 1904 date system is in force. */
+  private def parseDate1904(zip: ZipFile): Boolean = {
+    var flag = false
+    eachElement(zip, "xl/workbook.xml") { r =>
+      if (r.getLocalName == "workbookPr")
+        flag = attr(r, "date1904").exists(v => v == "1" || v == "true")
+    }
+    flag
+  }
+
   /** relationship id → worksheet zip entry path. */
   private def parseRels(zip: ZipFile): Map[String, String] = {
     val out = mutable.Map[String, String]()
@@ -105,6 +115,64 @@ object XlsxReader {
     out.toIndexedSeq
   }
 
+
+  /** Style index → is-a-date-format, from `xl/styles.xml`. A cell's `s`
+    * attribute indexes `cellXfs`; its `numFmtId` is a date format when it
+    * is one of the builtin date ids (14-22, 45-47) or a custom `numFmt`
+    * whose code (ignoring quoted text, escapes and [$…] locale prefixes)
+    * contains day/month/year/hour/second tokens — the same detection
+    * openpyxl/pandas apply. Missing styles part → nothing is a date. */
+  private def parseDateStyles(zip: ZipFile): IndexedSeq[Boolean] = {
+    if (zip.getEntry("xl/styles.xml") == null) return IndexedSeq.empty
+    val builtinDate = (14 to 22).toSet ++ (45 to 47).toSet
+    val customDate = mutable.Set[Int]()
+    val xfIds = mutable.ArrayBuffer[Int]()
+    var inCellXfs = false
+    stream(zip, "xl/styles.xml") { r =>
+      r.getEventType match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "numFmt" =>
+              (attr(r, "numFmtId"), attr(r, "formatCode")) match {
+                case (Some(id), Some(code)) if isDateFormatCode(code) => customDate += id.trim.toInt
+                case _ =>
+              }
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfIds += attr(r, "numFmtId").map(_.trim.toInt).getOrElse(0)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    xfIds.map(id => builtinDate(id) || customDate(id)).toIndexedSeq
+  }
+
+  /** True when a custom number-format code formats dates/times. */
+  private[sources] def isDateFormatCode(code: String): Boolean = {
+    val cleaned = code
+      .replaceAll("\"[^\"]*\"", "")      // quoted literals
+      .replaceAll("\\\\.", "")           // escaped chars
+      .replaceAll("\\[[^\\]]*\\]", "")   // [$-409] / [Red] / [h] sections
+    cleaned.exists(c => "dmyhs".indexOf(c.toLower) >= 0) && !cleaned.contains("#")
+  }
+
+  /** Excel date serial → ISO string. Serials count days from 1899-12-30
+    * (or 1904-01-01 when the workbook sets date1904); the fraction is the
+    * time of day. Whole days render as dates, the rest as timestamps. */
+  private[sources] def serialToIso(raw: String, date1904: Boolean): String = {
+    val serial = raw.trim.toDouble
+    val epoch = if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else java.time.LocalDate.of(1899, 12, 30)
+    val days = math.floor(serial).toLong
+    val secs = math.round((serial - days) * 86400.0)
+    val dt = epoch.atStartOfDay.plusDays(days).plusSeconds(secs)
+    if (secs == 0) dt.toLocalDate.toString
+    else dt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** "BC" → 54 (0-based column index from an A1 cell reference). */
   private[sources] def colIndex(cellRef: String): Int = {
     var i = 0
@@ -116,13 +184,16 @@ object XlsxReader {
     acc - 1
   }
 
-  /** One worksheet part → rows of (possibly null) cell strings. */
-  private def parseSheet(zip: ZipFile, entry: String,
-                         shared: IndexedSeq[String]): Seq[Array[String]] = {
+  /** One worksheet part → rows of (possibly null) cell strings. Numeric
+    * cells whose style is a date format are rendered as ISO date/timestamp
+    * strings (what `pd.read_excel` hands the reference). */
+  private def parseSheet(zip: ZipFile, entry: String, shared: IndexedSeq[String],
+                         dateStyles: IndexedSeq[Boolean], date1904: Boolean): Seq[Array[String]] = {
     val rows = mutable.ListBuffer[Array[String]]()
     var row: mutable.ArrayBuffer[String] = null
     var cellCol = 0
     var cellType = ""
+    var cellDate = false
     var inV = false
     var inIsT = false
     val sb = new StringBuilder
@@ -133,6 +204,8 @@ object XlsxReader {
         val value = cellType match {
           case "s" => shared.lift(raw.trim.toInt).orNull
           case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+          case "" | "n" if cellDate =>
+            try serialToIso(raw, date1904) catch { case _: NumberFormatException => raw }
           case _   => raw // n (default), str, inlineStr: lexical form
         }
         while (row.length < cellCol) row += null
@@ -148,6 +221,8 @@ object XlsxReader {
             case "c" =>
               cellCol = attr(r, "r").map(colIndex).getOrElse(if (row == null) 0 else row.length)
               cellType = attr(r, "t").getOrElse("")
+              cellDate = attr(r, "s").exists(ix =>
+                dateStyles.lift(ix.trim.toInt).getOrElse(false))
               sb.clear()
             case "v" => inV = true
             case "t" if cellType == "inlineStr" => inIsT = true
@@ -180,7 +255,8 @@ object XlsxReader {
             s"sheet '$s' not in $path (has: ${sheets.map(_._1).mkString(", ")})"))
         case None => sheets.head
       }
-      toDf(spark, zip, parseRels(zip), parseSharedStrings(zip), rid, name)
+      toDf(spark, zip, parseRels(zip), parseSharedStrings(zip),
+        parseDateStyles(zip), parseDate1904(zip), rid, name)
     }
 
   /** Every sheet, workbook order preserved — `pd.read_excel(sheet_name=None)`.
@@ -190,16 +266,19 @@ object XlsxReader {
     withZip(path) { zip =>
       val rels = parseRels(zip)
       val shared = parseSharedStrings(zip)
+      val dateStyles = parseDateStyles(zip)
+      val date1904 = parseDate1904(zip)
       ListMap(parseWorkbook(zip).map { case (name, rid) =>
-        name -> toDf(spark, zip, rels, shared, rid, name)
+        name -> toDf(spark, zip, rels, shared, dateStyles, date1904, rid, name)
       }: _*)
     }
 
   private def toDf(spark: SparkSession, zip: ZipFile, rels: Map[String, String],
-                   shared: IndexedSeq[String], rid: String, name: String): DataFrame = {
+                   shared: IndexedSeq[String], dateStyles: IndexedSeq[Boolean],
+                   date1904: Boolean, rid: String, name: String): DataFrame = {
     val entry = rels.getOrElse(rid,
       throw new IllegalArgumentException(s"unresolvable sheet relationship $rid for '$name'"))
-    val rows = parseSheet(zip, entry, shared)
+    val rows = parseSheet(zip, entry, shared, dateStyles, date1904)
     if (rows.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
     val width = rows.map(_.length).max

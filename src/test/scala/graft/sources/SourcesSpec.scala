@@ -57,6 +57,19 @@ class SourcesSpec extends SparkSpec {
         |<Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>
         |<Relationship Id="rId2" Type="w" Target="worksheets/sheet2.xml"/>
         |</Relationships>""".stripMargin)
+    // style 0: General; style 1: builtin date (14); style 2: custom date;
+    // style 3: custom money format (NOT a date despite the quoted 'd')
+    put("xl/styles.xml",
+      """<?xml version="1.0"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="2">
+        |  <numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/>
+        |  <numFmt numFmtId="165" formatCode="#,##0.00&quot;d&quot;"/>
+        |</numFmts>
+        |<cellXfs count="4">
+        |  <xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/><xf numFmtId="165"/>
+        |</cellXfs>
+        |</styleSheet>""".stripMargin)
     put("xl/sharedStrings.xml",
       """<?xml version="1.0"?>
         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
@@ -73,8 +86,8 @@ class SourcesSpec extends SparkSpec {
     put("xl/worksheets/sheet2.xml",
       """<?xml version="1.0"?>
         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
-        |<row r="1"><c r="A1" t="inlineStr"><is><t>K</t></is></c></row>
-        |<row r="2"><c r="A2" t="b"><v>1</v></c></row>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>K</t></is></c><c r="B1" t="inlineStr"><is><t>D</t></is></c><c r="C1" t="inlineStr"><is><t>T</t></is></c><c r="D1" t="inlineStr"><is><t>M</t></is></c></row>
+        |<row r="2"><c r="A2" t="b"><v>1</v></c><c r="B2" s="1"><v>45000</v></c><c r="C2" s="2"><v>45000.5</v></c><c r="D2" s="3"><v>45000</v></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zos.close()
   }
@@ -91,11 +104,17 @@ class SourcesSpec extends SparkSpec {
     // multi-sheet: pd.read_excel(sheet_name=None) analog, order preserved
     val all = Ingest.readXlsxAll(ss, f.toString)
     assert(all.keys.toSeq == Seq("Mailing", "Extra"))
-    assert(all("Extra").columns.toSeq == Seq("k"))
-    assert(all("Extra").collect().map(_.getString(0)).toSeq == Seq("TRUE"))
+    assert(all("Extra").columns.toSeq == Seq("k", "d", "t", "m"))
+    val extra = all("Extra").collect().head
+    assert(extra.getString(0) == "TRUE")
+    // styles-aware dates: builtin style 14 → date, custom dd/mm/yyyy hh:mm
+    // → timestamp, money format with a QUOTED 'd' → raw number
+    assert(extra.getString(1) == "2023-03-15")
+    assert(extra.getString(2) == "2023-03-15 12:00:00")
+    assert(extra.getString(3) == "45000")
     // named-sheet selection + find-latest wiring
     val named = Ingest.readXlsx(ss, f.toString, Some("Extra"))
-    assert(named.columns.toSeq == Seq("k"))
+    assert(named.columns.toSeq == Seq("k", "d", "t", "m"))
     val latest = Ingest.readLatestXlsx(ss, dir.toString, "MAILING_NUCLEO_*.xlsx")
     assert(latest.exists(_.columns.toSeq == Seq("empresa", "ncpf", "valor")))
     intercept[IllegalArgumentException] {
