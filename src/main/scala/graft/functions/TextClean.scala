@@ -24,6 +24,14 @@ object TextClean {
   /** Strip UTF-8 BOM characters leaked into values. */
   def stripBom(c: Column): Column = regexp_replace(c, "\\uFEFF", "")
 
+  /** Filesystem-safe name: keep Unicode letters/digits, space and `_`,
+    * drop everything else, trim trailing spaces — the reference's
+    * `"".join(c for c in s if c.isalnum() or c in (' ', '_')).rstrip()`
+    * (`/root/reference/src/data_loader.py:86`). Python `isalnum` is
+    * Unicode-aware, hence `\p{L}\p{N}` rather than ASCII classes. */
+  def safeFileName(c: Column): Column =
+    rtrim(regexp_replace(c, "[^\\p{L}\\p{N} _]", ""), " ")
+
   /** Repair the two mojibake patterns the reference fixes (UTF-8 read as
     * latin-1): `NÃƒO` → `NÃO`, `AtÃ©` → `Até`. The reference's generic
     * latin1→utf8 re-decode is not expressible as a column function; these

@@ -31,11 +31,37 @@ object BrCsvSink {
     applyTo(id, textCols)(c => TextClean.nanToNull(TextClean.fixMojibake(c)))
   }
 
+  /** The reference writes every CSV as `utf-8-sig`
+    * (`data_exporter.py:90`, `final_sanitizer.py:59,104`) so BR consumers
+    * can open them in Excel. Spark's CSV writer has no BOM option, and a
+    * driver-side prepend pass would rewrite every byte; instead the BOM is
+    * carried as the first character of the FIRST column's name — UTF-8
+    * encodes it as the `EF BB BF` signature at offset 0 of every part
+    * file's header line, which is exactly what `utf-8-sig` produces.
+    * Zero extra passes, works at any scale. */
+  private def withBomHeader(df: DataFrame): DataFrame =
+    df.columns.headOption.filterNot(_.startsWith("\uFEFF"))
+      .map(first => df.withColumnRenamed(first, "\uFEFF" + first))
+      .getOrElse(df)
+
   /** Write one directory of CSV part-files per `partitionCol` value
     * (`partitionBy` → files land under `<out>/<col>=<value>/`), executed
-    * fully distributed — no per-product driver loop like the reference. */
-  def writePartitioned(df: DataFrame, out: String, partitionCol: String, sep: String = ";"): Unit =
-    df.write
+    * fully distributed — no per-product driver loop like the reference.
+    *
+    * Partition VALUES are filename-sanitized ([[graft.functions.TextClean
+    * .safeFileName]]) so directory names match the reference's scrubbed
+    * file names instead of Spark's `%XX` path escapes; part files carry
+    * the `utf-8-sig` BOM signature like every reference CSV. */
+  def writePartitioned(df: DataFrame, out: String, partitionCol: String, sep: String = ";",
+                       bom: Boolean = true, sanitizeNames: Boolean = true): Unit = {
+    val sanitized =
+      if (sanitizeNames) df.withColumn(partitionCol, TextClean.safeFileName(col(partitionCol)))
+      else df
+    // keep the partition column out of the BOM slot: it never lands in
+    // the file body, so the BOM must go on the first IN-FILE column
+    val (part, rest) = sanitized.columns.partition(_ == partitionCol)
+    val ordered = sanitized.select((rest ++ part).map(col).toIndexedSeq: _*)
+    (if (bom && rest.nonEmpty) withBomHeader(ordered) else ordered).write
       .mode("overwrite")
       .partitionBy(partitionCol)
       .option("header", "true")
@@ -43,6 +69,7 @@ object BrCsvSink {
       .option("emptyValue", "")
       .option("nullValue", "")
       .csv(out)
+  }
 
   /** Robot export grouped by TIME SLOT: many products map to one slot
     * (`grupos_08hrs = P1,P2,…` in the reference config) and each slot gets
@@ -51,19 +78,23 @@ object BrCsvSink {
     * (`gerador_robo_mestre.py:119-137`); here the slot is ONE derived
     * column and `partitionBy` fans the write out in a single distributed
     * pass — no repeated scans, no driver loop. Rows whose product is in no
-    * slot group are dropped, like the reference's `isin` filter. Robot
-    * files use the `|` separator. */
+    * slot group are dropped, like the reference's `isin` filter; a product
+    * listed in SEVERAL groups exports into every matching slot's file
+    * (the reference's per-slot `isin` loop matches each slot
+    * independently), expressed here as an explode over the matching slots.
+    * Robot files use the `|` separator and, like every reference CSV,
+    * the `utf-8-sig` signature (`gerador_robo_mestre.py:138`). */
   def writeBySlots(df: DataFrame, productCol: Column, slotGroups: Map[String, Seq[String]],
-                   out: String, sep: String = "|"): Unit = {
+                   out: String, sep: String = "|", bom: Boolean = true): Unit = {
     require(slotGroups.nonEmpty, "writeBySlots needs at least one slot group")
-    val overlaps = slotGroups.toSeq.flatMap { case (s, ps) => ps.map(_ -> s) }
-      .groupBy(_._1).filter(_._2.size > 1)
-    require(overlaps.isEmpty, s"products in several slots: ${overlaps.keys.mkString(", ")}")
-    val slot = slotGroups.foldLeft(lit(null).cast("string")) { case (acc, (s, products)) =>
-      when(productCol.isin(products: _*), lit(s)).otherwise(acc)
-    }
-    df.withColumn("slot", slot)
-      .filter(col("slot").isNotNull)
+    // One entry per slot whose group contains the product; explode drops
+    // rows whose array is empty (product in no group) and duplicates rows
+    // into each matching slot otherwise — still a single pass, no driver loop.
+    val matching = array(slotGroups.toSeq.sortBy(_._1).map { case (s, products) =>
+      when(productCol.isin(products: _*), lit(s))
+    }: _*)
+    val slotted = df.withColumn("slot", explode(filter(matching, _.isNotNull)))
+    (if (bom) withBomHeader(slotted) else slotted)
       .write
       .mode("overwrite")
       .partitionBy("slot")

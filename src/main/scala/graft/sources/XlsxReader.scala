@@ -88,26 +88,32 @@ object XlsxReader {
   }
 
   /** The shared-string table, index order. An `<si>` is either one `<t>` or
-    * styled runs `<r><t>…</t></r>…` — concatenate every `<t>` under it. */
+    * styled runs `<r><t>…</t></r>…` — concatenate every `<t>` under it,
+    * EXCEPT text inside phonetic runs (`<rPh><t>…</t></rPh>`, furigana
+    * annotations in Japanese workbooks): openpyxl/pandas exclude those, so
+    * including them would duplicate text relative to `pd.read_excel`. */
   private def parseSharedStrings(zip: ZipFile): IndexedSeq[String] = {
     if (zip.getEntry("xl/sharedStrings.xml") == null) return IndexedSeq.empty
     val out = mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
     var inT = false
+    var inRPh = false
     stream(zip, "xl/sharedStrings.xml") { r =>
       r.getEventType match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "si" => sb.clear()
-            case "t"  => inT = true
-            case _    =>
+            case "si"  => sb.clear(); inRPh = false
+            case "rPh" => inRPh = true
+            case "t"   => inT = !inRPh
+            case _     =>
           }
         case XMLStreamConstants.CHARACTERS if inT => sb.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
-            case "si" => out += sb.toString
-            case "t"  => inT = false
-            case _    =>
+            case "si"  => out += sb.toString
+            case "rPh" => inRPh = false
+            case "t"   => inT = false
+            case _     =>
           }
         case _ =>
       }

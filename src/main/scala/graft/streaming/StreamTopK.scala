@@ -37,7 +37,15 @@ object StreamTopK {
   }
 
   /** @param idleTimeout optional processing-time idle eviction (e.g.
-    *   "1 hour"); None keeps every key's state for the query lifetime. */
+    *   "1 hour"); None keeps every key's state for the query lifetime.
+    *
+    * Timeout semantics: eviction emits NOTHING — the sink already holds the
+    * key's last top-k, and re-emitting it would be a duplicate Update row
+    * indistinguishable from a real change. Eviction also RESETS the key:
+    * rows arriving after a timeout re-seed an empty top-k, so a long-idle
+    * key's ranking can appear to regress to only recently-seen items. That
+    * is the price of bounded state over an unbounded key domain; size
+    * `idleTimeout` to the longest gap worth remembering. */
   def runningTopK(ds: Dataset[Scored], k: Int,
                   idleTimeout: Option[String] = None): Dataset[TopK] = {
     require(k > 0, s"k must be positive, got $k")
@@ -48,17 +56,17 @@ object StreamTopK {
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.key)
-      .mapGroupsWithState[Seq[(String, Double)], TopK](timeoutConf) {
+      .flatMapGroupsWithState[Seq[(String, Double)], TopK](
+        OutputMode.Update(), timeoutConf) {
         (key, rows, state: GroupState[Seq[(String, Double)]]) =>
           if (state.hasTimedOut) {
-            val last = state.getOption.getOrElse(Seq.empty)
             state.remove()
-            TopK(key, last.map(_._1), last.map(_._2))
+            Iterator.empty
           } else {
             val merged = merge(state.getOption.getOrElse(Seq.empty), rows, k)
             state.update(merged)
             idleTimeout.foreach(state.setTimeoutDuration)
-            TopK(key, merged.map(_._1), merged.map(_._2))
+            Iterator.single(TopK(key, merged.map(_._1), merged.map(_._2)))
           }
       }
   }

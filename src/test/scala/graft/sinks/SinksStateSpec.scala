@@ -34,6 +34,36 @@ class SinksStateSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("BrCsvSink part files carry the utf-8-sig BOM and scrubbed dir names") {
+    val dir = Files.createTempDirectory("sinkbom").toString + "/out"
+    // reference scrub: `CONSIG/INSS *` → `CONSIGINSS` (keep alnum/space/_ then rstrip)
+    val df = Seq(("CONSIG/INSS *", 1), ("CART_BB", 2)).toDF("produto", "v")
+    BrCsvSink.writePartitioned(df, dir, "produto")
+    val names = Files.list(Paths.get(dir)).iterator()
+    val dirs = new scala.collection.mutable.ArrayBuffer[String]
+    while (names.hasNext) dirs += names.next().getFileName.toString
+    assert(dirs.filter(_.startsWith("produto=")).sorted ==
+      Seq("produto=CART_BB", "produto=CONSIGINSS"))
+    // every part file starts with the EF BB BF signature, like utf-8-sig
+    val partFile = Files.walk(Paths.get(dir)).iterator()
+    var checked = 0
+    while (partFile.hasNext) {
+      val p = partFile.next()
+      if (p.getFileName.toString.endsWith(".csv")) {
+        val head = Files.readAllBytes(p).take(3)
+        assert(head.sameElements(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)), s"no BOM in $p")
+        checked += 1
+      }
+    }
+    assert(checked >= 2)
+    // pandas-style utf-8-sig read-back: BOM is consumed by the decoder, so
+    // the header column comes back clean through our own BOM-tolerant ingest
+    val back = graft.sources.Ingest.normalizeColumns(
+      ss.read.option("header", "true").option("sep", ";").csv(dir))
+    assert(back.columns.toSeq.sorted == Seq("produto", "v"))
+    assert(back.count() == 2)
+  }
+
   test("BrCsvSink.writeBySlots fans products into slot-named partitions") {
     val dir = Files.createTempDirectory("slots").toString + "/robo"
     val df = Seq(("EPB", 1), ("EMR", 2), ("ERO", 3), ("EAC", 4), ("ZZZ", 5))
@@ -51,11 +81,16 @@ class SinksStateSpec extends SparkSpec {
     val in08 = back.filter(col("slot") === "08HRS")
       .select("PRODUTO").collect().map(_.getString(0)).sorted
     assert(in08.toSeq == Seq("EMR", "EPB"))
-    // a product in two slots is a config error, not a silent double-write
-    intercept[IllegalArgumentException] {
-      BrCsvSink.writeBySlots(df, col("PRODUTO"),
-        Map("08HRS" -> Seq("EPB"), "09HRS" -> Seq("EPB")), dir)
-    }
+    // a product in two slot groups exports into BOTH slots' files — the
+    // reference's per-slot isin loop matches each slot independently
+    val dir2 = Files.createTempDirectory("slots2").toString + "/robo"
+    BrCsvSink.writeBySlots(df, col("PRODUTO"),
+      Map("08HRS" -> Seq("EPB"), "09HRS" -> Seq("EPB", "ERO")), dir2)
+    val back2 = ss.read.option("header", "true").option("sep", "|").csv(dir2)
+    val epbSlots = back2.filter(col("PRODUTO") === "EPB")
+      .select("slot").collect().map(_.getString(0)).sorted
+    assert(epbSlots.toSeq == Seq("08HRS", "09HRS"))
+    assert(back2.count() == 3) // EPB twice + ERO once; others unmapped
   }
 
   test("Archiver zips a directory and can remove the source") {

@@ -74,7 +74,7 @@ class SourcesSpec extends SparkSpec {
       """<?xml version="1.0"?>
         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
         |<si><t>﻿ Empresa </t></si><si><t>NCPF</t></si>
-        |<si><r><t>An</t></r><r><t>a</t></r></si>
+        |<si><r><t>An</t></r><r><t>a</t></r><rPh sb="0" eb="3"><t>アナ</t></rPh><phoneticPr fontId="1"/></si>
         |</sst>""".stripMargin)
     put("xl/worksheets/sheet1.xml",
       """<?xml version="1.0"?>
