@@ -62,6 +62,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_nfc takes exactly one argument")
         NfcNormalize(args.head)
+      }),
+    (FunctionIdentifier("graft_unmojibake"),
+      new ExpressionInfo(classOf[MojibakeRepair].getName, "graft_unmojibake"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_unmojibake takes exactly one argument")
+        MojibakeRepair(args.head)
       }))
 
   /** Register the graft function set on an already-built session. */

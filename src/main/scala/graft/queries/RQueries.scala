@@ -41,7 +41,15 @@ object RQueries {
     "q49_daily_delta" -> ((s, d) => q49(s, d)),
     "q50_rollup" -> ((s, d) => q50(s, d)),
     "q51_set_ops" -> ((s, d) => q51(s, d)),
+    "q54_column_values" -> ((s, d) => q54(s, d)),
   )
+
+  /** Laudo-style per-column value listing (SURVEY §2a R38): top-5 most
+    * frequent values of each audited column, one unpivot pass + one
+    * aggregation + bounded top-k per column ([[Audit.topColumnValues]]). */
+  def q54(s: SparkSession, d: String): DataFrame =
+    Audit.topColumnValues(Tables.customer(s, d),
+      Seq("c_mktsegment", "c_nationkey", "c_name"), k = 5)
 
   /** Rollup: revenue subtotals at (nation, segment), (nation), and grand
     * total in ONE aggregation pass (Expand + single shuffle, not three
@@ -504,5 +512,18 @@ object RQueries {
         |SELECT id, 'events_only' AS tag FROM (SELECT id FROM e EXCEPT SELECT id FROM o) x
         |UNION ALL
         |SELECT id, 'both' AS tag FROM (SELECT id FROM e INTERSECT SELECT id FROM o) y""".stripMargin,
+    "q54_column_values" ->
+      """WITH stacked AS (
+        |  SELECT 'c_mktsegment' AS col_name, c_mktsegment AS value FROM customer
+        |  UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c_name', c_name FROM customer
+        |), counts AS (
+        |  SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM stacked WHERE value IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT col_name, value, cnt
+        |FROM (SELECT *, row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS rk
+        |      FROM counts)
+        |WHERE rk <= 5""".stripMargin,
   )
 }
