@@ -48,17 +48,20 @@ object CorpusStats {
     * = one (word) aggregation OVER the tf frame (already word-distinct per
     * doc — no count-distinct), join on word, then per-doc top-k through the
     * custom [[graft.plans.TopKPerKey]] plan — bounded heaps, never a
-    * per-doc sort. `n` is the corpus row count (one cheap count job). */
+    * per-doc sort. `n` is the corpus row count, folded into the SAME job
+    * as a broadcast one-row aggregate (no separate driver-side count
+    * action scanning the corpus twice across two jobs). */
   def tfIdfTopTerms(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
-    val n = df.count()
+    val nRow = df.agg(count(lit(1)).as("__n"))
     val tf = df.select(idCol.as("id"), explode(split(lower(textCol), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy("id", "word")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(nRow))
       .select(col("id"), col("word"), col("tf"),
-        (col("tf") * floor(lit(10000.0) * n / col("df")).cast("long")).as("score_q"))
+        (col("tf") * floor(lit(10000.0) * col("__n") / col("df")).cast("long")).as("score_q"))
     TopK.topKPerKeyNative(scored, Seq(col("id")),
       Seq(col("score_q").desc, col("word").asc), k)
       .select("id", "word", "tf", "score_q")

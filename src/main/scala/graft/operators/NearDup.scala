@@ -95,8 +95,19 @@ object NearDup {
   /** LSH candidate pairs: band the wide signature (rowsPerBand hashes per
     * band; bucket key "00=<mh0>|01=<mh1>"), self-join on (band, bucket),
     * emit distinct candidate id pairs carrying both shingle-set sizes
-    * (`na`/`nb`, functionally determined by the ids — free to dedup). */
-  def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    * (`na`/`nb`, functionally determined by the ids — free to dedup).
+    *
+    * @param maxBucketSize drop buckets holding more members than this
+    *   before pair generation. A degenerate bucket of f near-identical
+    *   docs emits O(f²) candidate pairs, and no salting or AQE split can
+    *   shrink that — the pairs are real; only dropping the bucket bounds
+    *   the blowup. Same explicit recall trade as the n-gram stop-gram cap
+    *   (`maxDocFreq`): members of a dropped bucket can still pair in their
+    *   other bands. Default ∞ adds NO extra plan steps; at 100 TB set it
+    *   to a few thousand (exact-dup clusters that big belong to L1 exact
+    *   dedup, which should run first anyway). */
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
+                    maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val numHashes = signatures.columns.count(_.startsWith("mh_"))
     val bands = numHashes / rowsPerBand
     val bandStructs = (0 until bands).map { j =>
@@ -107,9 +118,22 @@ object NearDup {
         }: _*))
       struct(lit(j).as("band"), key.as("bucket"))
     }
-    val banded = signatures
+    val bandedAll = signatures
       .select(col("id"), col("n_grams"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("n_grams"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded =
+      if (maxBucketSize == Long.MaxValue) bandedAll
+      else {
+        // Bucket-size census is a map-side-combinable aggregation on the
+        // same (band, bucket) key the self-join shuffles on, so the
+        // partitioning is computed once and reused; surviving buckets join
+        // back as a filter before any pair is generated.
+        val small = bandedAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+        bandedAll.join(small, Seq("band", "bucket"))
+      }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -129,7 +153,8 @@ object NearDup {
     *   shuffle-join path otherwise. */
   def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
                       k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
-                      broadcastCandidateLimit: Long = 5000000L): DataFrame = {
+                      broadcastCandidateLimit: Long = 5000000L,
+                      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     // Persist the SIGNATURES (not the shingles): the banded self-join reads
     // its subtree twice, and unpersisted that re-scans the corpus and
     // re-hashes every shingle per side. Signatures are rows × numHashes
@@ -139,7 +164,7 @@ object NearDup {
     // MEMORY_AND_DISK; released below with the candidates.
     val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candUnhinted = lshCandidates(sigs, rowsPerBand)
+    val candUnhinted = lshCandidates(sigs, rowsPerBand, maxBucketSize)
     // MEMORY_AND_DISK persist (spill-safe) only for the duration of the gate
     // count + verification join; released via unpersist below.
     val candPersisted = candUnhinted.persist()

@@ -91,7 +91,8 @@ object Similarity {
     * (`floor(sim·10⁴)`) — fully reproducible in any SQL engine. */
   def cosineNearDupPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, planes: Int = 4, numTables: Int = 3,
-                            dim: Int = 64): DataFrame = {
+                            dim: Int = 64,
+                            maxBucketSize: Long = Long.MaxValue): DataFrame = {
     GraftExtensions.register(embeddings.sparkSession)
     val signs = planeSigns(numTables * planes, dim)
     val base = withNorm(embeddings, idCol, vecCol, "id", "vec", "nrm")
@@ -101,9 +102,22 @@ object Similarity {
       }
       struct(lit(t).as("tbl"), concat(bits: _*).as("bucket"))
     }
-    val banded = base
+    val bandedAll = base
       .select(col("id"), col("vec"), col("nrm"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("id"), col("vec"), col("nrm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // Same degenerate-bucket bound as NearDup.lshCandidates: a bucket of f
+    // near-identical vectors yields O(f²) pairs that no skew handling can
+    // shrink; above the cap the bucket is dropped (recall trade — members
+    // can still pair in their other tables). Default ∞ = no extra steps.
+    val banded =
+      if (maxBucketSize == Long.MaxValue) bandedAll
+      else {
+        val small = bandedAll.groupBy("tbl", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+        bandedAll.join(small, Seq("tbl", "bucket"))
+      }
     banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -58,6 +58,27 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("maxBucketSize drops degenerate LSH buckets before pair generation") {
+    // 4 identical docs land in the same bucket in EVERY band → 6 pairs;
+    // capping bucket size at 3 drops those buckets everywhere → no pairs
+    val dup = Seq.tabulate(4)(i => (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val uncapped = NearDup.minHashLshPairs(dup, col("doc_id"), col("text"), 3, 8, 2, 0.5)
+    assert(uncapped.count() == 6)
+    val capped = NearDup.minHashLshPairs(dup, col("doc_id"), col("text"), 3, 8, 2, 0.5,
+      maxBucketSize = 3L)
+    assert(capped.count() == 0)
+    // embedding variant: identical vectors collide in every table
+    val vdup = Seq.tabulate(4)(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val vUncapped = Similarity.cosineNearDupPairsLsh(vdup, "vec_id", "embedding", 0.9,
+      planes = 2, numTables = 2, dim = 8)
+    assert(vUncapped.count() == 6)
+    val vCapped = Similarity.cosineNearDupPairsLsh(vdup, "vec_id", "embedding", 0.9,
+      planes = 2, numTables = 2, dim = 8, maxBucketSize = 3L)
+    assert(vCapped.count() == 0)
+  }
+
   test("simHash is 64 bits, deterministic, and equal for equal content") {
     val out = NearDup.simHash(docs, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
