@@ -39,6 +39,13 @@ object Prof {
     time("q19_full") {
       NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
     }
+    time("q42_edges_capped") {
+      NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 50L)
+    }
+    time("q42_full") {
+      graft.operators.DupClusters.connectedComponents(
+        NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 50L))
+    }
     spark.stop()
   }
 }

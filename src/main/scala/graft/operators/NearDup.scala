@@ -55,19 +55,42 @@ object NearDup {
     // feeds BOTH sides of the self-join, and left lazy each side would pay
     // its own full shingle aggregation to recompute it. The anti-join
     // against the materialized set is map-side after AQE broadcasts it.
-    val sh =
-      if (maxDocFreq <= 0L) shAll
-      else {
+    val interPairs =
+      if (maxDocFreq <= 0L) {
+        // Exact baseline: per-gram doc lists are unbounded, so pairs come
+        // from an equality self-join (a degenerate gram must be allowed to
+        // span many tasks; a collected list of it would not fit one row).
+        shAll.as("a").join(shAll.as("b"),
+            col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.n").as("na"), col("b.n").as("nb"))
+          .agg(count(lit(1)).as("n_inter"))
+      } else {
+        // Capped path: maxDocFreq bounds every surviving gram's doc list,
+        // so pair generation FUSES into one aggregation — collect the
+        // (bounded) sorted doc list per gram and explode its C(f,2)
+        // combinations. One shuffle of the shingles total, where the
+        // census + anti-join + self-join shape paid three; the hot-gram
+        // census still runs first (map-side-combined counts — tiny
+        // shuffle) so degenerate grams are dropped BEFORE any list is
+        // collected.
         val hot = shAll.groupBy("gram").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDocFreq).select(col("gram").as("__hot_gram"))
           .localCheckpoint(true)
         shAll.join(hot, col("gram") === col("__hot_gram"), "left_anti")
+          .groupBy("gram")
+          .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(ds) - 2), i ->
+              |  transform(sequence(i + 1, size(ds) - 1), j ->
+              |    named_struct('id_a', ds[i].id, 'na', ds[i].n,
+              |                 'id_b', ds[j].id, 'nb', ds[j].n))))""".stripMargin)).as("p"))
+          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+            col("p.na").as("na"), col("p.nb").as("nb"))
+          .agg(count(lit(1)).as("n_inter"))
       }
-    sh.as("a").join(sh.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("n_inter"))
+    interPairs
       .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
