@@ -26,6 +26,32 @@ object CorpusStats {
     TopK.topKPerKeyNative(documentFrequency(df, idCol, textCol),
       Seq.empty, Seq(col("doc_freq").desc, col("word").asc), k)
 
+  /** Per-group exact quantiles of a numeric column — corpus quality
+    * distribution cuts (p25/p50/p75/p95 per language, length percentiles
+    * per source, …). Exact `percentile` buffers each group's values, which
+    * is the right call for oracle-grade numbers on moderate group counts;
+    * at 100 TB flip `exact = false` for `approx_percentile` (mergeable
+    * fixed-size sketch, map-side combinable, rank error ≤ 1/accuracy) —
+    * same output schema, approximate cuts. Quantile values are quantized
+    * (`⌊q·100⌋`) so the exact path is engine-portable: linear interpolation
+    * over integer inputs lands on exactly-representable doubles
+    * (rank = p·(n−1), the same definition DuckDB's `quantile_cont` uses).
+    */
+  def groupQuantiles(df: DataFrame, keyCol: Column, valCol: Column,
+                     percentiles: Seq[Double], exact: Boolean = true,
+                     accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    val cuts = percentiles.map { p =>
+      val q =
+        if (exact) expr(s"percentile(__gq_val, $p)")
+        else percentile_approx(col("__gq_val"), lit(p), lit(accuracy))
+      floor(q * 100).cast("long").as(s"p${(p * 100).round}_q")
+    }
+    df.select(keyCol.as("key"), valCol.cast("double").as("__gq_val"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), cuts: _*)
+  }
+
   /** Per-document top-k terms by a tf-idf-style score (id, word, tf,
     * score_q), using the LINEAR inverse-frequency weight `score_q =
     * tf · ⌊10⁴·N/df⌋` — one of the standard idf variants (the "inverse

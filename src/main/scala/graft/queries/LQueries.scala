@@ -37,6 +37,7 @@ object LQueries {
     "q46_pii_scrub" -> ((s, d) => q46(s, d)),
     "q52_cosine_neardup_lsh" -> ((s, d) => q52(s, d)),
     "q53_tfidf_topk" -> ((s, d) => q53(s, d)),
+    "q55_quality_quantiles" -> ((s, d) => q55(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -115,6 +116,20 @@ object LQueries {
   def q53(s: SparkSession, d: String): DataFrame =
     graft.operators.CorpusStats.tfIdfTopTerms(
       Tables.documents(s, d), col("doc_id"), col("text"), k = 5)
+
+  /** L26: quality-score distribution cuts per (language, length-bucket)
+    * cohort — lang-id (L7) + quality scoring (L8) composed under exact
+    * per-group percentiles; `exact = false` is the approx-sketch scale
+    * path (spec-covered). */
+  def q55(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusStats.groupQuantiles(
+        Tables.documents(s, d).select(
+          concat(TextAnalysis.langId(col("text")), lit("_"),
+            floor(length(col("text")) / 100).cast("long")).as("cohort"),
+          TextAnalysis.qualityScoreQ(col("text")).as("score_q")),
+        col("cohort"), col("score_q"),
+        percentiles = Seq(0.25, 0.5, 0.75, 0.95))
+      .withColumnRenamed("key", "cohort")
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -570,5 +585,38 @@ object LQueries {
         |WHERE CAST(floor(list_dot_product(a.v, b.v)
         |                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
         |                 * 10000) AS BIGINT) >= 4000""".stripMargin,
+    "q55_quality_quantiles" -> {
+      def hits(words: Seq[String]) = words.map(w =>
+        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)").mkString(" + ")
+      s"""WITH feats AS (
+         |  SELECT p,
+         |    CAST(length(text) AS DOUBLE) AS len,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS tokens,
+         |    CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+         |       + (length(p) - length(replace(p, ' and ', ''))) / 5
+         |       + (length(p) - length(replace(p, ' of ', ''))) / 4
+         |       + (length(p) - length(replace(p, ' to ', ''))) / 4
+         |       + (length(p) - length(replace(p, ' a ', ''))) / 3 AS DOUBLE) AS stop,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper
+         |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents) x),
+         |scored AS (
+         |  SELECT (CASE WHEN ${hits(TextAnalysis.EnStop)} >= ${hits(TextAnalysis.PtStop)}
+         |               AND ${hits(TextAnalysis.EnStop)} >= ${hits(TextAnalysis.EsStop)} THEN 'en'
+         |              WHEN ${hits(TextAnalysis.PtStop)} >= ${hits(TextAnalysis.EsStop)} THEN 'pt'
+         |              ELSE 'es' END) || '_' || CAST(CAST(floor(len / 100) AS BIGINT) AS VARCHAR) AS cohort,
+         |         CAST(floor((0.4 * least(len / 500.0, 1.0)
+         |             + 0.3 * least(stop / greatest(tokens, 1.0) * 5.0, 1.0)
+         |             + 0.15 * (1.0 - least(punct / greatest(len, 1.0) * 10.0, 1.0))
+         |             + 0.15 * (1.0 - least(upper / greatest(len, 1.0) * 5.0, 1.0))) * 10000.0) AS BIGINT) AS score_q
+         |  FROM feats)
+         |SELECT cohort, count(*) AS n,
+         |  CAST(floor(quantile_cont(score_q, 0.25) * 100) AS BIGINT) AS p25_q,
+         |  CAST(floor(quantile_cont(score_q, 0.5)  * 100) AS BIGINT) AS p50_q,
+         |  CAST(floor(quantile_cont(score_q, 0.75) * 100) AS BIGINT) AS p75_q,
+         |  CAST(floor(quantile_cont(score_q, 0.95) * 100) AS BIGINT) AS p95_q
+         |FROM scored GROUP BY cohort""".stripMargin
+    },
   )
 }

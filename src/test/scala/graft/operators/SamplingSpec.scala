@@ -76,4 +76,18 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(top.keySet == Set("alpha", "beta")) // tie at 2, word-asc tiebreak
   }
+
+  test("groupQuantiles: exact interpolated cuts; approx agrees on small data") {
+    val vals = Seq(("a", 10), ("a", 20), ("a", 30), ("a", 40), ("b", 5)).toDF("k", "v")
+    val exact = CorpusStats.groupQuantiles(vals, col("k"), col("v"), Seq(0.5, 0.75))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // a: rank 0.5*(4-1)=1.5 → 25.0 → 2500; 0.75*3=2.25 → 32.5 → 3250
+    assert(exact == Set(("a", 4L, 2500L, 3250L), ("b", 1L, 500L, 500L)))
+    // approx path (the 100 TB default): same schema, exact on tiny groups
+    val approx = CorpusStats.groupQuantiles(vals, col("k"), col("v"), Seq(0.5),
+        exact = false)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(approx("b") == 500L)
+    assert(approx("a") >= 2000L && approx("a") <= 3000L)
+  }
 }
