@@ -1,31 +1,52 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 /** Per-stage audit counts, the reference's `ExecutionReporter`
   * (`/root/reference/src/logger_setup.py`) re-expressed without extra
-  * actions: each stage registers a `df.observe(name, count(*))` so row
-  * counts ride along with whatever action the caller eventually runs —
-  * no O(stages) extra passes over 100 TB like calling `.count()` per
-  * stage would cost. */
+  * actions: each stage registers an `observe` so row counts ride along
+  * with whatever action eventually materializes that stage — no O(stages)
+  * extra passes over 100 TB like calling `.count()` per stage would cost.
+  *
+  * Tracking is [[Observation]]-based, so a multi-action pipeline works
+  * too: a stage observed upstream of a `localCheckpoint` fires during the
+  * checkpoint's own materialization, later stages fire on the final
+  * action, and [[collect]]/[[results]] read them all afterwards. (One
+  * rule still applies per action: a tracked frame must not be referenced
+  * twice within a single plan, or Spark rejects the duplicated metric —
+  * checkpoint before fan-out, which iterative operators need anyway.) */
 final class StageReport {
-  private val stages = mutable.ArrayBuffer.empty[String]
+  private val stages = mutable.ArrayBuffer.empty[(String, Observation)]
 
   def track(name: String, df: DataFrame): DataFrame = {
-    stages += name
-    df.observe(name, count(lit(1)).as("rows"))
+    val obs = Observation(name)
+    stages += name -> obs
+    df.observe(obs, count(lit(1)).as("rows"))
   }
 
-  /** Collect observed counts. Observed metrics attach to the QueryExecution
-    * that actually ran, so this executes the frame's own plan once (a later
-    * `df.count()` builds a different QueryExecution and would leave this
-    * one's accumulators empty). In a long-lived service, register a
-    * QueryExecutionListener instead and let metrics ride the normal action. */
-  def collect(df: DataFrame): Seq[(String, Long)] = {
-    df.queryExecution.toRdd.count()
-    val listed = df.queryExecution.observedMetrics
-    stages.toSeq.flatMap(n => listed.get(n).map(r => n -> r.getAs[Long]("rows")))
+  /** Counts for every stage whose observing action has already run, in
+    * tracking order. */
+  def results: Seq[(String, Long)] =
+    stages.toSeq.flatMap { case (n, o) =>
+      // non-blocking read: only stages whose action already ran report
+      o.future.value.flatMap(_.toOption).map(r => n -> r.getAs[Long]("rows"))
+    }
+
+  /** Run one Dataset action over `df` (so its observes fire — Observation
+    * completion rides the SQL listener bus, which a bare `toRdd` action
+    * would bypass), wait briefly for the async listener bus to deliver,
+    * then return all available stage counts. Stages materialized by
+    * earlier actions (e.g. upstream of a checkpoint) are included; a
+    * stage that never ran is omitted rather than blocking forever. */
+  def collect(df: DataFrame, waitSecs: Int = 30): Seq[(String, Long)] = {
+    df.count()
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val all = scala.concurrent.Future.sequence(stages.toSeq.map(_._2.future))
+    try scala.concurrent.Await.ready(all, waitSecs.seconds)
+    catch { case _: java.util.concurrent.TimeoutException => }
+    results
   }
 }
