@@ -62,11 +62,15 @@ object Multimodal {
     * 64-bit, always positive) kept as a compact join/shuffle key:
     * deterministic across runs/engines, no zipWithIndex/window global
     * ordering, birthday-collision-free to ~10⁸ files — beyond that, key on
-    * `path` (or widen to the full digest). Format metadata is the
-    * basename's extension (null when it has none); width/height belong to
-    * the (stubbed) decode stage. */
+    * `path` (or widen to the full digest). Format + dimensions come from
+    * the REAL header sniff (`graft_image_meta`, a codegen'd scalar over
+    * the binary column — PNG/JPEG/GIF/BMP container layouts, no codec
+    * library); files whose header is unrecognized fall back to the
+    * basename's extension with null dimensions. Pixel decode stays with
+    * the (stubbed) feature-extraction stage. */
   def readMediaDir(spark: org.apache.spark.sql.SparkSession, path: String,
                    glob: String = "*"): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val base = element_at(split(col("path"), "/"), -1)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
@@ -74,15 +78,25 @@ object Multimodal {
       .select(
         col("path"),
         col("content").as("media"),
+        call_function("graft_image_meta", col("content")).as("__sniff"),
         when(base.contains("."), lower(element_at(split(base, "\\."), -1)))
           .otherwise(lit(null).cast("string")).as("__ext"))
       .select(
         conv(substring(md5(col("path")), 1, 15), 16, 10).cast("long").as("media_id"),
         col("path"),
         col("media"),
-        struct(col("__ext").as("format"),
-          lit(null).cast("int").as("width"),
-          lit(null).cast("int").as("height")).as("meta"))
+        struct(
+          coalesce(col("__sniff.format"), col("__ext")).as("format"),
+          col("__sniff.width").as("width"),
+          col("__sniff.height").as("height")).as("meta"))
+  }
+
+  /** Header-sniffed metadata for an existing binary column:
+    * `struct(format, width, height)` per row, null when unrecognized —
+    * see [[graft.plans.ImageMeta]]. */
+  def imageMeta(df: DataFrame, binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    call_function("graft_image_meta", binCol)
   }
 
   /** BATCHED decode — the `mapInPandas`/Arrow batch contract re-expressed

@@ -68,6 +68,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_unmojibake takes exactly one argument")
         MojibakeRepair(args.head)
+      }),
+    (FunctionIdentifier("graft_image_meta"),
+      new ExpressionInfo(classOf[ImageMeta].getName, "graft_image_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_image_meta takes exactly one argument")
+        ImageMeta(args.head)
       }))
 
   /** Register the graft function set on an already-built session. */
