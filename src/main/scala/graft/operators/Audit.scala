@@ -61,7 +61,9 @@ object Audit {
     * loop. Matching follows the reference: sanitize mojibake, compare
     * lowercased. Returns (col_name, value) distinct pairs. */
   def forbiddenScan(df: DataFrame, cols: Seq[String], forbidden: Set[String]): DataFrame = {
-    val lowered = forbidden.map(_.toLowerCase)
+    // Locale.ROOT: Spark's lower() is locale-independent; a default-locale
+    // toLowerCase (tr_TR dotless-ı etc.) would silently miss matches
+    val lowered = forbidden.map(_.toLowerCase(java.util.Locale.ROOT))
     stacked(df, cols)
       .withColumn("value", lower(sanitize(df, col("value"))))
       .filter(col("value").isin(lowered.toSeq: _*))
@@ -73,13 +75,16 @@ object Audit {
     * string assembly over already-small audit results. */
   def report(inputStatuses: Seq[String], toRemove: Set[String],
              outputFindings: Map[String, Seq[String]]): String = {
+    // normalize the remove-set like forbiddenScan does, so callers can pass
+    // statuses as they appear (any case) and still get Sim markers
+    val toRemoveLc = toRemove.map(_.toLowerCase(java.util.Locale.ROOT))
     val sb = new StringBuilder
     sb ++= "# Relatório de Auditoria Completa de Status\n\n"
     sb ++= "## 1. Análise do Arquivo de Entrada\n\n"
     sb ++= "| Status Encontrado | Deveria ser Removido? |\n| :--- | :---: |\n"
     if (inputStatuses.isEmpty) sb ++= "| Nenhum status encontrado | - |\n"
     else inputStatuses.sorted.foreach { s =>
-      val mark = if (toRemove.contains(s.toLowerCase)) "**Sim**" else "Não"
+      val mark = if (toRemoveLc.contains(s.toLowerCase(java.util.Locale.ROOT))) "**Sim**" else "Não"
       sb ++= s"| `$s` | $mark |\n"
     }
     sb ++= "\n## 2. Análise dos Arquivos de Saída\n\n"

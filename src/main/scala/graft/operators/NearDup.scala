@@ -49,6 +49,10 @@ object NearDup {
     // run to run).
     val shAll = df.select(idCol.as("id"),
         call_function("graft_shingles", textCol, lit(k)).as("g"))
+      // null ids (bad ingest, left-join residue) are dropped explicitly:
+      // the self-join path would discard them via the a.id < b.id
+      // predicate, the fused capped path would not — keep both identical
+      .where(col("id").isNotNull)
       .select(col("id"), size(col("g")).cast("long").as("n"), explode(col("g")).as("gram"))
     // The hot-gram set is tiny by definition (bounded by corpus_size /
     // maxDocFreq), so materialize it ONCE with an eager checkpoint — it

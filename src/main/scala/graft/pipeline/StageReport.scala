@@ -40,13 +40,19 @@ final class StageReport {
     * then return all available stage counts. Stages materialized by
     * earlier actions (e.g. upstream of a checkpoint) are included; a
     * stage that never ran is omitted rather than blocking forever. */
-  def collect(df: DataFrame, waitSecs: Int = 30): Seq[(String, Long)] = {
+  def collect(df: DataFrame, waitSecs: Int = 10): Seq[(String, Long)] = {
     df.count()
-    import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
-    val all = scala.concurrent.Future.sequence(stages.toSeq.map(_._2.future))
-    try scala.concurrent.Await.ready(all, waitSecs.seconds)
-    catch { case _: java.util.concurrent.TimeoutException => }
+    // await each stage against ONE shared deadline: completed futures
+    // return instantly, and a stage that never materialized can burn the
+    // budget at most once for the whole call, not once per stage
+    val deadline = System.nanoTime() + waitSecs.seconds.toNanos
+    stages.foreach { case (_, o) =>
+      val remaining = (deadline - System.nanoTime()).nanos
+      if (remaining > Duration.Zero)
+        try scala.concurrent.Await.ready(o.future, remaining)
+        catch { case _: java.util.concurrent.TimeoutException => }
+    }
     results
   }
 }

@@ -70,7 +70,10 @@ object ImageMeta {
       return row("gif", le16(b, 6), le16(b, 8))
     // BMP: "BM" + BITMAPINFOHEADER — signed little-endian width at 18,
     // height at 22 (negative height = top-down rows; dimension is |h|).
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+    // The DIB header size at 14 gates the layout: OS/2 BITMAPCOREHEADER
+    // (size 12, 16-bit dims at other offsets) would parse as garbage here,
+    // so anything below the 40-byte info header is not claimed.
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40)
       return row("bmp", le32(b, 18), math.abs(le32(b, 22)))
     // JPEG: FF D8, then a marker walk to the first SOFn segment
     // (C0-C3, C5-C7, C9-CB, CD-CF), whose payload is
@@ -79,6 +82,8 @@ object ImageMeta {
       var i = 2
       while (i + 3 < b.length) {
         if ((b(i) & 0xff) != 0xff) return null // lost marker sync
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while (i + 3 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
         val marker = b(i + 1) & 0xff
         if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
           i += 2 // standalone marker, no length field

@@ -39,12 +39,17 @@ object MojibakeRepair {
     val n = str.length
     val bytes = new Array[Byte](n)
     var i = 0
+    var allAscii = true
     while (i < n) {
       val ch = str.charAt(i)
       if (ch > 0xFF) return s // not encodable as latin-1 → keep original
+      if (ch >= 0x80) allAscii = false
       bytes(i) = ch.toByte
       i += 1
     }
+    // ASCII bytes decode to themselves — skip the decoder allocation for
+    // the overwhelming majority of corpus values
+    if (allAscii) return s
     try {
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)

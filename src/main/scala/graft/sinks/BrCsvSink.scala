@@ -51,11 +51,25 @@ object BrCsvSink {
     * Partition VALUES are filename-sanitized ([[graft.functions.TextClean
     * .safeFileName]]) so directory names match the reference's scrubbed
     * file names instead of Spark's `%XX` path escapes; part files carry
-    * the `utf-8-sig` BOM signature like every reference CSV. */
+    * the `utf-8-sig` BOM signature like every reference CSV.
+    *
+    * Sanitization trades like the reference does, but safer: null/blank
+    * partition values are skipped (the reference's `isna or not strip()`
+    * guard, `data_exporter.py:61`); products whose scrubbed names COLLIDE
+    * merge into one directory (the reference's per-product loop silently
+    * OVERWRITES the earlier file at the same path — merge loses nothing);
+    * a non-blank value that scrubs to empty becomes `_` (the reference
+    * emits a nameless `mailing__<date>.csv`; an empty partition value
+    * would round-trip as NULL). Pass `sanitizeNames = false` to keep raw
+    * values with Spark's escaping and no row skipped. */
   def writePartitioned(df: DataFrame, out: String, partitionCol: String, sep: String = ";",
                        bom: Boolean = true, sanitizeNames: Boolean = true): Unit = {
+    val scrubbed = TextClean.safeFileName(col(partitionCol))
     val sanitized =
-      if (sanitizeNames) df.withColumn(partitionCol, TextClean.safeFileName(col(partitionCol)))
+      if (sanitizeNames)
+        df.filter(col(partitionCol).isNotNull && trim(col(partitionCol)) =!= "")
+          .withColumn(partitionCol,
+            when(length(scrubbed) === 0, lit("_")).otherwise(scrubbed))
       else df
     // keep the partition column out of the BOM slot: it never lands in
     // the file body, so the BOM must go on the first IN-FILE column

@@ -43,7 +43,7 @@ class AuditSpec extends SparkSpec {
   test("report renders input markers and per-file OK/ALERTA sections") {
     val md = Audit.report(
       inputStatuses = Seq("ATIVO", "ÓBITO"),
-      toRemove = Set("óbito"),
+      toRemove = Set("ÓBITO"), // any case — report normalizes like forbiddenScan
       outputFindings = Map(
         "mailing_EPB.csv" -> Nil,
         "mailing_EMR.csv" -> Seq("óbito")))

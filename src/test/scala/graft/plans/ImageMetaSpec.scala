@@ -54,6 +54,22 @@ class ImageMetaSpec extends SparkSpec {
     assert(rows(6L) == null)
   }
 
+  test("sniff rejects OS/2 core-header BMPs and walks JPEG fill bytes") {
+    GraftExtensions.register(ss)
+    // BITMAPCOREHEADER (DIB size 12): claiming it with info-header offsets
+    // would yield garbage — must be null, like any unrecognized layout
+    val coreBmp = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(12) ++
+      le16(100) ++ le16(200) ++ Array[Byte](1, 0, 24, 0)
+    // T.81 allows 0xFF fill bytes before a marker: FF D8 FF FF <app0...>
+    val fillJpeg = Array(0xff, 0xd8, 0xff).map(_.toByte) ++ jpeg(32, 16).drop(2)
+    val df = Seq((1L, coreBmp), (2L, fillJpeg)).toDF("id", "bin")
+      .select(col("id"), call_function("graft_image_meta", col("bin")).as("m"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getStruct(1).getString(0))).toMap
+    assert(rows(1L) == null)
+    assert(rows(2L) == "jpeg")
+  }
+
   test("readMediaDir meta prefers the sniffed header over the extension") {
     val dir = java.nio.file.Files.createTempDirectory("mediahdr")
     // a PNG payload behind a lying .jpg extension → sniff wins
