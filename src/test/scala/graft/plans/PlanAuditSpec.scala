@@ -1,0 +1,35 @@
+package graft
+
+import graft.SparkSpec
+
+/** Engine-wide plan audit: every registered verify query's physical plan is
+  * checked for the scale anti-patterns SURVEY §5 bans — no cartesian
+  * products and no broadcast-nested-loop joins outside the explicit
+  * allowlist (a 1-row broadcast scalar is fine; an accidental
+  * condition-less join of two corpus-scale sides is not). Catches the
+  * classic regression where a refactor drops a join condition and the
+  * planner silently degrades to O(n·m). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed a BroadcastNestedLoopJoin, with why. */
+  private val bnljAllowed: Map[String, String] = Map(
+    "q53_tfidf_topk" -> "1-row corpus-count aggregate broadcast into scoring",
+    "q20_cosine_topk" -> "tiny fixed query-vector set vs corpus (bounded side)",
+    "q26_lsh_ann" -> "tiny fixed query-vector set vs corpus (bounded side)",
+    "q33_ivf_ann" -> "tiny fixed query-vector set vs corpus (bounded side)",
+    "q29_cosine_neardup" -> "deliberate all-pairs EXACT baseline (L12); q52 is the LSH scale path")
+
+  test("no registered query plans a cartesian product or stray BNLJ") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(ss, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+        offenders += s"$name: BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, s"scale anti-patterns:\n${offenders.mkString("\n")}")
+  }
+}
