@@ -131,6 +131,73 @@ object Multimodal {
     ids.lazyZip(payloads).map((id, bytes) => decodeStub(id, bytes, dim))
   }
 
+  /** Nearest-neighbor resize for UNCOMPRESSED 24-bit BMP payloads — a
+    * fully REAL resize path (raw pixel rows need no codec): parse the
+    * info header, sample rows/columns, emit a well-formed BMP at the
+    * target size. Returns None for anything that is not a plain 24-bit
+    * uncompressed BMP — those formats need a codec library and stay with
+    * the stub contract. Top-down (negative height) sources stay top-down. */
+  def resizeBmp(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"target dims must be positive, got ${tw}x$th")
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M' || le32(14) < 40) return None
+    val (bpp, compression) = (le16(28), le32(30))
+    if (bpp != 24 || compression != 0) return None
+    val (w, hRaw, off) = (le32(18), le32(22), le32(10))
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0) return None
+    val srcStride = ((w * 3 + 3) / 4) * 4
+    if (off + srcStride.toLong * h > b.length) return None // truncated pixel array
+    val dstStride = ((tw * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + dstStride * th)
+    // file header + info header (little-endian writes)
+    def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, 54)
+    put32(14, 40); put32(18, tw); put32(22, if (hRaw < 0) -th else th)
+    put16(26, 1); put16(28, 24); put32(30, 0); put32(34, dstStride * th)
+    put32(38, le32(38)); put32(42, le32(42)) // carry source pixels-per-meter
+    // nearest-neighbor sampling in storage order (bottom-up/top-down alike)
+    var y = 0
+    while (y < th) {
+      val sy = y.toLong * h / th
+      var x = 0
+      while (x < tw) {
+        val sx = x.toLong * w / tw
+        val s = off + (sy * srcStride + sx * 3).toInt
+        val d = 54 + y * dstStride + x * 3
+        out(d) = b(s); out(d + 1) = b(s + 1); out(d + 2) = b(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Media resize over a frame: REAL for plain 24-bit BMPs via
+    * [[resizeBmp]], passthrough (resized=false) for codec-bound formats —
+    * per-partition batched like the decode stage, constant memory per
+    * task. Output keeps (media_id, media, resized). */
+  def resizeMedia(df: DataFrame, tw: Int, th: Int): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.BINARY, Encoders.scalaBoolean)
+    df.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+          resizeBmp(bytes, tw, th) match {
+            case Some(resized) => (r.getLong(0), resized, true)
+            case None          => (r.getLong(0), bytes, false)
+          }
+        }
+      }.toDF("media_id", "media", "resized")
+  }
+
   /** Frame/segment sampling: cut the payload into fixed-size chunks and
     * keep every `stride`-th one — the shape of video frame-sampling, over
     * opaque bytes. Pure projection (codegen'd), no shuffle. */

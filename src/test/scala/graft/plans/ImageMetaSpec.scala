@@ -70,6 +70,37 @@ class ImageMetaSpec extends SparkSpec {
     assert(rows(2L) == "jpeg")
   }
 
+  test("resizeBmp nearest-neighbor: real pixels, re-sniffable output") {
+    GraftExtensions.register(ss)
+    // hand-built 4x2 24-bit bottom-up BMP: stride 12, pixel k = (k,k,k)
+    val stride = 12
+    val px = new Array[Byte](stride * 2)
+    for (r <- 0 until 2; c <- 0 until 4) {
+      val v = (r * 4 + c + 1).toByte
+      val o = r * stride + c * 3
+      px(o) = v; px(o + 1) = v; px(o + 2) = v
+    }
+    val header = "BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(4) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(px.length) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val bmp = header ++ px
+    assert(header.length == 54)
+    val out = graft.operators.Multimodal.resizeBmp(bmp, 2, 1).get
+    // the resized payload is a well-formed BMP our own sniff understands
+    assert(ImageMeta.compute(out) != null)
+    val m = ImageMeta.compute(out)
+    assert(m.getUTF8String(0).toString == "bmp" && m.getInt(1) == 2 && m.getInt(2) == 1)
+    // nearest-neighbor picks source columns 0 and 2 of the bottom row
+    assert(out(54) == 1 && out(55) == 1 && out(56) == 1)
+    assert(out(57) == 3 && out(58) == 3 && out(59) == 3)
+    // non-BMP payloads pass through the frame API unresized
+    val df = Seq((1L, bmp), (2L, png(8, 8))).toDF("media_id", "media")
+    val res = graft.operators.Multimodal.resizeMedia(df, 2, 1)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("media").length, r.getBoolean(2))).toMap
+    assert(res(1L)._2 && res(1L)._1 == 62) // 54 + one 8-byte padded row
+    assert(!res(2L)._2 && res(2L)._1 == png(8, 8).length)
+  }
+
   test("readMediaDir meta prefers the sniffed header over the extension") {
     val dir = java.nio.file.Files.createTempDirectory("mediahdr")
     // a PNG payload behind a lying .jpg extension → sniff wins
