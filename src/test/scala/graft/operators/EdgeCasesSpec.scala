@@ -55,4 +55,28 @@ class EdgeCasesSpec extends SparkSpec {
     assert(NearDup.minHashLshPairs(one, col("doc_id"), col("text"), 3, 8, 2, 0.5).count() == 0)
     assert(NearDup.simHash(one, col("doc_id"), col("text")).count() == 1)
   }
+
+  test("round-5 additions on empty/degenerate input") {
+    // audit family: empty frames and all-null columns flow through
+    assert(Audit.topColumnValues(noDocs, Seq("text"), 3).count() == 0)
+    val allNull = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
+    assert(Audit.topColumnValues(allNull, Seq("text"), 3).count() == 0)
+    assert(Audit.distinctStatuses(allNull, "text").count() == 0)
+    assert(Audit.forbiddenScan(allNull, Seq("doc_id", "text"), Set("x")).count() == 0)
+    assert(Audit.report(Nil, Set.empty, Map.empty).contains("Nenhum status encontrado"))
+    // quantiles: empty in → empty out, both paths
+    assert(CorpusStats.groupQuantiles(noDocs, col("text"), col("doc_id"), Seq(0.5)).count() == 0)
+    assert(CorpusStats.groupQuantiles(noDocs, col("text"), col("doc_id"), Seq(0.5),
+      exact = false).count() == 0)
+    // resize: truncated pixel array and garbage are refused, not thrown
+    assert(Multimodal.resizeBmp("BM".getBytes ++ Array.fill[Byte](60)(0), 2, 2).isEmpty)
+    assert(Multimodal.resizeBmp(Array[Byte](1, 2, 3), 2, 2).isEmpty)
+    // null ids never produce pairs on the fused capped path
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a b c d"),
+      (null: java.lang.Long, "a b c d")).toDF("doc_id", "text")
+    assert(NearDup.ngramJaccardPairs(withNull, col("doc_id"), col("text"), 3, 0.1,
+      maxDocFreq = 10L).count() == 0)
+    // corpus pipeline end-to-end on an empty corpus
+    assert(graft.pipeline.CorpusPipeline.prepare(noDocs, col("doc_id"), col("text")).count() == 0)
+  }
 }
