@@ -45,10 +45,14 @@ object RunAudit {
         dir -> found
       }.toMap
 
-      // Phase 3: the markdown report
+      // Phase 3: the markdown report — written through the SAME Hadoop fs
+      // handle that probed the export dirs, so scheme'd outputDirs
+      // (file:/…, hdfs://…) resolve consistently for read and write
       val md = Audit.report(statuses, toRemove, findings)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outputDir/RELATORIO_AUDITORIA_COMPLETA.md"), md)
+      val reportPath = new org.apache.hadoop.fs.Path(
+        s"$outputDir/RELATORIO_AUDITORIA_COMPLETA.md")
+      val os = fs.create(reportPath, true)
+      try os.write(md.getBytes("UTF-8")) finally os.close()
       val alerts = findings.filter(_._2.nonEmpty)
       println(s"AUDIT_STATUSES=${statuses.size} AUDIT_FILES=${findings.size} AUDIT_ALERTS=${alerts.size}")
       println(s"AUDIT_REPORT=$outputDir/RELATORIO_AUDITORIA_COMPLETA.md")

@@ -22,9 +22,9 @@ object RunCorpus {
         .groupBy("split").agg(count(lit(1)).as("n"), sum("ws_tokens").as("tokens"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1)
-      // stage observes fired on the write action; the completion rides the
-      // ASYNC listener bus, so read them last (after the summary query has
-      // given the bus time to drain)
+      // stage observes fired on the write action; their completion rides
+      // the ASYNC listener bus — wait it out (bounded) instead of racing it
+      report.awaitAll()
       val stages = report.results
       println(s"STAGES=${stages.map { case (n, c) => s"$n:$c" }.mkString(",")}")
       println(s"SPLITS=${bySplit.map { case (s, n, t) => s"$s:$n:${t}tok" }.mkString(",")}")

@@ -145,11 +145,18 @@ object Multimodal {
     val (bpp, compression) = (le16(28), le32(30))
     if (bpp != 24 || compression != 0) return None
     val (w, hRaw, off) = (le32(18), le32(22), le32(10))
-    val h = math.abs(hRaw)
-    if (w <= 0 || h == 0) return None
-    val srcStride = ((w * 3 + 3) / 4) * 4
-    if (off + srcStride.toLong * h > b.length) return None // truncated pixel array
-    val dstStride = ((tw * 3 + 3) / 4) * 4
+    // header fields are attacker-controlled: Long arithmetic throughout so
+    // a hostile width/height/offset can neither overflow nor index below 0
+    // (math.abs(Int.MinValue) stays negative — hence the Long abs)
+    val h = math.abs(hRaw.toLong)
+    if (w <= 0 || h == 0 || off < 54) return None
+    val srcStrideL = ((w.toLong * 3 + 3) / 4) * 4
+    if (off.toLong + srcStrideL * h > b.length) return None // truncated pixel array
+    val srcStride = srcStrideL.toInt // bounded by b.length via the check above
+    val dstStrideL = ((tw.toLong * 3 + 3) / 4) * 4
+    require(54L + dstStrideL * th <= Int.MaxValue,
+      s"target ${tw}x$th exceeds a single in-memory BMP payload")
+    val dstStride = dstStrideL.toInt
     val out = new Array[Byte](54 + dstStride * th)
     // file header + info header (little-endian writes)
     def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }

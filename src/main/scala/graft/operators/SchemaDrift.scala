@@ -32,17 +32,22 @@ object SchemaDrift {
 
   /** `diagnostico.py`'s per-file analysis: full sorted column list plus the
     * distinct values of each investigated column (bounded at `maxValues`,
-    * most-frequent first), computed in ONE pass via the Audit machinery.
-    * Investigated columns missing from the frame report as absent. */
+    * most-frequent first, ties value-asc), computed in ONE pass via the
+    * Audit machinery. Every PRESENT column gets a map entry — an all-null
+    * or empty column reports an empty listing, distinct from a column
+    * that is genuinely absent from the schema. */
   def diagnose(df: DataFrame, investigate: Seq[String],
                maxValues: Int = 50): (Seq[String], Map[String, Seq[String]]) = {
     val present = investigate.filter(df.columns.contains)
-    val values: Map[String, Seq[String]] =
+    val collected: Map[String, Seq[String]] =
       if (present.isEmpty) Map.empty
       else Audit.topColumnValues(df, present, maxValues)
         .collect()
         .groupBy(_.getString(0))
-        .map { case (c, rows) => c -> rows.map(_.getString(1)).toSeq.sorted }
+        .map { case (c, rows) =>
+          c -> rows.sortBy(r => (-r.getLong(2), r.getString(1))).map(_.getString(1)).toSeq
+        }
+    val values = present.map(c => c -> collected.getOrElse(c, Seq.empty)).toMap
     (df.columns.sorted.toSeq, values)
   }
 

@@ -40,12 +40,13 @@ final class StageReport {
     * then return all available stage counts. Stages materialized by
     * earlier actions (e.g. upstream of a checkpoint) are included; a
     * stage that never ran is omitted rather than blocking forever. */
-  def collect(df: DataFrame, waitSecs: Int = 10): Seq[(String, Long)] = {
-    df.count()
+  /** Wait (bounded) for observed metrics still in flight on the ASYNC SQL
+    * listener bus. One shared deadline: completed futures return
+    * instantly, and a stage that never materialized can burn the budget
+    * at most once for the whole call, not once per stage. Call after the
+    * last action whose stages you want, then read [[results]]. */
+  def awaitAll(waitSecs: Int = 10): Unit = {
     import scala.concurrent.duration._
-    // await each stage against ONE shared deadline: completed futures
-    // return instantly, and a stage that never materialized can burn the
-    // budget at most once for the whole call, not once per stage
     val deadline = System.nanoTime() + waitSecs.seconds.toNanos
     stages.foreach { case (_, o) =>
       val remaining = (deadline - System.nanoTime()).nanos
@@ -53,6 +54,11 @@ final class StageReport {
         try scala.concurrent.Await.ready(o.future, remaining)
         catch { case _: java.util.concurrent.TimeoutException => }
     }
+  }
+
+  def collect(df: DataFrame, waitSecs: Int = 10): Seq[(String, Long)] = {
+    df.count()
+    awaitAll(waitSecs)
     results
   }
 }

@@ -69,6 +69,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(CorpusStats.groupQuantiles(noDocs, col("text"), col("doc_id"), Seq(0.5),
       exact = false).count() == 0)
     // resize: truncated pixel array and garbage are refused, not thrown
+    def l32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def l16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    // structurally VALID 24-bit header (DIB 40, comp 0, off 54, 4x2) whose
+    // declared pixel array extends past the payload → truncation branch
+    val truncated = "BM".getBytes ++ l32(78) ++ l32(0) ++ l32(54) ++ l32(40) ++
+      l32(4) ++ l32(2) ++ l16(1) ++ l16(24) ++ l32(0) ++ l32(24) ++
+      l32(0) ++ l32(0) ++ l32(0) ++ l32(0) ++ Array.fill[Byte](5)(0)
+    assert(Multimodal.resizeBmp(truncated, 2, 2).isEmpty)
+    // hostile header fields: negative pixel offset, Int.MinValue height
+    val evilOff = truncated.clone(); l32(-1).copyToArray(evilOff, 10)
+    assert(Multimodal.resizeBmp(evilOff, 2, 2).isEmpty)
+    val evilH = truncated.clone(); l32(Int.MinValue).copyToArray(evilH, 22)
+    assert(Multimodal.resizeBmp(evilH, 2, 2).isEmpty)
     assert(Multimodal.resizeBmp("BM".getBytes ++ Array.fill[Byte](60)(0), 2, 2).isEmpty)
     assert(Multimodal.resizeBmp(Array[Byte](1, 2, 3), 2, 2).isEmpty)
     // null ids never produce pairs on the fused capped path

@@ -18,11 +18,13 @@ class SchemaDriftSpec extends SparkSpec {
   }
 
   test("diagnose lists the schema and distinct values of present columns") {
-    val df = Seq(("1", "ATIVO", "a"), ("2", "FRAUDE", "b"), ("3", "ATIVO", "c"))
-      .toDF("cpf", "bloq", "nome")
-    val (schema, values) = SchemaDrift.diagnose(df, Seq("bloq", "just"))
-    assert(schema == Seq("bloq", "cpf", "nome"))
-    assert(values("bloq") == Seq("ATIVO", "FRAUDE"))
+    val df = Seq(("1", "ATIVO", "a", null: String), ("2", "FRAUDE", "b", null: String),
+      ("3", "ATIVO", "c", null: String)).toDF("cpf", "bloq", "nome", "vazio")
+    val (schema, values) = SchemaDrift.diagnose(df, Seq("bloq", "vazio", "just"))
+    assert(schema == Seq("bloq", "cpf", "nome", "vazio"))
+    assert(values("bloq") == Seq("ATIVO", "FRAUDE")) // most-frequent first
+    // present-but-all-null is an EMPTY listing, not "column not found"
+    assert(values("vazio") == Seq.empty)
     assert(!values.contains("just"))
     val md = SchemaDrift.report(
       Seq("MAILING_1.xlsx" -> ((schema, values))), Seq("bloq", "just"),

@@ -1,4 +1,4 @@
-package graft
+package graft.plans
 
 import graft.SparkSpec
 
@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(ss, sfDir).queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
