@@ -28,6 +28,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ham == 2)
   }
 
+  test("round-5 expressions: SQL-callable and inside whole-stage codegen") {
+    val rows = ss.sql(
+      """SELECT graft_unmojibake('N\u00c3\u0083O')  AS fixed,
+        |       graft_unmojibake('clean ascii')      AS kept,
+        |       graft_image_meta(CAST(NULL AS BINARY)) AS nometa""".stripMargin).head()
+    assert(rows.getString(0) == "NÃO")
+    assert(rows.getString(1) == "clean ascii")
+    assert(rows.isNullAt(2))
+    // both stay inside a WholeStageCodegen span (scalar projections over a
+    // non-foldable source — a local relation would constant-fold away)
+    val df = ss.range(3).selectExpr(
+      "graft_unmojibake(CAST(id AS STRING)) AS t2",
+      "graft_image_meta(CAST(CAST(id AS STRING) AS BINARY)) AS m")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // codegen stage star
+    assert(df.collect().length == 3)    // and the generated code actually runs
+  }
+
   test("SQL window top-k also goes through the rewrite rule") {
     val plan = ss.sql(
       """SELECT id FROM (
