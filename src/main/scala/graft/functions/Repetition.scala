@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Within-document repetition signals for corpus quality filtering — the
+  * Gopher/MassiveText-style "repetitious document" rules re-expressed as
+  * Spark column arithmetic (duplicate-word fraction, duplicate-n-gram
+  * fraction, modal-n-gram share).
+  *
+  * Two shapes, chosen by the cost model of the signal itself:
+  *
+  *  - `repetitionSignals` — pure per-row array expressions (split /
+  *    array_distinct / size): NARROW, zero shuffle, one scan. At 100 TB this
+  *    is the shape you want for every signal that only needs per-doc distinct
+  *    counts. (Higher-order array functions are interpreted expressions, not
+  *    codegen'd, but they never break the stage — the plan stays a single
+  *    Project over the scan.)
+  *
+  *  - `topNgramFracQ` — the modal-gram share needs a per-doc argmax over gram
+  *    counts; doing that inside one row is O(len²) string compares, which a
+  *    100k-token document turns into a hot spot. So it goes through
+  *    explode → groupBy(doc, gram) → groupBy(doc): two map-side-combinable
+  *    aggregations, both keyed by doc id, O(len) per doc.
+  *
+  * All fractions are emitted ⌊frac·10⁴⌋-quantized (`_q` suffix): the inputs
+  * to the division are exact integers, so the double result is bit-identical
+  * across engines and `floor` is deterministic (see SURVEY §6 / q53 note).
+  */
+object Repetition {
+
+  /** Single-space word tokens with empties dropped — mirrors DuckDB
+    * `list_filter(string_split(text, ' '), x -> x <> '')` exactly. */
+  def wordTokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  /** Word n-gram array (space-joined, overlapping); fewer than n tokens →
+    * empty array. Built from `sequence` + `element_at` so any n works. */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** ⌊(1 − distinct/total)·10⁴⌋ over an array; empty array → 0 (an empty
+    * doc repeats nothing). */
+  def dupFracQ(arr: Column): Column =
+    when(size(arr) > 0,
+      floor((lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+        * lit(10000)).cast("long"))
+      .otherwise(lit(0L))
+
+  /** Per-doc narrow repetition frame: (id, n_tokens, dup_word_frac_q,
+    * dup_bigram_frac_q). One Project over the scan — no shuffle. */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = wordTokens(text)
+    df.select(
+      id.as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      dupFracQ(toks).as("dup_word_frac_q"),
+      dupFracQ(wordNgrams(toks, 2)).as("dup_bigram_frac_q"))
+  }
+
+  /** Modal n-gram share per doc, ⌊·10⁴⌋-quantized: the fraction of a doc's
+    * n-grams occupied by its single most frequent n-gram (Gopher's
+    * "top n-gram fraction"). Docs with fewer than n tokens are absent from
+    * the result (they have no n-grams) — callers join and coalesce.
+    *
+    * Scale shape: explode → two hash aggregations, both map-side combined;
+    * the second groups a frame that is already one row per (doc, distinct
+    * gram), so the shuffled volume is bounded by the doc's vocabulary, not
+    * its length. */
+  def topNgramFracQ(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("id"), explode(wordNgrams(wordTokens(text), n)).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(floor(max("cnt") * lit(10000.0) / sum("cnt")).cast("long")
+        .as(s"top_${n}gram_frac_q"))
+}

@@ -52,6 +52,26 @@ object CorpusStats {
       .agg(count(lit(1)).as("n"), cuts: _*)
   }
 
+  /** Per-group distinct-value counts (cardinality profile): how many
+    * distinct `value`s each group saw, plus the group's row count.
+    *
+    * `exact = true` uses `count_distinct` — Spark plans it as a two-phase
+    * aggregation (partial dedup on (group, value), then count), which is
+    * the oracle-grade path and fine whenever (group × distinct values)
+    * fits a shuffle. At 100 TB flip `exact = false`: `approx_count_distinct`
+    * is a fixed-size mergeable HyperLogLog++ sketch — ONE map-side-combined
+    * pass, no (group, value) shuffle, ~`rsd` relative error — with the
+    * identical output schema, so pipelines can switch paths by config. */
+  def groupDistinct(df: DataFrame, group: Column, value: Column,
+                    exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+    val nd =
+      if (exact) count_distinct(col("__gd_val"))
+      else approx_count_distinct(col("__gd_val"), rsd)
+    df.select(group.as("key"), value.as("__gd_val"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), nd.as("n_distinct"))
+  }
+
   /** Per-document top-k terms by a tf-idf-style score (id, word, tf,
     * score_q), using the LINEAR inverse-frequency weight `score_q =
     * tf · ⌊10⁴·N/df⌋` — one of the standard idf variants (the "inverse
@@ -83,11 +103,22 @@ object CorpusStats {
       .where(col("word") =!= "")
       .groupBy("id", "word")
       .agg(count(lit(1)).as("tf"))
+    // The corpus count rides the SMALL dfreq frame (one row per distinct
+    // word), not the tf frame: the idf factor is computed once per word
+    // instead of once per (doc, word). The 1-row frame attaches through a
+    // constant-key EQUI-join (BroadcastHashJoin), not crossJoin: Spark's
+    // whole-stage codegen of a BroadcastNestedLoopJoin fused under the word
+    // join emits the scoring projection twice ("Redefinition of local
+    // variable" CompileException) and silently drops the stage back to
+    // interpreted execution.
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(nRow.withColumn("__k", lit(1))), "__k")
+      .select(col("word"),
+        floor(lit(10000.0) * col("__n") / col("df")).cast("long").as("__idf_q"))
     val scored = tf.join(dfreq, "word")
-      .crossJoin(broadcast(nRow))
       .select(col("id"), col("word"), col("tf"),
-        (col("tf") * floor(lit(10000.0) * col("__n") / col("df")).cast("long")).as("score_q"))
+        (col("tf") * col("__idf_q")).as("score_q"))
     TopK.topKPerKeyNative(scored, Seq(col("id")),
       Seq(col("score_q").desc, col("word").asc), k)
       .select("id", "word", "tf", "score_q")

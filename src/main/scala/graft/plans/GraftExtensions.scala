@@ -69,6 +69,12 @@ object GraftExtensions {
         require(args.length == 1, "graft_unmojibake takes exactly one argument")
         MojibakeRepair(args.head)
       }),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bloom_contains takes (key, bloomBytes)")
+        BloomMightContain(args.head, args(1))
+      }),
     (FunctionIdentifier("graft_image_meta"),
       new ExpressionInfo(classOf[ImageMeta].getName, "graft_image_meta"),
       (args: Seq[Expression]) => {

@@ -38,6 +38,10 @@ object LQueries {
     "q52_cosine_neardup_lsh" -> ((s, d) => q52(s, d)),
     "q53_tfidf_topk" -> ((s, d) => q53(s, d)),
     "q55_quality_quantiles" -> ((s, d) => q55(s, d)),
+    "q56_repetition" -> ((s, d) => q56(s, d)),
+    "q57_decontaminate" -> ((s, d) => q57(s, d)),
+    "q58_bloom_antijoin" -> ((s, d) => q58(s, d)),
+    "q59_group_distinct" -> ((s, d) => q59(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -130,6 +134,48 @@ object LQueries {
         col("cohort"), col("score_q"),
         percentiles = Seq(0.25, 0.5, 0.75, 0.95))
       .withColumnRenamed("key", "cohort")
+
+  /** L28: Gopher-style within-doc repetition signals — duplicate-word /
+    * duplicate-bigram fractions as one narrow projection, plus the modal
+    * bigram's share through the two-aggregation shuffle path, left-joined
+    * (token-poor docs have no bigrams → 0). */
+  def q56(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Repetition
+    val docs = Tables.documents(s, d)
+    Repetition.repetitionSignals(docs, col("doc_id"), col("text"))
+      .join(Repetition.topNgramFracQ(docs, col("doc_id"), col("text"), n = 2),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("dup_word_frac_q"), col("dup_bigram_frac_q"),
+        coalesce(col("top_2gram_frac_q"), lit(0L)).as("top_bigram_frac_q"))
+  }
+
+  /** L29: benchmark decontamination stats — every 20th doc plays the held-out
+    * benchmark; the rest are "training" docs scored by the fraction of their
+    * distinct word-3-grams that appear in the benchmark gram set (broadcast
+    * join, one scan, one keyed agg). */
+  def q57(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Decontaminate.contaminationStats(
+        docs.filter(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 20 === 0), col("text"), n = 3)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** L30: bloom-gated anti-join — orders minus one segment's customers.
+    * Bloom-negative rows bypass the shuffle entirely; positives are exactly
+    * re-checked, so the result equals the plain NOT EXISTS oracle. */
+  def q58(s: SparkSession, d: String): DataFrame =
+    graft.operators.BloomJoin.bloomAntiJoin(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")), col("o_custkey"),
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"), col("c_custkey"),
+      expectedItems = 100000L)
+
+  /** L31: per-group cardinality profile — distinct users per event type,
+    * exact path (the HLL++ scale path shares the schema; spec-covered). */
+  def q59(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusStats.groupDistinct(
+      Tables.events(s, d), col("event_type"), col("user_id"))
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -618,5 +664,62 @@ object LQueries {
          |  CAST(floor(quantile_cont(score_q, 0.95) * 100) AS BIGINT) AS p95_q
          |FROM scored GROUP BY cohort""".stripMargin
     },
+    "q56_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CASE WHEN len(toks) >= 2
+        |              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |              ELSE [] END AS bigrams
+        |  FROM t),
+        |narrow AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    CASE WHEN n > 0
+        |         THEN CAST(floor((1.0 - len(list_distinct(toks)) / n) * 10000) AS BIGINT)
+        |         ELSE 0 END AS dup_word_frac_q,
+        |    CASE WHEN len(bigrams) > 0
+        |         THEN CAST(floor((1.0 - len(list_distinct(bigrams)) / len(bigrams)) * 10000) AS BIGINT)
+        |         ELSE 0 END AS dup_bigram_frac_q
+        |  FROM sig),
+        |grams AS (SELECT doc_id, unnest(bigrams) AS gram FROM sig),
+        |cnts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+        |modal AS (SELECT doc_id, CAST(floor(max(cnt) * 10000.0 / sum(cnt)) AS BIGINT) AS top_bigram_frac_q
+        |          FROM cnts GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_tokens, n.dup_word_frac_q, n.dup_bigram_frac_q,
+        |       COALESCE(m.top_bigram_frac_q, 0) AS top_bigram_frac_q
+        |FROM narrow n LEFT JOIN modal m USING (doc_id)""".stripMargin,
+    "q57_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END) AS gd
+        |  FROM tok),
+        |bg AS (SELECT DISTINCT unnest(gd) AS gram FROM tri WHERE doc_id % 20 = 0),
+        |train AS (SELECT doc_id, gd FROM tri WHERE doc_id % 20 <> 0),
+        |stats AS (SELECT doc_id, len(gd) AS n_grams FROM train),
+        |hits AS (SELECT t.doc_id, count(*) AS n_hit
+        |         FROM (SELECT doc_id, unnest(gd) AS gram FROM train) t
+        |         JOIN bg USING (gram) GROUP BY t.doc_id)
+        |SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |       CASE WHEN s.n_grams > 0
+        |            THEN CAST(floor(COALESCE(h.n_hit, 0) * 10000.0 / s.n_grams) AS BIGINT)
+        |            ELSE 0 END AS contam_frac_q
+        |FROM stats s LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q58_bloom_antijoin" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)""".stripMargin,
+    "q59_group_distinct" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -90,4 +90,25 @@ class SamplingSpec extends SparkSpec {
     assert(approx("b") == 500L)
     assert(approx("a") >= 2000L && approx("a") <= 3000L)
   }
+
+  test("groupDistinct: exact cardinalities per group") {
+    val rows = (1 to 300).map(i => (s"g${i % 3}", i % 50)).toDF("grp", "uid")
+    val got = CorpusStats.groupDistinct(rows, col("grp"), col("uid"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("g0" -> ((100L, 50L)), "g1" -> ((100L, 50L)), "g2" -> ((100L, 50L))))
+  }
+
+  test("groupDistinct: HLL scale path shares the schema and lands near exact") {
+    val rows = (1 to 20000).map(i => ("g", i % 5000)).toDF("grp", "uid")
+    val exact = CorpusStats.groupDistinct(rows, col("grp"), col("uid"))
+    val approx = CorpusStats.groupDistinct(rows, col("grp"), col("uid"), exact = false)
+    assert(exact.schema.fieldNames.toSeq == approx.schema.fieldNames.toSeq)
+    val a = approx.collect().head.getLong(2)
+    assert(math.abs(a - 5000L) <= 500L, s"HLL estimate $a too far from 5000")
+    // scale shape: the approx plan never shuffles (group, value) pairs — a
+    // single aggregation keyed by group, vs the exact plan's two phases
+    val aggs = (p: org.apache.spark.sql.DataFrame) =>
+      p.queryExecution.executedPlan.toString.split("Exchange").length - 1
+    assert(aggs(approx) <= aggs(exact))
+  }
 }
