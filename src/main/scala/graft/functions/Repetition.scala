@@ -35,7 +35,14 @@ object Repetition {
     filter(split(c, " "), t => t =!= lit(""))
 
   /** Word n-gram array (space-joined, overlapping); fewer than n tokens →
-    * empty array. Built from `sequence` + `element_at` so any n works. */
+    * empty array. Built from `sequence` + `element_at` so any n works.
+    *
+    * PASS A BOUND COLUMN (a projected attribute), not an expression tree:
+    * the lambda body references `toks` once per n-gram element, and Spark
+    * inlines the full expression there — `wordNgrams(wordTokens(text), n)`
+    * re-tokenizes the document for EVERY gram (O(len²) per doc; measured
+    * 10× on q57). Project `wordTokens(...)` to a column first; the
+    * operators in this file and [[graft.operators.Decontaminate]] do. */
   def wordNgrams(toks: Column, n: Int): Column = {
     require(n >= 1, s"n must be positive, got $n")
     when(size(toks) >= n,
@@ -54,14 +61,13 @@ object Repetition {
 
   /** Per-doc narrow repetition frame: (id, n_tokens, dup_word_frac_q,
     * dup_bigram_frac_q). One Project over the scan — no shuffle. */
-  def repetitionSignals(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = wordTokens(text)
-    df.select(
-      id.as("id"),
-      size(toks).cast("long").as("n_tokens"),
-      dupFracQ(toks).as("dup_word_frac_q"),
-      dupFracQ(wordNgrams(toks, 2)).as("dup_bigram_frac_q"))
-  }
+  def repetitionSignals(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), wordTokens(text).as("__toks"))
+      .select(
+        col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        dupFracQ(col("__toks")).as("dup_word_frac_q"),
+        dupFracQ(wordNgrams(col("__toks"), 2)).as("dup_bigram_frac_q"))
 
   /** Modal n-gram share per doc, ⌊·10⁴⌋-quantized: the fraction of a doc's
     * n-grams occupied by its single most frequent n-gram (Gopher's
@@ -73,7 +79,8 @@ object Repetition {
     * gram), so the shuffled volume is bounded by the doc's vocabulary, not
     * its length. */
   def topNgramFracQ(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.as("id"), explode(wordNgrams(wordTokens(text), n)).as("gram"))
+    df.select(id.as("id"), wordTokens(text).as("__toks"))
+      .select(col("id"), explode(wordNgrams(col("__toks"), n)).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
       .groupBy("id")
       .agg(floor(max("cnt") * lit(10000.0) / sum("cnt")).cast("long")

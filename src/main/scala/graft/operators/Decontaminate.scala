@@ -33,13 +33,19 @@ object Decontaminate {
                          bench: DataFrame, benchText: Column, n: Int,
                          hintBroadcast: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
+    // tokens are projected to a bound column before the n-gram transform —
+    // see the wordNgrams scaladoc (inlining the tokenizer into the lambda
+    // re-tokenizes the doc per gram, O(len²))
     val benchGrams = bench
-      .select(explode(array_distinct(Repetition.wordNgrams(Repetition.wordTokens(benchText), n))).as("gram"))
+      .select(Repetition.wordTokens(benchText).as("__toks"))
+      .select(explode(array_distinct(Repetition.wordNgrams(col("__toks"), n))).as("gram"))
       .distinct()
       .withColumn("__hit", lit(1))
     val benchSide = if (hintBroadcast) broadcast(benchGrams) else benchGrams
-    val docGrams = docs.select(id.as("id"),
-      explode_outer(array_distinct(Repetition.wordNgrams(Repetition.wordTokens(text), n))).as("gram"))
+    val docGrams = docs
+      .select(id.as("id"), Repetition.wordTokens(text).as("__toks"))
+      .select(col("id"),
+        explode_outer(array_distinct(Repetition.wordNgrams(col("__toks"), n))).as("gram"))
     docGrams
       .join(benchSide, Seq("gram"), "left")
       .groupBy("id")
