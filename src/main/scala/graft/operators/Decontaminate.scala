@@ -62,9 +62,11 @@ object Decontaminate {
                     bench: DataFrame, benchText: Column, n: Int,
                     threshold: Double, hintBroadcast: Boolean = true): DataFrame = {
     val thresholdQ = math.floor(threshold * 10000.0).toLong
+    // distinct keep-column name: the caller's id column may itself be "id",
+    // which would make the semi-join condition ambiguous
     val clean = contaminationStats(docs, id, text, bench, benchText, n, hintBroadcast)
       .filter(col("contam_frac_q") < thresholdQ)
-      .select(col("id"))
-    docs.join(clean, id === clean("id"), "left_semi")
+      .select(col("id").as("__decontam_keep"))
+    docs.join(clean, id === col("__decontam_keep"), "left_semi")
   }
 }

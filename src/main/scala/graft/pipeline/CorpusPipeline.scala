@@ -2,8 +2,8 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{PiiScrub, TextAnalysis}
-import graft.operators.{Dedup, DupClusters, NearDup, Sampling}
+import graft.functions.{PiiScrub, Repetition, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, DupClusters, NearDup, Sampling}
 
 /** End-to-end training-corpus preparation — the LLM-data sibling of
   * [[MailingPipeline]]: one declarative flow from raw documents to
@@ -16,7 +16,11 @@ import graft.operators.{Dedup, DupClusters, NearDup, Sampling}
   *  1. normalize: Unicode NFC (`graft_nfc`) + PII scrub (emails, long
   *     digit runs) — narrow projections, whole-stage codegen'd.
   *  2. filter: language allowlist (n-gram heuristic lang-id) + minimum
-  *     quality score — narrow, pushes to the scan where possible.
+  *     quality score + repetition caps (Gopher-style dup-word/dup-bigram
+  *     fractions) — narrow, pushes to the scan where possible.
+  *  2b. decontamination (optional, when a benchmark frame is given): drop
+  *     documents whose distinct-n-gram overlap with the benchmark exceeds
+  *     the threshold — broadcast gram set, one scan, one keyed agg.
   *  3. exact dedup: md5-hash groupBy keeping the minimum id. This runs
   *     BEFORE near-dup so giant exact-dup clusters never reach the LSH
   *     stage (whose bucket cap would otherwise drop them — see SURVEY §5
@@ -43,14 +47,26 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.5,
       maxGramDocFreq: Long = 50L,
       trainPct: Int = 80,
-      validPct: Int = 10)
+      validPct: Int = 10,
+      // repetition caps, ⌊frac·10⁴⌋ (10000 = gate off): docs with a higher
+      // duplicate-word / duplicate-bigram fraction are dropped in stage 2
+      maxDupWordFracQ: Long = 10000L,
+      maxDupBigramFracQ: Long = 10000L,
+      // benchmark-overlap gate (stage 2b, only when `bench` is passed)
+      decontamN: Int = 3,
+      decontamThreshold: Double = 0.8)
 
   /** Returns (id, text, lang, score_q, ws_tokens, canon_id, split) for
     * every SURVIVING document; `report` (when given) observes per-stage
-    * row counts on the returned frame's own action. */
+    * row counts on the returned frame's own action.
+    *
+    * @param bench optional held-out benchmark corpus (frame, text column):
+    *   when given, stage 2b drops documents whose distinct `decontamN`-gram
+    *   overlap with it reaches `decontamThreshold`. */
   def prepare(docs: DataFrame, idCol: Column, textCol: Column,
               cfg: Config = Config(),
-              report: Option[StageReport] = None): DataFrame = {
+              report: Option[StageReport] = None,
+              bench: Option[(DataFrame, Column)] = None): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
     def tracked(name: String, df: DataFrame): DataFrame =
       report.fold(df)(_.track(name, df))
@@ -60,22 +76,38 @@ object CorpusPipeline {
       idCol.cast("long").as("id"),
       PiiScrub.scrub(call_function("graft_nfc", textCol)).as("text")))
 
-    // 2. language + quality gate (narrow). Eager checkpoint: the frame
-    // fans out below (dedup build side + survivor side) and feeds the
-    // iterative near-dup machinery, both of which need the lineage cut —
-    // it also fires the stage-1/2 observes exactly once.
-    val scored = cleaned.select(col("id"), col("text"),
-      TextAnalysis.langId(col("text")).as("lang"),
-      TextAnalysis.qualityScoreQ(col("text")).as("score_q"),
-      TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"))
+    // 2. language + quality + repetition gate (narrow). Eager checkpoint:
+    // the frame fans out below (dedup build side + survivor side) and feeds
+    // the iterative near-dup machinery, both of which need the lineage cut —
+    // it also fires the stage-1/2 observes exactly once. Tokens bind to a
+    // column before the bigram transform (see Repetition.wordNgrams).
+    val scored = cleaned
+      .select(col("id"), col("text"), Repetition.wordTokens(col("text")).as("__toks"))
+      .select(col("id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScoreQ(col("text")).as("score_q"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        Repetition.dupFracQ(col("__toks")).as("__dup_w_q"),
+        Repetition.dupFracQ(Repetition.wordNgrams(col("__toks"), 2)).as("__dup_b_q"))
     val kept = tracked("lang_quality_kept", scored.filter(
-      col("lang").isin(cfg.langs.toSeq: _*) && col("score_q") >= cfg.minQualityQ))
+        col("lang").isin(cfg.langs.toSeq: _*) && col("score_q") >= cfg.minQualityQ &&
+          col("__dup_w_q") <= cfg.maxDupWordFracQ && col("__dup_b_q") <= cfg.maxDupBigramFracQ)
+        .drop("__dup_w_q", "__dup_b_q"))
       .localCheckpoint(true)
 
+    // 2b. optional benchmark decontamination. Checkpointed when present:
+    // the semi-join references the frame twice, and a tracked frame must
+    // materialize exactly once (duplicate CollectMetrics otherwise).
+    val input = bench.fold(kept) { case (b, bText) =>
+      tracked("decontaminated", Decontaminate.decontaminate(kept, col("id"), col("text"),
+        b, bText, cfg.decontamN, cfg.decontamThreshold))
+        .localCheckpoint(true)
+    }
+
     // 3. exact dedup first: keep each content hash's minimum id
-    val keepIds = Dedup.exactByHash(kept, col("text"), col("id"))
+    val keepIds = Dedup.exactByHash(input, col("text"), col("id"))
       .select(col("keep_id").as("id"))
-    val exactDeduped = tracked("exact_deduped", kept.join(keepIds, Seq("id"), "left_semi"))
+    val exactDeduped = tracked("exact_deduped", input.join(keepIds, Seq("id"), "left_semi"))
       .localCheckpoint(true)
 
     // 4. near-dup clusters over the exact-deduped survivors; canon = the

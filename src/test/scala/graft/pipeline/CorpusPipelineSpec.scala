@@ -37,4 +37,29 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(out.filter(col("canon_id") > col("id")).count() == 0)
     } finally out.unpersist()
   }
+
+  test("repetition caps and benchmark decontamination gate the pipeline") {
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog of a house went to a garden by the hill"),
+      (2L, "spam spam spam spam spam spam spam spam the and of to a"),
+      (3L, "a quiet morning and the open road to the coast of the north"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(maxDupWordFracQ = 5000L)
+
+    // repetition gate alone: doc 2 (mostly one repeated word) is dropped
+    val noBench = CorpusPipeline.prepare(docs, col("doc_id"), col("text"), cfg)
+    assert(noBench.select("id").as[Long].collect().toSet == Set(1L, 3L))
+
+    // decontamination: a benchmark sharing doc 1's phrasing knocks doc 1 out
+    val bench = Seq("the cat and the dog of a house went to a garden by the hill today")
+      .toDF("text")
+    val report = new StageReport
+    val out = CorpusPipeline.prepare(docs, col("doc_id"), col("text"), cfg,
+      report = Some(report), bench = Some((bench, col("text"))))
+    assert(out.select("id").as[Long].collect().toSet == Set(3L))
+    val counts = report.collect(out).toMap
+    assert(counts("decontaminated") == 1L) // gate count rides the pipeline's own actions
+    assert(counts("lang_quality_kept") == 2L)
+  }
 }
