@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType, S
   * branch) — at scale two parquet scans with pushed filters are far cheaper
   * than one full-table shuffle, and the branches share the same pruned
   * column set.
+  *
+  * `main` must be DETERMINISTIC under re-evaluation: the two branches
+  * re-execute its lineage independently, so a frame derived from `rand()`/
+  * `sample()` can emit a row in one evaluation and not the other — cache or
+  * checkpoint such inputs first (same caveat as any self-referencing plan).
   */
 object BloomJoin {
 

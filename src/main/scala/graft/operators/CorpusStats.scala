@@ -105,15 +105,14 @@ object CorpusStats {
       .agg(count(lit(1)).as("tf"))
     // The corpus count rides the SMALL dfreq frame (one row per distinct
     // word), not the tf frame: the idf factor is computed once per word
-    // instead of once per (doc, word). The 1-row frame attaches through a
-    // constant-key EQUI-join (BroadcastHashJoin), not crossJoin: Spark's
-    // whole-stage codegen of a BroadcastNestedLoopJoin fused under the word
-    // join emits the scoring projection twice ("Redefinition of local
-    // variable" CompileException) and silently drops the stage back to
-    // interpreted execution.
+    // instead of once per (doc, word). The 1-row broadcast is necessarily a
+    // BroadcastNestedLoopJoin (a constant-key equi-join constant-folds back
+    // to one) — optimal for a single-row build side, and safe to fuse now
+    // that TopKPerKeyExec declares `usedInputs = AttributeSet.empty` (the
+    // missing override made this stage's codegen emit the scoring projection
+    // twice and silently fall back to interpreted execution).
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      .withColumn("__k", lit(1))
-      .join(broadcast(nRow.withColumn("__k", lit(1))), "__k")
+      .crossJoin(broadcast(nRow))
       .select(col("word"),
         floor(lit(10000.0) * col("__n") / col("df")).cast("long").as("__idf_q"))
     val scored = tf.join(dfreq, "word")

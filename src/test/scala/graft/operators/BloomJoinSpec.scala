@@ -50,8 +50,14 @@ class BloomJoinSpec extends SparkSpec {
     val df = BloomJoin.bloomAntiJoin(main, col("k"), block, col("bk"), expectedItems = 1000L)
     val s = df.queryExecution.executedPlan.toString
     assert(s.contains("graft_bloom_contains"), s)
-    // union of exactly two branches, only one of which contains a join
-    assert("(?i)join".r.findAllIn(s).size >= 1)
+    // exactly ONE join in the whole tree (string scan — the join sits under
+    // AdaptiveSparkPlan, invisible to a node collect before execution): the
+    // candidate branch's exact anti-join; the bloom-negative branch must
+    // ship rows join-free
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"
+      .r.findAllIn(s).size
+    assert(joins == 1, s"expected the candidate anti-join only, got $joins:\n$s")
+    assert(s.contains("LeftAnti"), s)
     df.collect() // executes without codegen fallback errors
   }
 }

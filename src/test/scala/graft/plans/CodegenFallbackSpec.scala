@@ -20,7 +20,8 @@ class CodegenFallbackSpec extends SparkSpec {
     try {
       val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         try { fn(ss, "/root/testdata/sf0.001").collect(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(200)}") }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}") }
       }
       assert(failures.isEmpty, s"queries failed under codegen-only execution:\n${failures.mkString("\n")}")
     } finally ss.conf.set("spark.sql.codegen.fallback", prev)
