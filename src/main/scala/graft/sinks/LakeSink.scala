@@ -42,6 +42,37 @@ object LakeSink {
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
 
+  /** Parquet column Bloom-filter write — row-group skipping for POINT
+    * lookups on high-cardinality, unsorted columns.
+    *
+    * [[writeSorted]]/[[writeZOrdered]] make min/max footer stats narrow,
+    * which only helps when the data is clustered by the predicate column.
+    * A key column that arrives in arbitrary order (user id, content hash)
+    * has every row group spanning the whole domain — min/max skip nothing.
+    * Parquet's per-row-group column Bloom filters fix exactly that case:
+    * `key = x` probes each row group's filter and skips groups that
+    * definitely don't contain x, no re-clustering shuffle required. The
+    * file-side sibling of [[graft.operators.BloomJoin]]'s query-side gate.
+    *
+    * Readers get the skipping for free: Spark pushes eligible predicates to
+    * parquet-mr (`spark.sql.parquet.filterPushdown`, on by default), whose
+    * row-group filter consults the Bloom filter. Size `ndv` to the expected
+    * distinct values per row group — oversizing wastes footer bytes,
+    * undersizing only raises the false-positive (non-skip) rate. */
+  def writeBloomFiltered(df: DataFrame, path: String, bloomCols: Seq[String],
+                         ndv: Long = 1000000L, fpp: Double = 0.01,
+                         rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(bloomCols.nonEmpty, "writeBloomFiltered needs at least one column")
+    val base = df.write
+      .mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes)
+    bloomCols.foldLeft(base) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.bloom.filter.fpp#$c", fpp.toString)
+    }.parquet(path)
+  }
+
   /** Z-ordered parquet write — MULTI-column row-group skipping.
     *
     * [[writeSorted]] makes stats narrow for ONE column; a predicate on any

@@ -56,6 +56,42 @@ class LakeSinkSpec extends SparkSpec {
     assert(LakeSink.read(ss, dir).count() == 60000)
   }
 
+  test("writeBloomFiltered embeds per-row-group bloom filters for the chosen columns") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = Files.createTempDirectory("lake_bloom").toString
+    // high-cardinality UNSORTED key: min/max stats are useless here — the
+    // bloom filter is the only thing that can skip row groups on key = x
+    val df = scala.util.Random.shuffle((1 to 60000).toList)
+      .map(i => (s"user_${i * 7919 % 60000}", i.toLong)).toDF("k", "amount")
+      .repartition(1)
+    LakeSink.writeBloomFiltered(df, dir, Seq("k"), ndv = 20000L,
+      rowGroupBytes = 64L * 1024)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file.getAbsolutePath),
+        ss.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      assert(blocks.size() > 1, s"expected several row groups, got ${blocks.size()}")
+      (0 until blocks.size()).foreach { i =>
+        val cols = blocks.get(i).getColumns
+        val kCol = (0 until cols.size()).map(cols.get)
+          .find(_.getPath.toDotString == "k").get
+        val aCol = (0 until cols.size()).map(cols.get)
+          .find(_.getPath.toDotString == "amount").get
+        assert(reader.getBloomFilterDataReader(blocks.get(i)).readBloomFilter(kCol) != null,
+          s"row group $i: no bloom filter on k")
+        assert(aCol.getBloomFilterOffset < 0, "amount must NOT carry a bloom filter")
+      }
+    } finally reader.close()
+    // point lookup stays correct through the pushdown path
+    val hit = LakeSink.read(ss, dir).filter(col("k") === "user_12345")
+    assert(hit.count() == 1)
+  }
+
   test("writeZOrdered narrows row-group stats on EVERY z column") {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
