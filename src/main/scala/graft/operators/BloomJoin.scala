@@ -55,7 +55,14 @@ object BloomJoin {
       case t => throw new IllegalArgumentException(
         s"bloomAntiJoin keys must be integral or string, got ${t.sql}")
     }
+    // null blocked keys can never match an anti-join condition — drop them
+    // before the build (a null would also make the sketch insert a spurious
+    // zero). Empty-set guard: Spark's bloom aggregate returns null over
+    // zero rows and stat.bloomFilter NPEs; an anti-join against nothing is
+    // `main`, so answer directly (isEmpty is a limit-1 probe, not a scan).
     val blockKeys = block.select(blockKey.cast(castTo).as("__bk"))
+      .filter(col("__bk").isNotNull)
+    if (blockKeys.isEmpty) return main
     val bf = blockKeys.stat.bloomFilter("__bk", expectedItems, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)

@@ -92,4 +92,45 @@ class EdgeCasesSpec extends SparkSpec {
     // corpus pipeline end-to-end on an empty corpus
     assert(graft.pipeline.CorpusPipeline.prepare(noDocs, col("doc_id"), col("text")).count() == 0)
   }
+
+  test("round-6 additions on empty/degenerate input") {
+    import graft.functions.Repetition
+    // repetition: empty corpus, all-identical tokens, repeated bigrams
+    assert(Repetition.repetitionSignals(noDocs, col("doc_id"), col("text")).count() == 0)
+    val mono = Seq((1L, "x x x x")).toDF("doc_id", "text")
+    val sig = Repetition.repetitionSignals(mono, col("doc_id"), col("text")).collect().head
+    assert(sig.getLong(2) == 7500L) // 1 - 1/4 words
+    assert(sig.getLong(3) == 6666L) // 1 - 1/3 bigrams
+    // decontaminate: empty bench → everything scores clean and survives
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val emptyBench = noDocs.select(col("text"))
+    val stats = Decontaminate.contaminationStats(docs, col("doc_id"), col("text"),
+      emptyBench, col("text"), n = 3).collect().head
+    assert((stats.getLong(2), stats.getLong(3)) == ((0L, 0L)))
+    assert(Decontaminate.decontaminate(docs, col("doc_id"), col("text"),
+      emptyBench, col("text"), n = 3, threshold = 0.1).count() == 1)
+    // bench of token-poor docs has no grams → same as empty
+    val tinyBench = Seq("ab cd").toDF("text")
+    assert(Decontaminate.decontaminate(docs, col("doc_id"), col("text"),
+      tinyBench, col("text"), n = 3, threshold = 0.1).count() == 1)
+    // bloom anti-join: empty block side keeps everything; empty main stays
+    // empty; null keys on the BLOCK side never match (left_anti parity)
+    val main = (1L to 50L).toDF("k")
+    val noBlock = main.filter(lit(false)).select(col("k").as("bk"))
+    assert(BloomJoin.bloomAntiJoin(main, col("k"), noBlock, col("bk"), 10L).count() == 50)
+    assert(BloomJoin.bloomAntiJoin(main.filter(lit(false)), col("k"),
+      main.select(col("k").as("bk")), col("bk"), 10L).count() == 0)
+    val nullBlock = Seq(java.lang.Long.valueOf(7L), null: java.lang.Long).toDF("bk")
+    val kept = BloomJoin.bloomAntiJoin(main, col("k"), nullBlock, col("bk"), 10L)
+    val plain = main.join(nullBlock, col("k") === col("bk"), "left_anti")
+    assert(kept.as[Long].collect().toSet == plain.as[Long].collect().toSet)
+    // groupDistinct: nulls are skipped by BOTH paths (count_distinct / HLL)
+    val withNulls = Seq(("g", java.lang.Long.valueOf(1L)), ("g", null: java.lang.Long),
+      ("g", java.lang.Long.valueOf(1L))).toDF("grp", "uid")
+    val exact = CorpusStats.groupDistinct(withNulls, col("grp"), col("uid")).collect().head
+    assert((exact.getLong(1), exact.getLong(2)) == ((3L, 1L)))
+    val approx = CorpusStats.groupDistinct(withNulls, col("grp"), col("uid"),
+      exact = false).collect().head
+    assert(approx.getLong(2) == 1L)
+  }
 }
