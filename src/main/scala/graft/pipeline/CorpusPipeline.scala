@@ -79,20 +79,8 @@ object CorpusPipeline {
     // 2. language + quality + repetition gate (narrow). Eager checkpoint:
     // the frame fans out below (dedup build side + survivor side) and feeds
     // the iterative near-dup machinery, both of which need the lineage cut —
-    // it also fires the stage-1/2 observes exactly once. Tokens bind to a
-    // column before the bigram transform (see Repetition.wordNgrams).
-    val scored = cleaned
-      .select(col("id"), col("text"), Repetition.wordTokens(col("text")).as("__toks"))
-      .select(col("id"), col("text"),
-        TextAnalysis.langId(col("text")).as("lang"),
-        TextAnalysis.qualityScoreQ(col("text")).as("score_q"),
-        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
-        Repetition.dupFracQ(col("__toks")).as("__dup_w_q"),
-        Repetition.dupFracQ(Repetition.wordNgrams(col("__toks"), 2)).as("__dup_b_q"))
-    val kept = tracked("lang_quality_kept", scored.filter(
-        col("lang").isin(cfg.langs.toSeq: _*) && col("score_q") >= cfg.minQualityQ &&
-          col("__dup_w_q") <= cfg.maxDupWordFracQ && col("__dup_b_q") <= cfg.maxDupBigramFracQ)
-        .drop("__dup_w_q", "__dup_b_q"))
+    // it also fires the stage-1/2 observes exactly once.
+    val kept = tracked("lang_quality_kept", scoreAndGate(cleaned, cfg))
       .localCheckpoint(true)
 
     // 2b. optional benchmark decontamination. Checkpointed when present:
@@ -123,5 +111,25 @@ object CorpusPipeline {
     // caller's own action
     val split = Sampling.withSplit(withCanon, col("canon_id"), cfg.trainPct, cfg.validPct)
     tracked("split_total", split)
+  }
+
+  /** Stage-2 gate as a standalone transform — language allowlist, minimum
+    * quality, repetition caps — appending (lang, score_q, ws_tokens) and
+    * preserving every other input column. Pure narrow column arithmetic, so
+    * it applies unchanged to a STREAMING frame ([[graft.streaming
+    * .StreamCorpus]] is exactly this plus watermarked dedup). Tokens bind
+    * to a column before the bigram transform (see Repetition.wordNgrams). */
+  def scoreAndGate(df: DataFrame, cfg: Config): DataFrame = {
+    val scored = df
+      .withColumn("__toks", Repetition.wordTokens(col("text")))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .withColumn("score_q", TextAnalysis.qualityScoreQ(col("text")))
+      .withColumn("ws_tokens", TextAnalysis.wsTokenCount(col("text")))
+      .withColumn("__dup_w_q", Repetition.dupFracQ(col("__toks")))
+      .withColumn("__dup_b_q", Repetition.dupFracQ(Repetition.wordNgrams(col("__toks"), 2)))
+    scored.filter(
+        col("lang").isin(cfg.langs.toSeq: _*) && col("score_q") >= cfg.minQualityQ &&
+          col("__dup_w_q") <= cfg.maxDupWordFracQ && col("__dup_b_q") <= cfg.maxDupBigramFracQ)
+      .drop("__toks", "__dup_w_q", "__dup_b_q")
   }
 }
