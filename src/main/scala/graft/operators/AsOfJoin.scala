@@ -24,12 +24,24 @@ import org.apache.spark.sql.functions._
   * rows sort before left rows at equal timestamps.
   *
   * Output: all left columns, plus the matched right row as a struct column
-  * `__asof` (null when no right row precedes the left row).
+  * `__asof` (null when no right row matches).
+  *
+  * `direction` (pandas `merge_asof` parity): "backward" (default) matches
+  * the largest right ts ≤ left ts; "forward" the smallest right ts ≥ left
+  * ts — the same one-shuffle machinery traversed in reverse time order.
+  * `tolerance` bounds how far the match may sit from the left timestamp
+  * (an interval for time columns, a number for numeric ones); out-of-range
+  * matches NULL the `__asof` struct, the left row is kept — merge_asof
+  * semantics, and what keeps the operator a left join.
   */
 object AsOfJoin {
 
   def asOf(left: DataFrame, lKey: Column, lTs: Column,
-           right: DataFrame, rKey: Column, rTs: Column): DataFrame = {
+           right: DataFrame, rKey: Column, rTs: Column,
+           direction: String = "backward",
+           tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val lStruct = struct(left.columns.map(left(_)): _*)
     val rStruct = struct(right.columns.map(right(_)): _*)
     val rType = right.select(rStruct.as("p")).schema.head.dataType
@@ -38,12 +50,24 @@ object AsOfJoin {
       lStruct.as("__l"), lit(null).cast(rType).as("__p"))
     val r2 = right.select(rKey.as("__k"), rTs.as("__t"), lit(1).as("__r"),
       lit(null).cast(lType).as("__l"), rStruct.as("__p"))
+    // backward scans time ascending; forward scans it descending — either
+    // way right rows sort before left rows at equal timestamps, so an
+    // equal-ts right row matches (as-of is inclusive on both directions)
+    val tsOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__r").desc)
+      .orderBy(tsOrder, col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
+    val matched = l2.unionByName(r2)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__asof_t",
+        last(when(col("__r") === 1, col("__t")), ignoreNulls = true).over(w))
       .filter(col("__r") === 0)
-      .select(col("__l.*"), col("__asof"))
+    val bounded = tolerance.fold(matched) { tol =>
+      val inRange =
+        if (direction == "backward") col("__asof_t") >= col("__t") - tol
+        else col("__asof_t") <= col("__t") + tol
+      matched.withColumn("__asof", when(inRange, col("__asof")))
+    }
+    bounded.select(col("__l.*"), col("__asof"))
   }
 }

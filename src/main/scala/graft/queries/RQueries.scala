@@ -34,6 +34,7 @@ object RQueries {
     "q28_star_join" -> ((s, d) => q28(s, d)),
     "q38_event_stats" -> ((s, d) => q38(s, d)),
     "q39_asof_join" -> ((s, d) => q39(s, d)),
+    "q60_asof_forward" -> ((s, d) => q60(s, d)),
     "q40_range_join" -> ((s, d) => q40(s, d)),
     "q43_salted_join" -> ((s, d) => q43(s, d)),
     "q47_histogram" -> ((s, d) => q47(s, d)),
@@ -150,6 +151,25 @@ object RQueries {
       .select(col("event_id"), col("user_id"),
         date_format(col("d"), "yyyy-MM-dd").as("event_date"),
         coalesce(col("__asof.okey"), lit(-1L)).as("last_order"),
+        coalesce(date_format(col("__asof.o_orderdate"), "yyyy-MM-dd"), lit("none")).as("order_date"))
+  }
+
+  /** R28 forward variant: each event's NEXT order (smallest o_orderdate ≥
+    * event date) within a 30-day tolerance — merge_asof(direction=forward,
+    * tolerance) parity through the same one-shuffle tagged-union plan;
+    * out-of-tolerance matches null out, the event row survives. */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("okey"))
+    graft.operators.AsOfJoin.asOf(ev, col("user_id"), col("d"),
+        ord, col("o_custkey"), col("o_orderdate"),
+        direction = "forward", tolerance = Some(expr("INTERVAL 30 DAYS")))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("event_date"),
+        coalesce(col("__asof.okey"), lit(-1L)).as("next_order"),
         coalesce(date_format(col("__asof.o_orderdate"), "yyyy-MM-dd"), lit("none")).as("order_date"))
   }
 
@@ -472,6 +492,19 @@ object RQueries {
         |       CAST(coalesce(r.okey, -1) AS BIGINT) AS last_order,
         |       coalesce(strftime(r.o_orderdate, '%Y-%m-%d'), 'none') AS order_date
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.d >= r.o_orderdate""".stripMargin,
+    "q60_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |      FROM orders GROUP BY o_custkey, o_orderdate),
+        |j AS (SELECT l.event_id, l.user_id, l.d, r.o_orderdate, r.okey,
+        |             (r.o_orderdate IS NOT NULL
+        |              AND r.o_orderdate <= l.d + INTERVAL 30 DAY) AS in_tol
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.o_custkey AND l.d <= r.o_orderdate)
+        |SELECT event_id, user_id, strftime(d, '%Y-%m-%d') AS event_date,
+        |       CAST(CASE WHEN in_tol THEN okey ELSE -1 END AS BIGINT) AS next_order,
+        |       CASE WHEN in_tol THEN strftime(o_orderdate, '%Y-%m-%d') ELSE 'none' END AS order_date
+        |FROM j""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, user_id,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events)

@@ -25,6 +25,40 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some(3.0), 5L -> Some(9.0), 6L -> None))
   }
 
+  test("forward direction picks the earliest right row at or after each left ts") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", 5L, 1L),   // before any quote → ts 10
+      ("A", 20L, 2L),  // equal ts matches (forward is >=)
+      ("A", 25L, 3L),  // between quotes → ts 30
+      ("A", 99L, 4L),  // after all → null
+      ("B", 10L, 5L),  // B's only quote
+      ("C", 50L, 6L)).toDF("sym", "tts", "tid")
+    val got = AsOfJoin.asOf(trades, col("sym"), col("tts"), quotes, col("sym"), col("qts"),
+        direction = "forward")
+      .select(col("tid"), col("__asof.price"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> None, 5L -> Some(9.0), 6L -> None))
+  }
+
+  test("tolerance nulls out matches beyond the bound but keeps the left row") {
+    val quotes = Seq(("A", 10L, 1.0), ("A", 100L, 2.0)).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", 12L, 1L),  // backward match at 10, gap 2 ≤ 5 → kept
+      ("A", 40L, 2L),  // backward match at 10, gap 30 > 5 → nulled
+      ("A", 97L, 3L)). // forward match at 100, gap 3 ≤ 5 → kept
+      toDF("sym", "tts", "tid")
+    def run(dir: String) = AsOfJoin.asOf(trades, col("sym"), col("tts"),
+        quotes, col("sym"), col("qts"), direction = dir, tolerance = Some(lit(5L)))
+      .select(col("tid"), col("__asof.price"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(run("backward") == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+    assert(run("forward") == Map(1L -> None, 2L -> None, 3L -> Some(2.0)))
+  }
+
   test("one shuffle: single Exchange over the unioned sides") {
     val right = (1 to 100).map(i => (i % 5, i.toLong, i * 2.0)).toDF("k", "ts", "v")
     val left = (1 to 50).map(i => (i % 5, i.toLong + 10, i.toLong)).toDF("k", "ts", "id")
