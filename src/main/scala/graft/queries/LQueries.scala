@@ -42,6 +42,7 @@ object LQueries {
     "q57_decontaminate" -> ((s, d) => q57(s, d)),
     "q58_bloom_antijoin" -> ((s, d) => q58(s, d)),
     "q59_group_distinct" -> ((s, d) => q59(s, d)),
+    "q61_span_dedup" -> ((s, d) => q61(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -176,6 +177,12 @@ object LQueries {
   def q59(s: SparkSession, d: String): DataFrame =
     graft.operators.CorpusStats.groupDistinct(
       Tables.events(s, d), col("event_type"), col("user_id"))
+
+  /** L32: cross-doc span dedup (keep first corpus occurrence of every
+    * 10-word window), reassembled documents. */
+  def q61(s: SparkSession, d: String): DataFrame =
+    graft.operators.SpanDedup.dedupSpans(Tables.documents(s, d), col("doc_id"),
+      graft.operators.SpanDedup.wordWindows(col("text"), 10))
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -721,5 +728,22 @@ object LQueries {
       """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY event_type""".stripMargin,
+    "q61_span_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, ((len(w)-1)//10)+1)) AS pos,
+        |         unnest(list_transform(range(0, ((len(w)-1)//10)+1),
+        |                i -> array_to_string(w[(i*10+1):(i*10+10)], ' '))) AS span
+        |  FROM words),
+        |keep AS (
+        |  SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY md5(span)
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup,
+        |       CAST(count(*) AS BIGINT) AS n_spans_kept
+        |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin,
   )
 }
