@@ -37,7 +37,35 @@ object NearDup {
     *   overlap above threshold depends on corpus-ubiquitous grams. 0 = off
     *   (the exact baseline). */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                        k: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+                        k: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame =
+    ngramInterCounts(df, idCol, textCol, k, maxDocFreq)
+      .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder): C(A→B) = |A∩B| / |A|.
+    * Jaccard misses a small document quoted inside a much larger one (the
+    * union is dominated by the big doc), but containment of the smaller
+    * side is ~1 — this is the dedup rule for quotes, boilerplate inclusions
+    * and page-in-page duplication. Emits the pair, which side is the
+    * contained (smaller-set) document, and `containment` = n_inter /
+    * min(|A|,|B|) ≥ threshold. Same candidate machinery as
+    * [[ngramJaccardPairs]] — equality-join/fused-list pair generation,
+    * never all-pairs — so the same `maxDocFreq` stop-gram cap applies. */
+  def ngramContainmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+                            k: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame =
+    ngramInterCounts(df, idCol, textCol, k, maxDocFreq)
+      .withColumn("containment", round(col("n_inter") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b")).as("contained_id"),
+        col("containment"))
+
+  /** Shared pair-intersection engine for the exact n-gram family:
+    * (id_a < id_b, na, nb, n_inter) with the capped/uncapped candidate
+    * strategies documented inline. */
+  private def ngramInterCounts(df: DataFrame, idCol: Column, textCol: Column,
+                               k: Int, maxDocFreq: Long): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     // Deliberately NOT cached: the shingle explosion is larger than the
     // input corpus, so pinning it in memory is a scale bug at 100 TB.
@@ -95,9 +123,6 @@ object NearDup {
           .agg(count(lit(1)).as("n_inter"))
       }
     interPairs
-      .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** MinHash signatures, wide form: `id, mh_0..mh_{n-1}, n_grams` — computed

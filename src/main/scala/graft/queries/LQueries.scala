@@ -43,6 +43,7 @@ object LQueries {
     "q58_bloom_antijoin" -> ((s, d) => q58(s, d)),
     "q59_group_distinct" -> ((s, d) => q59(s, d)),
     "q61_span_dedup" -> ((s, d) => q61(s, d)),
+    "q62_containment" -> ((s, d) => q62(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -183,6 +184,13 @@ object LQueries {
   def q61(s: SparkSession, d: String): DataFrame =
     graft.operators.SpanDedup.dedupSpans(Tables.documents(s, d), col("doc_id"),
       graft.operators.SpanDedup.wordWindows(col("text"), 10))
+
+  /** L33: asymmetric n-gram containment pairs — |A∩B|/min(|A|,|B|) ≥ 0.7
+    * with the contained (smaller-set) side identified; catches
+    * small-doc-quoted-in-big-doc duplication that Jaccard's union dilutes. */
+  def q62(s: SparkSession, d: String): DataFrame =
+    NearDup.ngramContainmentPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      k = 3, threshold = 0.7)
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -524,6 +532,15 @@ object LQueries {
         |SELECT i.id_a, i.id_b, round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) AS jaccard
         |FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
         |WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.5""".stripMargin),
+    "q62_containment" -> (grams +
+      """,
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |       CASE WHEN sa.n_grams <= sb.n_grams THEN i.id_a ELSE i.id_b END AS contained_id,
+        |       round(n_inter * 1.0 / least(sa.n_grams, sb.n_grams), 4) AS containment
+        |FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+        |WHERE round(n_inter * 1.0 / least(sa.n_grams, sb.n_grams), 4) >= 0.7""".stripMargin),
     "q20_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,

@@ -28,6 +28,33 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0.5)))
   }
 
+  test("ngramContainmentPairs catches a quote Jaccard dilutes") {
+    val quote = Seq(
+      (1L, "alpha beta gamma delta"),                                // 2 grams, both inside doc 2
+      (2L, "x1 x2 alpha beta gamma delta y1 y2 y3 y4 y5 y6 y7 y8"))  // 12 grams
+      .toDF("doc_id", "text")
+    // jaccard = 2/(2+12-2) = 0.1667 — a 0.5 Jaccard dedup misses the pair
+    assert(NearDup.ngramJaccardPairs(quote, col("doc_id"), col("text"), 3, 0.5).count() === 0)
+    // containment of the small side = 2/2 = 1.0, contained_id = the quote
+    val c = NearDup.ngramContainmentPairs(quote, col("doc_id"), col("text"), 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(c.toSeq == Seq((1L, 2L, 1L, 1.0)))
+  }
+
+  test("ngramContainmentPairs honors the stop-gram cap and tie direction") {
+    // same-size sets → contained_id deterministic on id_a
+    val tie = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val t = NearDup.ngramContainmentPairs(tie, col("doc_id"), col("text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(t.toSeq == Seq((1L, 2L, 1L, 1.0)))
+    // capped path agrees with uncapped when no gram is hot
+    val capped = NearDup.ngramContainmentPairs(docs, col("doc_id"), col("text"), 3, 0.3, maxDocFreq = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exact = NearDup.ngramContainmentPairs(docs, col("doc_id"), col("text"), 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.sorted.toSeq == exact.sorted.toSeq && exact.nonEmpty)
+  }
+
   test("ngramJaccardPairs df cap: identity below cap, drops hot-gram-only pairs above") {
     // cap above every gram's doc frequency → bit-identical to the exact path
     val exact = NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.3)
