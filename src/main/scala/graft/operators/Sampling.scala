@@ -49,4 +49,63 @@ object Sampling {
     df.withColumn(splitName,
       when(b < trainHi, "train").when(b < validHi, "valid").otherwise("test"))
   }
+
+  /** Data-mixing under a token budget: within each group (language, domain,
+    * source), admit documents best-first — ordered by `priorityCol` desc
+    * with the usual md5(id) deterministic tiebreak — while the running
+    * token total stays within `budgetPerGroup`. Prefix semantics: the
+    * first document that would overflow the budget closes the group (no
+    * knapsack back-fill), which keeps the result a pure function of the
+    * ordering — reproducible and SQL-oracle-checkable.
+    *
+    * This is the exact path: one hash-partition by group + per-group sort
+    * for the running-sum window (a per-group ordered prefix is inherently
+    * sequential). For corpora where a single group is shuffle-partition-
+    * sized or larger, use [[tokenBudgetCutoffs]] to resolve a per-group
+    * admission threshold at histogram granularity instead — no per-doc
+    * sort anywhere. */
+  def tokenBudgetSample(df: DataFrame, groupCol: Column, idCol: Column,
+                        tokensCol: Column, priorityCol: Column,
+                        budgetPerGroup: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(priorityCol.desc, md5(idCol.cast("string")), idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(tokensCol).over(w))
+      .filter(col("cum_tokens") <= budgetPerGroup)
+  }
+
+  /** Scale path for [[tokenBudgetSample]]: per-group admission THRESHOLD
+    * from a priority histogram. One map-side-combinable aggregation over
+    * (group, floor(priority/bucketWidth)) — shuffle carries one row per
+    * occupied bucket, not per document — then a running sum over each
+    * group's few-hundred-row bucket frame picks the lowest bucket whose
+    * cumulative tokens still fit the budget. Returns `(group,
+    * cutoff_priority, admitted_tokens)`; admission is then a broadcast
+    * join + narrow `priority >= cutoff_priority` filter over the corpus
+    * ([[admitByCutoff]]) — no per-document sort at any point. Granularity
+    * trade: the budget is honored at bucket resolution (over-admission
+    * bounded by one bucket's tokens). */
+  def tokenBudgetCutoffs(df: DataFrame, groupCol: Column, tokensCol: Column,
+                         priorityCol: Column, budgetPerGroup: Long,
+                         bucketWidth: Long = 100L): DataFrame = {
+    val bucket = floor(priorityCol / bucketWidth).cast("long")
+    val hist = df.groupBy(groupCol.as("group"), bucket.as("__bucket"))
+      .agg(sum(tokensCol).as("__btokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+      .orderBy(col("__bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist.withColumn("__cum", sum(col("__btokens")).over(w))
+      .filter(col("__cum") <= budgetPerGroup)
+      .groupBy(col("group"))
+      .agg((min(col("__bucket")) * bucketWidth).as("cutoff_priority"),
+        max(col("__cum")).as("admitted_tokens"))
+  }
+
+  /** Admit every row whose priority clears its group's cutoff (see
+    * [[tokenBudgetCutoffs]]); cutoff frame is groups×1 rows → broadcast. */
+  def admitByCutoff(df: DataFrame, cutoffs: DataFrame, groupCol: Column,
+                    priorityCol: Column): DataFrame =
+    df.join(broadcast(cutoffs), groupCol === cutoffs("group"))
+      .filter(priorityCol >= cutoffs("cutoff_priority"))
+      .drop("group", "cutoff_priority", "admitted_tokens")
 }

@@ -44,6 +44,7 @@ object LQueries {
     "q59_group_distinct" -> ((s, d) => q59(s, d)),
     "q61_span_dedup" -> ((s, d) => q61(s, d)),
     "q62_containment" -> ((s, d) => q62(s, d)),
+    "q63_token_budget" -> ((s, d) => q63(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -191,6 +192,17 @@ object LQueries {
   def q62(s: SparkSession, d: String): DataFrame =
     NearDup.ngramContainmentPairs(Tables.documents(s, d), col("doc_id"), col("text"),
       k = 3, threshold = 0.7)
+
+  /** L34: data mixing under a token budget — fill each language's 2000-token
+    * quota with its highest-quality documents (L7/L8/L9 composed), prefix
+    * semantics, deterministic tiebreak. */
+  def q63(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScoreQ(col("text")).as("score_q")),
+      col("lang"), col("doc_id"), col("n_tokens"), col("score_q"),
+      budgetPerGroup = 2000L)
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -541,6 +553,35 @@ object LQueries {
         |       round(n_inter * 1.0 / least(sa.n_grams, sb.n_grams), 4) AS containment
         |FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
         |WHERE round(n_inter * 1.0 / least(sa.n_grams, sb.n_grams), 4) >= 0.7""".stripMargin),
+    "q63_token_budget" ->
+      """WITH feat AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS tokens,
+        |    CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+        |       + (length(p) - length(replace(p, ' and ', ''))) / 5
+        |       + (length(p) - length(replace(p, ' of ', ''))) / 4
+        |       + (length(p) - length(replace(p, ' to ', ''))) / 4
+        |       + (length(p) - length(replace(p, ' a ', ''))) / 3 AS DOUBLE) AS stop,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper
+        |  FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents) x),
+        |scored AS (
+        |  SELECT doc_id, lang, CAST(tokens AS BIGINT) AS n_tokens,
+        |    CAST(floor((0.4 * least(len / 500.0, 1.0)
+        |        + 0.3 * least(stop / greatest(tokens, 1.0) * 5.0, 1.0)
+        |        + 0.15 * (1.0 - least(punct / greatest(len, 1.0) * 10.0, 1.0))
+        |        + 0.15 * (1.0 - least(upper / greatest(len, 1.0) * 5.0, 1.0))) * 10000.0) AS BIGINT) AS score_q
+        |  FROM feat),
+        |ranked AS (
+        |  SELECT doc_id, lang, n_tokens, score_q,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |             ORDER BY score_q DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, lang, n_tokens, score_q, cum_tokens
+        |FROM ranked WHERE cum_tokens <= 2000""".stripMargin,
     "q20_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,

@@ -111,4 +111,38 @@ class SamplingSpec extends SparkSpec {
       p.queryExecution.executedPlan.toString.split("Exchange").length - 1
     assert(aggs(approx) <= aggs(exact))
   }
+
+  test("tokenBudgetSample: best-first prefix, overflow doc closes the group") {
+    val docs = Seq(
+      ("en", 1L, 50L, 900L), // admitted: cum 50
+      ("en", 2L, 40L, 800L), // admitted: cum 90
+      ("en", 3L, 20L, 700L), // overflow at 110 > 100 → excluded
+      ("en", 4L, 5L, 600L),  // would fit, but prefix semantics exclude it
+      ("de", 5L, 99L, 100L)  // other group unaffected
+    ).toDF("lang", "doc_id", "n_tokens", "score_q")
+    val kept = Sampling.tokenBudgetSample(docs, col("lang"), col("doc_id"),
+        col("n_tokens"), col("score_q"), budgetPerGroup = 100L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 50L, 2L -> 90L, 5L -> 99L))
+  }
+
+  test("tokenBudgetCutoffs: histogram cutoff admits a priority-consistent set near the budget") {
+    val docs = (1 to 400)
+      .map(i => ("en", i.toLong, 10L, (i * 25).toLong)) // priorities 25..10000
+      .toDF("lang", "doc_id", "n_tokens", "score_q")
+    val cut = Sampling.tokenBudgetCutoffs(docs, col("lang"), col("n_tokens"),
+      col("score_q"), budgetPerGroup = 1000L, bucketWidth = 100L)
+    val (cutoff, admitted) = cut.select("cutoff_priority", "admitted_tokens")
+      .as[(Long, Long)].head()
+    assert(admitted <= 1000L && admitted >= 900L, s"admitted=$admitted")
+    val sel = Sampling.admitByCutoff(docs, cut, col("lang"), col("score_q"))
+    // every admitted doc outranks every rejected doc (bucket granularity)
+    val admittedMin = sel.agg(min("score_q")).as[Long].head()
+    assert(admittedMin >= cutoff)
+    assert(sel.count() * 10L == admitted)
+    // budget larger than the corpus admits everything
+    val all = Sampling.tokenBudgetCutoffs(docs, col("lang"), col("n_tokens"),
+      col("score_q"), budgetPerGroup = 1000000L, bucketWidth = 100L)
+    assert(Sampling.admitByCutoff(docs, all, col("lang"), col("score_q")).count() == 400L)
+  }
 }
