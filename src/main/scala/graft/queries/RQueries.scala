@@ -43,6 +43,7 @@ object RQueries {
     "q50_rollup" -> ((s, d) => q50(s, d)),
     "q51_set_ops" -> ((s, d) => q51(s, d)),
     "q54_column_values" -> ((s, d) => q54(s, d)),
+    "q64_funnel" -> ((s, d) => q64(s, d)),
   )
 
   /** Laudo-style per-column value listing (SURVEY §2a R38): top-5 most
@@ -172,6 +173,15 @@ object RQueries {
         coalesce(col("__asof.okey"), lit(-1L)).as("next_order"),
         coalesce(date_format(col("__asof.o_orderdate"), "yyyy-MM-dd"), lit("none")).as("order_date"))
   }
+
+  /** R40: strict ordered conversion funnel view → click → purchase per
+    * user — earliest qualifying chain, single-shuffle sorted fold (the
+    * oracle is the k-aggregation join chain; results proved equal). */
+  def q64(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnelTimes(Tables.events(s, d),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .withColumnRenamed("key", "user_id")
 
   /** Per-type event stats: JSON property extraction + exact interpolated
     * percentiles, quantized (`floor(x·10³)`) so the interpolation result
@@ -505,6 +515,25 @@ object RQueries {
         |       CAST(CASE WHEN in_tol THEN okey ELSE -1 END AS BIGINT) AS next_order,
         |       CASE WHEN in_tol THEN strftime(o_orderdate, '%Y-%m-%d') ELSE 'none' END AS order_date
         |FROM j""".stripMargin,
+    "q64_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+        |            FROM events WHERE user_id IS NOT NULL),
+        |v AS (SELECT user_id, min(ts_us) AS t_view_us
+        |      FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t_click_us
+        |      FROM ev e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.t_view_us
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase_us
+        |      FROM ev e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click_us
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us,
+        |       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, user_id,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events)
