@@ -44,6 +44,7 @@ object RQueries {
     "q51_set_ops" -> ((s, d) => q51(s, d)),
     "q54_column_values" -> ((s, d) => q54(s, d)),
     "q64_funnel" -> ((s, d) => q64(s, d)),
+    "q65_retention" -> ((s, d) => q65(s, d)),
   )
 
   /** Laudo-style per-column value listing (SURVEY §2a R38): top-5 most
@@ -173,6 +174,13 @@ object RQueries {
         coalesce(col("__asof.okey"), lit(-1L)).as("next_order"),
         coalesce(date_format(col("__asof.o_orderdate"), "yyyy-MM-dd"), lit("none")).as("order_date"))
   }
+
+  /** R41: weekly cohort retention triangle — first-active-week cohorts ×
+    * week offset, distinct-user counts via the set-explode two-shuffle
+    * plan (no joins, no count_distinct). */
+  def q65(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retention.cohortRetention(
+      Tables.events(s, d), col("user_id"), col("ts"))
 
   /** R40: strict ordered conversion funnel view → click → purchase per
     * user — earliest qualifying chain, single-shuffle sorted fold (the
@@ -534,6 +542,17 @@ object RQueries {
         |              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
         |FROM v LEFT JOIN c ON c.user_id = v.user_id
         |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin,
+    "q65_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events WHERE user_id IS NOT NULL),
+        |fw AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST((w.week - f.cohort) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM wk w JOIN fw f ON f.user_id = w.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, user_id,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events)
