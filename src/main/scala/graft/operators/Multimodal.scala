@@ -99,6 +99,16 @@ object Multimodal {
     call_function("graft_image_meta", binCol)
   }
 
+  /** Audio sibling of [[imageMeta]]: `struct(format, channels,
+    * sample_rate, bits_per_sample, n_frames, duration_ms)` from WAV /
+    * AIFF / FLAC container headers, null when unrecognized — see
+    * [[graft.plans.AudioMeta]]. Sample decode stays with the stubbed
+    * codec stage, exactly like pixels. */
+  def audioMeta(df: DataFrame, binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    call_function("graft_audio_meta", binCol)
+  }
+
   /** BATCHED decode — the `mapInPandas`/Arrow batch contract re-expressed
     * for a JVM codec: rows are fed to the decoder `batchSize` at a time so
     * a real implementation can (a) initialize the codec ONCE per batch

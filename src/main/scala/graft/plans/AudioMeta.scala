@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_audio_meta(binary)` — audio container sniff + stream parameters
+  * from header bytes alone: `struct(format, channels, sample_rate,
+  * bits_per_sample, n_frames, duration_ms)`, or NULL for unrecognized /
+  * truncated bytes.
+  *
+  * Parses the public container layouts directly — WAV (RIFF chunk walk to
+  * `fmt `/`data`), AIFF (FORM/COMM with the 80-bit extended-precision
+  * sample rate), FLAC (STREAMINFO bit fields) — no codec library, no
+  * sample decode. The audio sibling of [[ImageMeta]]: real metadata for
+  * routing/filtering/batching in a media lake, with the sample decode
+  * remaining the honestly-stubbed, library-bound step. */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AudioMeta.Schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_audio_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioMeta.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.AudioMeta.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+}
+
+object AudioMeta {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  private def row(format: String, ch: Int, rate: Int, bits: Int, frames: Long): InternalRow = {
+    val durMs = if (rate > 0) frames * 1000L / rate else 0L
+    new GenericInternalRow(Array[Any](UTF8String.fromString(format), ch, rate, bits, frames, durMs))
+  }
+
+  private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b.length >= i + 4 && b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+      b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+
+  /** Null (not an exception) for anything unrecognized or truncated. */
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) return wav(b)
+    if (tag(b, 0, "FORM") && (tag(b, 8, "AIFF") || tag(b, 8, "AIFC"))) return aiff(b)
+    if (tag(b, 0, "fLaC")) return flac(b)
+    null
+  }
+
+  /** RIFF chunk walk: `fmt ` carries the stream parameters, `data`'s size
+    * divided by the frame stride gives the frame count. Chunks are
+    * word-aligned (odd sizes pad one byte). */
+  private def wav(b: Array[Byte]): InternalRow = {
+    var i = 12
+    var ch = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var frames = -1L
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      val body = i + 8
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || body + 16 > b.length) return null
+        ch = le16(b, body + 2)
+        rate = le32(b, body + 4).toInt
+        blockAlign = le16(b, body + 12)
+        bits = le16(b, body + 14)
+      } else if (tag(b, i, "data")) {
+        // data may legally be the last chunk with bytes beyond the buffer
+        // (streaming prefix read): the declared size still gives frames.
+        frames = if (blockAlign > 0) size / blockAlign else -1L
+      }
+      if (ch >= 0 && frames >= 0)
+        return if (ch > 0 && rate > 0) row("wav", ch, rate, bits, frames) else null
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    null
+  }
+
+  /** FORM/COMM: big-endian channels, frame count, sample size, and the
+    * 80-bit IEEE 754 extended-precision sample rate. */
+  private def aiff(b: Array[Byte]): InternalRow = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = be32(b, i + 4)
+      val body = i + 8
+      if (tag(b, i, "COMM")) {
+        if (size < 18 || body + 18 > b.length) return null
+        val ch = be16(b, body)
+        val frames = be32(b, body + 2)
+        val bits = be16(b, body + 6)
+        // 80-bit extended: 1 sign + 15 exponent bits, 64-bit mantissa with
+        // explicit integer bit; value = mantissa * 2^(exp - 16383 - 63).
+        val exp = be16(b, body + 8) & 0x7fff
+        val mant = (be32(b, body + 10) << 32) | be32(b, body + 14)
+        val shift = 16383 + 63 - exp
+        val rate =
+          if (shift >= 0 && shift < 64) (mant >>> shift).toInt
+          else return null
+        return if (ch > 0 && rate > 0) row("aiff", ch, rate, bits, frames) else null
+      }
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    null
+  }
+
+  /** `fLaC` + STREAMINFO (metadata block type 0, 34 bytes): bit-packed
+    * sample rate (20), channels-1 (3), bits-1 (5), total samples (36). */
+  private def flac(b: Array[Byte]): InternalRow = {
+    // first metadata block header at 4: [last:1|type:7][len:24]
+    if (b.length < 4 + 4 + 34 || (b(4) & 0x7f) != 0) return null
+    val s = 8 // STREAMINFO payload start
+    // bytes 10-17 of the payload: rate(20) ch(3) bits(5) samples(36)
+    val rate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) | ((b(s + 12) & 0xff) >>> 4)
+    val ch = ((b(s + 12) >>> 1) & 0x07) + 1
+    val bits = (((b(s + 12) & 0x01) << 4) | ((b(s + 13) & 0xff) >>> 4)) + 1
+    val frames = ((b(s + 13) & 0x0fL) << 32) | (be32(b, s + 14) & 0xffffffffL)
+    if (rate > 0) row("flac", ch, rate, bits, frames) else null
+  }
+}

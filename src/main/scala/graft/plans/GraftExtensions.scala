@@ -80,6 +80,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_image_meta takes exactly one argument")
         ImageMeta(args.head)
+      }),
+    (FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "graft_audio_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_audio_meta takes exactly one argument")
+        AudioMeta(args.head)
       }))
 
   /** Register the graft function set on an already-built session. */

@@ -1,0 +1,96 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AudioMetaSpec extends SparkSpec {
+  import ss.implicits._
+
+  private def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+  private def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+  private def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** 44.1 kHz stereo 16-bit WAV with `frames` sample frames declared. */
+  private def wav(ch: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+    val blockAlign = ch * bits / 8
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+      le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits)
+    val data = "data".getBytes ++ le32(frames * blockAlign) // declared, bytes absent
+    "RIFF".getBytes ++ le32(4 + fmt.length + data.length) ++ "WAVE".getBytes ++ fmt ++ data
+  }
+
+  /** AIFF COMM chunk with an 80-bit extended sample rate. */
+  private def aiff(ch: Int, rate: Int, bits: Int, frames: Long): Array[Byte] = {
+    // encode rate as 80-bit extended: normalize mantissa to top bit set
+    var mant = rate.toLong
+    var exp = 16383 + 63
+    while ((mant & 0x8000000000000000L) == 0) { mant <<= 1; exp -= 1 }
+    val comm = "COMM".getBytes ++ be32(18) ++ be16(ch) ++ be32(frames) ++ be16(bits) ++
+      be16(exp) ++ be32(mant >>> 32) ++ be32(mant & 0xffffffffL)
+    "FORM".getBytes ++ be32((4 + comm.length).toLong) ++ "AIFF".getBytes ++ comm
+  }
+
+  /** fLaC STREAMINFO: rate(20) ch-1(3) bits-1(5) samples(36) bit fields. */
+  private def flac(ch: Int, rate: Int, bits: Int, frames: Long): Array[Byte] = {
+    val payload = new Array[Byte](34)
+    payload(10) = ((rate >> 12) & 0xff).toByte
+    payload(11) = ((rate >> 4) & 0xff).toByte
+    payload(12) = (((rate & 0x0f) << 4) | (((ch - 1) & 0x07) << 1) | (((bits - 1) >> 4) & 0x01)).toByte
+    payload(13) = ((((bits - 1) & 0x0f) << 4) | ((frames >> 32) & 0x0f)).toByte
+    payload(14) = ((frames >> 24) & 0xff).toByte
+    payload(15) = ((frames >> 16) & 0xff).toByte
+    payload(16) = ((frames >> 8) & 0xff).toByte
+    payload(17) = (frames & 0xff).toByte
+    "fLaC".getBytes ++ Array[Byte](0x00, 0, 0, 34) ++ payload
+  }
+
+  test("WAV/AIFF/FLAC headers yield stream parameters and duration") {
+    GraftExtensions.register(ss)
+    val df = Seq(
+      (1L, wav(2, 44100, 16, 44100 * 3)),       // 3 s stereo CD audio
+      (2L, aiff(1, 48000, 24, 96000L)),          // 2 s mono 24-bit
+      (3L, flac(2, 44100, 16, 441000L)),         // 10 s
+      (4L, "not audio at all........".getBytes),
+      (5L, wav(2, 44100, 16, 100).take(20))      // truncated before fmt completes
+    ).toDF("id", "bin")
+      .select(col("id"), call_function("graft_audio_meta", col("bin")).as("m"))
+    val rows = df.collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null
+      else { val s = r.getStruct(1)
+        (s.getString(0), s.getInt(1), s.getInt(2), s.getInt(3), s.getLong(4), s.getLong(5)) })
+    }.toMap
+    assert(rows(1L) == ("wav", 2, 44100, 16, 132300L, 3000L))
+    assert(rows(2L) == ("aiff", 1, 48000, 24, 96000L, 2000L))
+    assert(rows(3L) == ("flac", 2, 44100, 16, 441000L, 10000L))
+    assert(rows(4L) == null)
+    assert(rows(5L) == null)
+  }
+
+  test("odd-sized chunks are word-aligned in the RIFF walk") {
+    GraftExtensions.register(ss)
+    // put an odd-sized LIST chunk before fmt — the +1 pad must be honored
+    val list = "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // 3 bytes + pad
+    val w = wav(1, 8000, 8, 8000)
+    val withList = w.take(12) ++ list ++ w.drop(12)
+    val m = Seq((1L, withList)).toDF("id", "bin")
+      .select(call_function("graft_audio_meta", col("bin")).as("m")).head.getStruct(0)
+    assert(m.getString(0) == "wav" && m.getInt(2) == 8000 && m.getLong(5) == 1000L)
+  }
+
+  test("audioMeta helper and SQL surface agree; codegen path compiles") {
+    val df = Seq((1L, wav(2, 22050, 16, 22050))).toDF("id", "bin")
+    val viaHelper = df.select(graft.operators.Multimodal.audioMeta(df, col("bin")).as("m"))
+      .select("m.format", "m.duration_ms").as[(String, Long)].head()
+    assert(viaHelper == (("wav", 1000L)))
+    withClue("codegen fallback disabled") {
+      val prev = ss.conf.get("spark.sql.codegen.fallback", "true")
+      ss.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        val n = df.select(call_function("graft_audio_meta", col("bin")).as("m"))
+          .filter(col("m").isNotNull).count()
+        assert(n == 1L)
+      } finally ss.conf.set("spark.sql.codegen.fallback", prev)
+    }
+  }
+}
