@@ -45,6 +45,9 @@ object RQueries {
     "q54_column_values" -> ((s, d) => q54(s, d)),
     "q64_funnel" -> ((s, d) => q64(s, d)),
     "q65_retention" -> ((s, d) => q65(s, d)),
+    "q66_transitions" -> ((s, d) => q66(s, d)),
+    "q67_rolling" -> ((s, d) => q67(s, d)),
+    "q68_deciles" -> ((s, d) => q68(s, d)),
   )
 
   /** Laudo-style per-column value listing (SURVEY §2a R38): top-5 most
@@ -181,6 +184,26 @@ object RQueries {
   def q65(s: SparkSession, d: String): DataFrame =
     graft.operators.Retention.cohortRetention(
       Tables.events(s, d), col("user_id"), col("ts"))
+
+  /** R42: user-journey transition matrix — adjacent event-type pairs per
+    * user, one lead-window shuffle, |types|²-row output. */
+  def q66(s: SparkSession, d: String): DataFrame =
+    graft.operators.Transitions.transitionCounts(Tables.events(s, d),
+      col("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
+
+  /** R43: trailing-7-day rolling revenue per event type — daily integer-cent
+    * pre-aggregation, RANGE frame over day offsets (gaps age out). */
+  def q67(s: SparkSession, d: String): DataFrame =
+    graft.operators.Rolling.rollingDailyCents(Tables.events(s, d),
+      Seq(col("event_type")), col("ts"), col("value"), days = 7)
+
+  /** R44: exact equi-depth deciles of order value per order status
+    * (deterministic tiebreak on the key; the approx-sketch scale path is
+    * spec-covered). */
+  def q68(s: SparkSession, d: String): DataFrame =
+    graft.operators.EquiDepth.depthBuckets(Tables.orders(s, d),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"), n = 10)
+      .withColumn("bucket", col("bucket").cast("long"))
 
   /** R40: strict ordered conversion funnel view → click → purchase per
     * user — earliest qualifying chain, single-shuffle sorted fold (the
@@ -553,6 +576,37 @@ object RQueries {
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM wk w JOIN fw f ON f.user_id = w.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q66_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q67_rolling" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |         CAST(floor(sum(value) * 100 + 0.50001) AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, d, day_cents,
+        |         CAST(sum(day_cents) OVER (PARTITION BY event_type
+        |              ORDER BY d - DATE '1970-01-01'
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+        |  FROM daily)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, day_cents, roll_cents,
+        |       CAST(floor(roll_cents / 7.0) AS BIGINT) AS roll_avg_cents
+        |FROM r""".stripMargin,
+    "q68_deciles" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus AS "group", o_totalprice AS v,
+        |         ntile(10) OVER (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT "group", CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, user_id,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events)
