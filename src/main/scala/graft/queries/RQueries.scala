@@ -48,6 +48,9 @@ object RQueries {
     "q66_transitions" -> ((s, d) => q66(s, d)),
     "q67_rolling" -> ((s, d) => q67(s, d)),
     "q68_deciles" -> ((s, d) => q68(s, d)),
+    "q69_snapshot_diff" -> ((s, d) => q69(s, d)),
+    "q70_melt" -> ((s, d) => q70(s, d)),
+    "q71_pivot_wide" -> ((s, d) => q71(s, d)),
   )
 
   /** Laudo-style per-column value listing (SURVEY §2a R38): top-5 most
@@ -184,6 +187,37 @@ object RQueries {
   def q65(s: SparkSession, d: String): DataFrame =
     graft.operators.Retention.cohortRetention(
       Tables.events(s, d), col("user_id"), col("ts"))
+
+  /** R45: snapshot CDC — two deterministic derivations of `customer` play
+    * yesterday's and today's full drops; diff = one full outer join +
+    * narrow change classification. */
+  def q69(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val oldSnap = c.filter(col("c_custkey") % 10 =!= 3)
+    val newSnap = c.filter(col("c_custkey") % 10 =!= 7)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("CHANGED")).otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+    graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"))
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+  }
+
+  /** R46a: wide→long melt (native unpivot, narrow one-pass). */
+  def q70(s: SparkSession, d: String): DataFrame =
+    graft.operators.Reshape.melt(Tables.part(s, d),
+      idCols = Seq("p_partkey"), meltCols = Seq("p_size", "p_retailprice"))
+
+  /** R46b: long→wide pivot with a FIXED value domain — per-user revenue by
+    * event type in one groupBy (no value-discovery job), integer cents. */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    graft.operators.Reshape.pivotWide(Tables.events(s, d).filter(col("user_id").isNotNull),
+        Seq("user_id"), col("event_type"), col("value"), types)
+      .select(col("user_id") +: types.map(t =>
+        floor(col(t) * 100 + lit(0.50001)).cast("long").as(s"${t}_cents")): _*)
+  }
 
   /** R42: user-journey transition matrix — adjacent event-type pairs per
     * user, one lead-window shuffle, |types|²-row output. */
@@ -607,6 +641,43 @@ object RQueries {
         |SELECT "group", CAST(bucket AS BIGINT) AS bucket,
         |       CAST(count(*) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q69_snapshot_diff" ->
+      """WITH o AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer WHERE c_custkey % 10 <> 3),
+        |n AS (SELECT c_custkey AS k,
+        |             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg,
+        |             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS bal
+        |      FROM customer WHERE c_custkey % 10 <> 7),
+        |j AS (SELECT o.k AS ok, n.k AS nk, o.seg AS oseg, o.bal AS obal,
+        |             n.seg AS nseg, n.bal AS nbal
+        |      FROM o FULL JOIN n ON o.k = n.k),
+        |t AS (SELECT *,
+        |        CASE WHEN ok IS NULL THEN 'added'
+        |             WHEN nk IS NULL THEN 'removed'
+        |             WHEN oseg IS DISTINCT FROM nseg
+        |               OR obal IS DISTINCT FROM nbal THEN 'changed'
+        |             ELSE 'unchanged' END AS change_type
+        |      FROM j)
+        |SELECT COALESCE(nk, ok) AS c_custkey, change_type,
+        |       CASE WHEN change_type = 'changed' THEN concat_ws(',',
+        |              CASE WHEN oseg IS DISTINCT FROM nseg THEN 'c_mktsegment' END,
+        |              CASE WHEN obal IS DISTINCT FROM nbal THEN 'c_acctbal' END)
+        |            ELSE '' END AS changed_cols,
+        |       COALESCE(nseg, oseg) AS c_mktsegment,
+        |       round(COALESCE(nbal, obal), 2) AS c_acctbal
+        |FROM t WHERE change_type <> 'unchanged'""".stripMargin,
+    "q70_melt" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part""".stripMargin,
+    "q71_pivot_wide" ->
+      """SELECT user_id,
+        |  CAST(floor(sum(CASE WHEN event_type = 'click' THEN value END) * 100 + 0.50001) AS BIGINT) AS click_cents,
+        |  CAST(floor(sum(CASE WHEN event_type = 'error' THEN value END) * 100 + 0.50001) AS BIGINT) AS error_cents,
+        |  CAST(floor(sum(CASE WHEN event_type = 'purchase' THEN value END) * 100 + 0.50001) AS BIGINT) AS purchase_cents,
+        |  CAST(floor(sum(CASE WHEN event_type = 'signup' THEN value END) * 100 + 0.50001) AS BIGINT) AS signup_cents,
+        |  CAST(floor(sum(CASE WHEN event_type = 'view' THEN value END) * 100 + 0.50001) AS BIGINT) AS view_cents
+        |FROM events WHERE user_id IS NOT NULL GROUP BY user_id""".stripMargin,
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, user_id,
         |                  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events)

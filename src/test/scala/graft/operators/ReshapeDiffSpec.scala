@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ReshapeDiffSpec extends SparkSpec {
+  import ss.implicits._
+
+  test("SnapshotDiff classifies added/removed/changed with null-safe compare") {
+    val oldDf = Seq(
+      (1L, "A", Some(10.0)),  // unchanged
+      (2L, "B", Some(20.0)),  // segment changes
+      (3L, "C", None),        // null -> value = changed
+      (4L, "D", Some(40.0)))  // removed
+      .toDF("k", "seg", "bal")
+    val newDf = Seq(
+      (1L, "A", Some(10.0)),
+      (2L, "X", Some(20.0)),
+      (3L, "C", Some(33.0)),
+      (5L, "E", Some(50.0)))  // added
+      .toDF("k", "seg", "bal")
+    val out = SnapshotDiff.diff(oldDf, newDf, "k", Seq("seg", "bal"))
+      .orderBy("k")
+      .as[(Long, String, String, String, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      (2L, "changed", "seg", "X", Some(20.0)),
+      (3L, "changed", "bal", "C", Some(33.0)),
+      (4L, "removed", "", "D", Some(40.0)),
+      (5L, "added", "", "E", Some(50.0))))
+  }
+
+  test("SnapshotDiff: both columns changed lists both, in compareCols order") {
+    val oldDf = Seq((1L, "A", 1.0)).toDF("k", "seg", "bal")
+    val newDf = Seq((1L, "B", 2.0)).toDF("k", "seg", "bal")
+    val got = SnapshotDiff.diff(oldDf, newDf, "k", Seq("seg", "bal"))
+      .select("changed_cols").as[String].head()
+    assert(got == "seg,bal")
+  }
+
+  test("melt is a narrow one-pass unpivot (no shuffle)") {
+    val df = Seq((1L, 2, 3.5), (2L, 4, 7.25)).toDF("id", "a", "b")
+    val m = Reshape.melt(df, Seq("id"), Seq("a", "b"))
+    val got = m.orderBy("id", "attr").as[(Long, String, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "a", 2.0), (1L, "b", 3.5), (2L, "a", 4.0), (2L, "b", 7.25)))
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"melt must not shuffle:\n$plan")
+  }
+
+  test("pivotWide aggregates the fixed domain in ONE shuffle, nulls for empty cells") {
+    val long = Seq(
+      (1L, "a", 1.0), (1L, "a", 2.0), (1L, "b", 5.0),
+      (2L, "b", 7.0))
+      .toDF("id", "attr", "v")
+    val wide = Reshape.pivotWide(long, Seq("id"), col("attr"), col("v"), Seq("a", "b", "c"))
+    val got = wide.orderBy("id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      (1L, Some(3.0), Some(5.0), None),
+      (2L, None, Some(7.0), None)))
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$plan")
+  }
+}
