@@ -95,6 +95,9 @@ object AudioMeta {
       }
       if (ch >= 0 && frames >= 0)
         return if (ch > 0 && rate > 0) row("wav", ch, rate, bits, frames) else null
+      // hostile/corrupt declared sizes must terminate the walk, not wrap
+      // the cursor backwards into an infinite loop
+      if (size < 0 || size > b.length.toLong) return null
       i = body + size.toInt + (size.toInt & 1)
     }
     null
@@ -122,6 +125,7 @@ object AudioMeta {
           else return null
         return if (ch > 0 && rate > 0) row("aiff", ch, rate, bits, frames) else null
       }
+      if (size < 0 || size > b.length.toLong) return null
       i = body + size.toInt + (size.toInt & 1)
     }
     null

@@ -133,4 +133,61 @@ class EdgeCasesSpec extends SparkSpec {
       exact = false).collect().head
     assert(approx.getLong(2) == 1L)
   }
+
+  test("round-6 analytics/reshape additions on empty/degenerate input") {
+    import java.sql.Timestamp
+    val noEvents = Seq.empty[(Long, Long, Timestamp, String, Double)]
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    // span dedup: empty corpus, empty-string doc
+    assert(SpanDedup.dedupSpans(noDocs, col("doc_id"),
+      SpanDedup.lines(col("text"))).count() == 0)
+    assert(SpanDedup.dedupSpans(Seq((1L, "")).toDF("doc_id", "text"), col("doc_id"),
+      SpanDedup.wordWindows(col("text"), 5)).count() == 1) // one empty span kept
+    // containment: empty and single-doc
+    assert(NearDup.ngramContainmentPairs(noDocs, col("doc_id"), col("text"), 3, 0.5).count() == 0)
+    assert(NearDup.ngramContainmentPairs(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), 3, 0.5).count() == 0)
+    // token budget: empty, zero budget, cutoffs on empty
+    assert(Sampling.tokenBudgetSample(noDocs.withColumn("n", lit(1L)).withColumn("p", lit(1L)),
+      col("text"), col("doc_id"), col("n"), col("p"), 100L).count() == 0)
+    val one = Seq(("g", 1L, 10L, 5L)).toDF("grp", "id", "n", "p")
+    assert(Sampling.tokenBudgetSample(one, col("grp"), col("id"), col("n"), col("p"), 0L).count() == 0)
+    assert(Sampling.tokenBudgetCutoffs(one.filter(lit(false)), col("grp"), col("n"), col("p"), 10L).count() == 0)
+    // funnel / retention / transitions / rolling on empty events
+    assert(Funnel.funnelTimes(noEvents, col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click")).count() == 0)
+    assert(Retention.cohortRetention(noEvents, col("user_id"), col("ts")).count() == 0)
+    assert(Transitions.transitionCounts(noEvents, col("user_id"),
+      Seq(col("ts"), col("event_id")), col("event_type")).count() == 0)
+    assert(Rolling.rollingDailyCents(noEvents, Seq(col("event_type")),
+      col("ts"), col("value"), 7).count() == 0)
+    // equi-depth: empty + single row; n=1 degenerate
+    assert(EquiDepth.depthBuckets(noDocs.withColumn("v", lit(1.0)), col("text"),
+      col("v"), col("doc_id"), 4).count() == 0)
+    val single = Seq(("g", 5.0, 1L)).toDF("grp", "v", "id")
+    assert(EquiDepth.depthBuckets(single, col("grp"), col("v"), col("id"), 1)
+      .select("n_rows").as[Long].head() == 1L)
+    assert(EquiDepth.depthBucketsApprox(single, col("grp"), col("v"), 4).count() == 1)
+    // snapshot diff: both sides empty / one side empty
+    val emptyKv = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(SnapshotDiff.diff(emptyKv, emptyKv, "k", Seq("v")).count() == 0)
+    val oneKv = Seq((1L, "x")).toDF("k", "v")
+    assert(SnapshotDiff.diff(emptyKv, oneKv, "k", Seq("v"))
+      .select("change_type").as[String].head() == "added")
+    assert(SnapshotDiff.diff(oneKv, emptyKv, "k", Seq("v"))
+      .select("change_type").as[String].head() == "removed")
+    // reshape: empty frames flow
+    assert(Reshape.melt(emptyKv.withColumn("a", lit(1)), Seq("k"), Seq("a")).count() == 0)
+    assert(Reshape.pivotWide(Seq.empty[(Long, String, Double)].toDF("id", "attr", "v"),
+      Seq("id"), col("attr"), col("v"), Seq("a")).count() == 0)
+    // audio meta: empty bytes and hostile declared sizes return null
+    graft.plans.GraftExtensions.register(ss)
+    val weird = Seq(
+      (1L, Array.emptyByteArray),
+      (2L, "RIFF    WAVE".getBytes), // no chunks
+      (3L, ("RIFF0000WAVE" + "fmt " + "ÿÿÿ").getBytes)) // giant size
+      .toDF("id", "bin")
+      .select(call_function("graft_audio_meta", col("bin")).as("m"))
+    assert(weird.filter(col("m").isNotNull).count() == 0)
+  }
 }
