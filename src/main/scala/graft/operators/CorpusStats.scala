@@ -122,4 +122,53 @@ object CorpusStats {
       Seq(col("score_q").desc, col("word").asc), k)
       .select("id", "word", "tf", "score_q")
   }
+
+  /** BM25 relevance: the top-k documents for a bag of query terms — the
+    * retrieval scorer behind candidate generation for RAG indexes and
+    * search-style corpus exploration.
+    *
+    * Engine-portable scoring: the idf factor is the same LINEAR
+    * inverse-frequency quantization as [[tfIdfTopTerms]] (`⌊10⁴·N/df⌋` —
+    * no transcendentals, see that Scaladoc for the variant trade), and the
+    * BM25 saturation term `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` is
+    * evaluated with one fixed association over INTEGER inputs (`dl·N/Σdl`
+    * replaces `dl/avgdl`), so every intermediate is an IEEE operation on
+    * identical operands in any engine — the floor-quantized per-term
+    * scores hash-match DuckDB exactly.
+    *
+    * Plan shape: tokens are filtered to the query terms BEFORE the explode
+    * (narrow `array_intersect`-style lambda), so the exploded frame is
+    * |terms|-bounded per doc, not |doc|; tf/df are two map-side-combined
+    * aggregations; corpus totals (N, Σdl) ride a broadcast one-row
+    * aggregate; the final top-k runs global (AllTuples) bounded heaps —
+    * the corpus is never sorted. */
+  def bm25TopDocs(df: DataFrame, idCol: Column, textCol: Column,
+                  terms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    val termArr = array(terms.map(lit): _*)
+    val docs = df.select(idCol.as("id"),
+        filter(split(lower(textCol), " "), t => t =!= "").as("__tk"))
+      .select(col("id"), size(col("__tk")).cast("long").as("dl"),
+        filter(col("__tk"), t => array_contains(termArr, t)).as("__qtk"))
+    val totals = docs.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tt"))
+    val tf = docs.select(col("id"), col("dl"), explode(col("__qtk")).as("word"))
+      .groupBy("id", "dl", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("word"),
+        floor(lit(10000.0) * col("__n") / col("df")).cast("long").as("__idf_q"),
+        col("__n"), col("__tt"))
+    val perTerm = tf.join(dfq, "word")
+      .select(col("id"),
+        floor(col("__idf_q") *
+          ((col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) +
+              lit(b) * (col("dl") * col("__n")) / col("__tt"))))).as("s"))
+    val scored = perTerm.groupBy("id").agg(sum(col("s")).as("score_q"))
+    TopK.topKPerKeyNative(scored, Seq.empty,
+      Seq(col("score_q").desc, col("id").asc), k)
+  }
 }

@@ -42,4 +42,34 @@ object Profiler {
   /** HLL-based profile — single pass, no Expand; ~2% distinct-count error. */
   def approxProfile(df: DataFrame, cols: Seq[String] = Nil): Seq[ColumnProfile] =
     gather(df, if (cols.nonEmpty) cols else df.columns.toSeq, c => approx_count_distinct(col(c)))
+
+  /** Category-concentration profile: per column, the Gini impurity of its
+    * value distribution in basis points — `⌊(N² − Σn²)·10⁴ / N²⌋`, 0 =
+    * one value dominates completely, →10⁴ = spread over many values. The
+    * skew early-warning for partition/join keys: a key column whose
+    * impurity collapses is about to produce a hot partition.
+    *
+    * Entirely INTEGER arithmetic (counts, squares, one integer division) —
+    * no transcendentals, no float accumulation — so the result is
+    * bit-identical on any engine (the entropy formulation would not be:
+    * `ln` rounding differs across libms; Gini is the portable impurity).
+    *
+    * Plan: ONE `unpivot` pass over the table (the Audit trick — narrow row
+    * expansion, no per-column jobs), a (column, value) count aggregation,
+    * then a tiny per-column reduce. Nulls are excluded per column. */
+  def categoryConcentration(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val counts = df
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(Array.empty, cols.map(col).toArray, "column", "val")
+      .filter(col("val").isNotNull)
+      .groupBy("column", "val")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("column")
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * col("n")).as("__ssq"))
+      .select(col("column"), col("n_rows"), col("n_distinct"),
+        expr("(n_rows * n_rows - __ssq) * 10000 DIV (n_rows * n_rows)").as("gini_bp"))
+  }
 }

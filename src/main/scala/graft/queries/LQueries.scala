@@ -45,6 +45,7 @@ object LQueries {
     "q61_span_dedup" -> ((s, d) => q61(s, d)),
     "q62_containment" -> ((s, d) => q62(s, d)),
     "q63_token_budget" -> ((s, d) => q63(s, d)),
+    "q72_bm25" -> ((s, d) => q72(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -203,6 +204,13 @@ object LQueries {
         TextAnalysis.qualityScoreQ(col("text")).as("score_q")),
       col("lang"), col("doc_id"), col("n_tokens"), col("score_q"),
       budgetPerGroup = 2000L)
+
+  /** L35: BM25 top-10 documents for a 3-term query — linear-quantized idf
+    * + fixed-association saturation arithmetic, exact cross-engine. */
+  def q72(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusStats.bm25TopDocs(Tables.documents(s, d),
+        col("doc_id"), col("text"), terms = Seq("spark", "query", "window"), k = 10)
+      .withColumnRenamed("id", "doc_id")
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -582,6 +590,22 @@ object LQueries {
         |  FROM scored)
         |SELECT doc_id, lang, n_tokens, score_q, cum_tokens
         |FROM ranked WHERE cum_tokens <= 2000""".stripMargin,
+    "q72_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |docs AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM toks),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM docs),
+        |tf AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(tk) AS word FROM docs) x
+        |       WHERE word IN ('spark', 'query', 'window') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(floor(floor(10000.0 * n / df) *
+        |           ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl * n) / tt)))) AS BIGINT) AS s
+        |       FROM tf t JOIN dfq USING (word) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_q FROM sc GROUP BY 1)
+        |SELECT doc_id, score_q FROM agg ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
     "q20_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,

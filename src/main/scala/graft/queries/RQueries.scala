@@ -49,6 +49,7 @@ object RQueries {
     "q67_rolling" -> ((s, d) => q67(s, d)),
     "q68_deciles" -> ((s, d) => q68(s, d)),
     "q69_snapshot_diff" -> ((s, d) => q69(s, d)),
+    "q73_concentration" -> ((s, d) => q73(s, d)),
     "q70_melt" -> ((s, d) => q70(s, d)),
     "q71_pivot_wide" -> ((s, d) => q71(s, d)),
   )
@@ -187,6 +188,12 @@ object RQueries {
   def q65(s: SparkSession, d: String): DataFrame =
     graft.operators.Retention.cohortRetention(
       Tables.events(s, d), col("user_id"), col("ts"))
+
+  /** R47: category-concentration (Gini impurity) profile — the partition-
+    * key skew early warning, pure integer arithmetic, one unpivot pass. */
+  def q73(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profiler.categoryConcentration(
+      Tables.customer(s, d), Seq("c_mktsegment", "c_nationkey"))
 
   /** R45: snapshot CDC — two deterministic derivations of `customer` play
     * yesterday's and today's full drops; diff = one full outer join +
@@ -666,6 +673,19 @@ object RQueries {
         |       COALESCE(nseg, oseg) AS c_mktsegment,
         |       round(COALESCE(nbal, obal), 2) AS c_acctbal
         |FROM t WHERE change_type <> 'unchanged'""".stripMargin,
+    "q73_concentration" ->
+      """WITH u AS (
+        |  SELECT 'c_mktsegment' AS "column", CAST(c_mktsegment AS VARCHAR) AS val
+        |  FROM customer WHERE c_mktsegment IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_nationkey' AS "column", CAST(c_nationkey AS VARCHAR) AS val
+        |  FROM customer WHERE c_nationkey IS NOT NULL),
+        |c AS (SELECT "column", val, count(*) AS n FROM u GROUP BY 1, 2)
+        |SELECT "column", CAST(sum(n) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST((sum(n) * sum(n) - sum(n * n)) * 10000
+        |            // (sum(n) * sum(n)) AS BIGINT) AS gini_bp
+        |FROM c GROUP BY 1""".stripMargin,
     "q70_melt" ->
       """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
         |UNION ALL

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import ss.implicits._
+
+  private val docs = Seq(
+    (1L, "spark query engine spark spark"),   // tf(spark)=3, short
+    (2L, "spark appears once in a much longer document about other things entirely here"),
+    (3L, "query window query window query"),  // strong on the other terms
+    (4L, "nothing relevant at all"))
+    .toDF("doc_id", "text")
+
+  test("bm25 ranks tf-rich short docs above one-hit long docs; no-hit docs absent") {
+    val out = CorpusStats.bm25TopDocs(docs, col("doc_id"), col("text"),
+        Seq("spark", "query", "window"), k = 10)
+      .orderBy(col("score_q").desc, col("id"))
+      .as[(Long, Long)].collect()
+    val ids = out.map(_._1)
+    assert(ids.toSet == Set(1L, 2L, 3L)) // doc 4 has no query term
+    // doc 1 (3×spark + query) and doc 3 (5 hits) outrank doc 2 (1×spark, long)
+    assert(ids.indexOf(2L) == 2, s"one-hit long doc should rank last: ${out.toSeq}")
+  }
+
+  test("saturation: tripling tf at equal length does NOT triple the score") {
+    val ctl = Seq(
+      (1L, "spark x1 x2 x3 x4"),          // tf=1, dl=5
+      (2L, "spark spark spark x1 x2"))    // tf=3, dl=5
+      .toDF("doc_id", "text")
+    val s = CorpusStats.bm25TopDocs(ctl, col("doc_id"), col("text"), Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(2L) > s(1L), s"higher tf must score higher: $s")
+    assert(s(2L) < 3 * s(1L), s"saturation violated: $s")
+  }
+
+  test("k bounds the result; deterministic ties; empty corpus flows") {
+    val top2 = CorpusStats.bm25TopDocs(docs, col("doc_id"), col("text"),
+      Seq("spark", "query", "window"), k = 2)
+    assert(top2.count() == 2)
+    val none = CorpusStats.bm25TopDocs(docs.filter(lit(false)), col("doc_id"),
+      col("text"), Seq("spark"), k = 5)
+    assert(none.count() == 0)
+    // terms absent from the corpus → empty, not error
+    val miss = CorpusStats.bm25TopDocs(docs, col("doc_id"), col("text"),
+      Seq("zzz_not_here"), k = 5)
+    assert(miss.count() == 0)
+  }
+
+  test("categoryConcentration: uniform spread vs dominated column, integer-exact") {
+    val rows = (1 to 100).map(i =>
+      (s"v${i % 10}",                      // uniform over 10 values → gini 9000 bp
+       if (i <= 91) "big" else s"r$i",     // dominated → low gini
+       if (i % 2 == 0) null else "x"))     // nulls excluded → all-x → gini 0
+      .toDF("uniform", "skewed", "nully")
+    val got = Profiler.categoryConcentration(rows, Seq("uniform", "skewed", "nully"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("uniform") == ((100L, 10L, 9000L)))
+    // skewed: n=100, ssq = 91² + 9·1 = 8290 → (10000-8290)*10000/10000 = 1710
+    assert(got("skewed") == ((100L, 10L, 1710L)))
+    assert(got("nully") == ((50L, 1L, 0L)))
+  }
+}
