@@ -22,7 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     "q53_tfidf_topk" -> ("1-row corpus-count aggregate broadcast into the vocabulary-sized dfreq " +
       "frame — a single-row build side is exactly what BNLJ is optimal for (an equi-join on a " +
       "constant key folds back to this), and its codegen is clean since the TopKPerKeyExec " +
-      "usedInputs fix"))
+      "usedInputs fix"),
+    "q72_bm25" -> ("same shape as q53: the 1-row (N, Σdl) corpus-totals aggregate broadcast into " +
+      "the |terms|-bounded dfq frame — single-row build side, BNLJ-optimal by construction"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
