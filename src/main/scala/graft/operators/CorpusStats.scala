@@ -171,4 +171,33 @@ object CorpusStats {
     TopK.topKPerKeyNative(scored, Seq.empty,
       Seq(col("score_q").desc, col("id").asc), k)
   }
+
+  /** Inverted index: word → bounded posting list (sorted doc ids) + df —
+    * the retrieval structure [[bm25TopDocs]]-style scoring would probe at
+    * serving time, materialized as a table.
+    *
+    * The posting list is BOUNDED (`maxPostings`): an unbounded
+    * `collect_list` on a stop word is the single-row-OOM classic, so the
+    * k lowest doc ids per word go through the custom
+    * [[graft.plans.TopKPerKey]] plan (bounded heaps, survivors-only
+    * exchange) and the TRUE df rides alongside from the same pre-top-k
+    * aggregation — the cap bounds the list, not the statistics. Posting
+    * lists are emitted as comma-joined strings (engine-portable, stable
+    * hashing). */
+  def invertedIndex(df: DataFrame, idCol: Column, textCol: Column,
+                    maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val pairs = df.select(idCol.as("id"),
+        explode(array_distinct(split(lower(textCol), " "))).as("word"))
+      .where(col("word") =!= "")
+    // df per word first (map-side combinable), then the bounded top-k of
+    // doc ids joins back — two aggregations over the (word, id) pairs,
+    // never an unbounded per-word list.
+    val dfreq = pairs.groupBy("word").agg(count(lit(1)).as("df"))
+    val postings = TopK.topKPerKeyNative(pairs, Seq(col("word")),
+        Seq(col("id").asc), maxPostings)
+      .groupBy("word")
+      .agg(concat_ws(",", array_sort(collect_list(col("id")))).as("postings"))
+    dfreq.join(postings, "word")
+  }
 }

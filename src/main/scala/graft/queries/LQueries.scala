@@ -46,6 +46,8 @@ object LQueries {
     "q62_containment" -> ((s, d) => q62(s, d)),
     "q63_token_budget" -> ((s, d) => q63(s, d)),
     "q72_bm25" -> ((s, d) => q72(s, d)),
+    "q74_inverted_index" -> ((s, d) => q74(s, d)),
+    "q75_percent_rank" -> ((s, d) => q75(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -211,6 +213,20 @@ object LQueries {
     graft.operators.CorpusStats.bm25TopDocs(Tables.documents(s, d),
         col("doc_id"), col("text"), terms = Seq("spark", "query", "window"), k = 10)
       .withColumnRenamed("id", "doc_id")
+
+  /** L36: inverted index — word → (true df, 20 lowest doc ids), bounded
+    * postings through the custom top-k plan. */
+  def q74(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusStats.invertedIndex(Tables.documents(s, d),
+      col("doc_id"), col("text"), maxPostings = 20)
+
+  /** L37: per-language percent-rank normalization of the quality score
+    * (basis points, rank-rational, tie-stable). */
+  def q75(s: SparkSession, d: String): DataFrame =
+    graft.operators.Normalize.percentRankBp(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreQ(col("text")).as("score_q")),
+      col("lang"), col("score_q"))
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -606,6 +622,41 @@ object LQueries {
         |       FROM tf t JOIN dfq USING (word) CROSS JOIN tot),
         |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_q FROM sc GROUP BY 1)
         |SELECT doc_id, score_q FROM agg ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+    "q74_inverted_index" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id AS id, word FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) x
+        |  WHERE word <> ''),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY 1),
+        |topk AS (SELECT word, id FROM (
+        |    SELECT word, id, row_number() OVER (PARTITION BY word ORDER BY id) AS rn
+        |    FROM pairs) t
+        |  WHERE rn <= 20),
+        |p AS (SELECT word, string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS postings
+        |      FROM topk GROUP BY 1)
+        |SELECT d.word, d.df, p.postings FROM dfreq d JOIN p USING (word)""".stripMargin,
+    "q75_percent_rank" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor((0.4 * least(len / 500.0, 1.0)
+        |        + 0.3 * least(stop / greatest(tokens, 1.0) * 5.0, 1.0)
+        |        + 0.15 * (1.0 - least(punct / greatest(len, 1.0) * 10.0, 1.0))
+        |        + 0.15 * (1.0 - least(upper / greatest(len, 1.0) * 5.0, 1.0))) * 10000.0) AS BIGINT) AS score_q
+        |  FROM (SELECT doc_id, lang,
+        |          CAST(length(text) AS DOUBLE) AS len,
+        |          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS tokens,
+        |          CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+        |             + (length(p) - length(replace(p, ' and ', ''))) / 5
+        |             + (length(p) - length(replace(p, ' of ', ''))) / 4
+        |             + (length(p) - length(replace(p, ' to ', ''))) / 4
+        |             + (length(p) - length(replace(p, ' a ', ''))) / 3 AS DOUBLE) AS stop,
+        |          CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+        |          CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper
+        |        FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents) y) z)
+        |SELECT doc_id, lang, score_q,
+        |       CAST(floor(percent_rank() OVER (PARTITION BY lang ORDER BY score_q) * 10000) AS BIGINT) AS pr_bp
+        |FROM scored""".stripMargin,
     "q20_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,

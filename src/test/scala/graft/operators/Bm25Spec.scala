@@ -48,6 +48,27 @@ class Bm25Spec extends SparkSpec {
     assert(miss.count() == 0)
   }
 
+  test("invertedIndex bounds postings but keeps the TRUE df") {
+    val many = (1L to 50L).map(i => (i, s"common uniq_$i")).toDF("doc_id", "text")
+    val idx = CorpusStats.invertedIndex(many, col("doc_id"), col("text"), maxPostings = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(idx("common") == ((50L, "1,2,3,4,5"))) // df unbounded, postings capped
+    assert(idx("uniq_7") == ((1L, "7")))
+    assert(CorpusStats.invertedIndex(many.filter(lit(false)),
+      col("doc_id"), col("text"), 5).count() == 0)
+  }
+
+  test("percentRankBp: rank-rational, tie-stable, 0 for singleton groups") {
+    val rows = Seq(
+      ("en", 1L, 10L), ("en", 2L, 20L), ("en", 3L, 20L), ("en", 4L, 40L), ("en", 5L, 50L),
+      ("de", 6L, 99L)) // singleton group
+      .toDF("lang", "doc_id", "score_q")
+    val got = Normalize.percentRankBp(rows, col("lang"), col("score_q"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // n=5: pr = (rank-1)/4; ties (ids 2,3) share rank 2 → 2500
+    assert(got == Map(1L -> 0L, 2L -> 2500L, 3L -> 2500L, 4L -> 7500L, 5L -> 10000L, 6L -> 0L))
+  }
+
   test("categoryConcentration: uniform spread vs dominated column, integer-exact") {
     val rows = (1 to 100).map(i =>
       (s"v${i % 10}",                      // uniform over 10 values → gini 9000 bp
