@@ -43,6 +43,14 @@ object EquiDepth {
   def depthBucketsApprox(df: DataFrame, groupCol: Column, valueCol: Column,
                          n: Int, accuracy: Int = 10000): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // n=1 has no interior cut points; an empty `array()` literal would be
+    // ArrayType(NullType) and fail approx_percentile's analysis. One bucket
+    // needs no sketch at all: plain per-group count/min/max.
+    if (n == 1)
+      return df.select(groupCol.as("group"), valueCol.as("v"))
+        .groupBy(col("group")).agg(count(lit(1)).as("n_rows"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .select(col("group"), lit(1).as("bucket"), col("n_rows"), col("lo"), col("hi"))
     val ps = array((1 until n).map(i => lit(i.toDouble / n)): _*)
     val cuts = df.groupBy(groupCol.as("group"))
       .agg(approx_percentile(valueCol, ps, lit(accuracy)).as("__cuts"))

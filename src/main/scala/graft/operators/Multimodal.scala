@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed per-partition in batches.
   *
   * The Spark-side mechanics — schema, partition-parallel batched execution,
-  * stable output shape — are real and tested; the codec call itself is a
-  * STUB (`decodeStub`) because no image/audio codecs ship in this
-  * environment. Swapping in a real decoder means replacing only that
-  * function body; everything around it (the `mapPartitions` batching, the
-  * schema contract) is production-shaped.
+  * stable output shape — are real and tested. The decode stage is REAL for
+  * PNG (full pixel decode via [[PngCodec]]: JDK Inflater + per-row
+  * unfilter, no codec library) and for uncompressed 24-bit BMP
+  * ([[resizeBmp]] / [[bmpPixels]]); formats that genuinely need a codec
+  * library (JPEG/GIF/video/audio samples) fall back to the deterministic
+  * STUB (`decodeStub`), clearly labeled as such. Swapping in a real codec
+  * for those means replacing only that function body; everything around it
+  * (the `mapPartitions` batching, the schema contract) is
+  * production-shaped.
   */
 object Multimodal {
 
@@ -27,8 +31,9 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, n_bytes: Long, checksum: Long, features: Array[Float])
 
   /** STUB decoder: deterministic fake features derived from the bytes.
-    * A real implementation would decode the image/audio and run feature
-    * extraction here — same signature, same batching. */
+    * The fallback for formats whose pixel/sample decode needs a codec
+    * library (JPEG/GIF/audio samples) — same signature, same batching as
+    * the real paths. */
   def decodeStub(mediaId: Long, bytes: Array[Byte], dim: Int): MediaFeatures = {
     var checksum = 0L
     var i = 0
@@ -40,6 +45,76 @@ object Multimodal {
     MediaFeatures(mediaId, bytes.length.toLong, checksum, features)
   }
 
+  /** REAL pixel features from a decoded raster: mean luminance per
+    * horizontal band, `dim` bands top-to-bottom, each in [0,1]. Plain
+    * integer accumulation → bit-deterministic across runs/engines; bands
+    * an image is too short to populate (h < dim) take the whole-image
+    * mean so the vector never carries uninitialized zeros. */
+  def rasterFeatures(img: PngCodec.Image, dim: Int): Array[Float] = {
+    val sums = new Array[Long](dim); val counts = new Array[Long](dim)
+    var y = 0
+    while (y < img.height) {
+      val band = (y.toLong * dim / img.height).toInt
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 4
+        sums(band) += (img.rgba(s) & 0xff) + (img.rgba(s + 1) & 0xff) + (img.rgba(s + 2) & 0xff)
+        counts(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = sums.sum; val totalCount = counts.sum
+    Array.tabulate(dim) { d =>
+      if (counts(d) > 0) (sums(d).toDouble / (counts(d) * 765.0)).toFloat
+      else if (totalCount > 0) (totalSum.toDouble / (totalCount * 765.0)).toFloat
+      else 0f
+    }
+  }
+
+  /** Pixels of a plain 24-bit uncompressed BMP as an RGBA raster (the
+    * decode sibling of [[resizeBmp]]'s parse), None otherwise. */
+  def bmpPixels(b: Array[Byte]): Option[PngCodec.Image] = {
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M' || le32(14) < 40) return None
+    if (le16(28) != 24 || le32(30) != 0) return None
+    val (w, hRaw, off) = (le32(18), le32(22), le32(10))
+    val h = math.abs(hRaw.toLong)
+    if (w <= 0 || h == 0 || off < 54 || w.toLong * h > PngCodec.MaxPixels) return None
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    if (off.toLong + stride * h > b.length) return None
+    val hi = h.toInt
+    val rgba = new Array[Byte](w * hi * 4)
+    var y = 0
+    while (y < hi) {
+      // bottom-up storage (positive height) flips to top-down raster order
+      val sy = if (hRaw > 0) hi - 1 - y else y
+      var x = 0
+      while (x < w) {
+        val s = off + (sy * stride + x * 3L).toInt
+        val d = (y * w + x) * 4
+        // BMP stores BGR
+        rgba(d) = b(s + 2); rgba(d + 1) = b(s + 1); rgba(d + 2) = b(s); rgba(d + 3) = -1
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngCodec.Image(w, hi, hasAlpha = false, rgba))
+  }
+
+  /** Route one payload to the REAL decode (PNG via [[PngCodec]], plain BMP
+    * via [[bmpPixels]]) or the labeled stub. The checksum stays the raw
+    * byte-stream hash in every path (identity of the payload, not of the
+    * decode), so dedup-by-checksum is decode-agnostic. */
+  def decodeMedia(mediaId: Long, bytes: Array[Byte], dim: Int): MediaFeatures =
+    PngCodec.decode(bytes).orElse(bmpPixels(bytes)) match {
+      case Some(img) =>
+        val stub = decodeStub(mediaId, bytes, dim) // reuse byte checksum
+        MediaFeatures(mediaId, bytes.length.toLong, stub.checksum, rasterFeatures(img, dim))
+      case None => decodeStub(mediaId, bytes, dim)
+    }
+
   /** Batched per-partition feature extraction over (media_id, media) —
     * the distributed decode stage. Partition-parallel, constant memory per
     * executor (iterator-to-iterator, no materialization). */
@@ -49,7 +124,7 @@ object Multimodal {
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
-          decodeStub(r.getLong(0), bytes, dim)
+          decodeMedia(r.getLong(0), bytes, dim)
         }
       }
   }
@@ -133,12 +208,13 @@ object Multimodal {
       }
   }
 
-  /** STUB batch decoder — same signature a vectorized/native codec binding
+  /** Batch decoder — same signature a vectorized/native codec binding
     * would have: parallel id/payload sequences in, features out, sizes
-    * equal. */
+    * equal. Routes each payload through [[decodeMedia]] (real for
+    * PNG/BMP, stub otherwise). */
   def decodeBatch(ids: Seq[Long], payloads: Seq[Array[Byte]], dim: Int): Seq[MediaFeatures] = {
     require(ids.length == payloads.length)
-    ids.lazyZip(payloads).map((id, bytes) => decodeStub(id, bytes, dim))
+    ids.lazyZip(payloads).map((id, bytes) => decodeMedia(id, bytes, dim))
   }
 
   /** Nearest-neighbor resize for UNCOMPRESSED 24-bit BMP payloads — a
@@ -196,10 +272,12 @@ object Multimodal {
     Some(out)
   }
 
-  /** Media resize over a frame: REAL for plain 24-bit BMPs via
-    * [[resizeBmp]], passthrough (resized=false) for codec-bound formats —
-    * per-partition batched like the decode stage, constant memory per
-    * task. Output keeps (media_id, media, resized). */
+  /** Media resize over a frame: REAL for PNG (decode → nearest-neighbor →
+    * re-encode via [[PngCodec]]) and plain 24-bit BMPs ([[resizeBmp]]),
+    * passthrough (resized=false) for codec-bound formats — per-partition
+    * batched like the decode stage, constant memory per task. Output keeps
+    * (media_id, media, resized); a resized payload re-sniffs under
+    * `graft_image_meta` with the target dimensions and its own format. */
   def resizeMedia(df: DataFrame, tw: Int, th: Int): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong,
       Encoders.BINARY, Encoders.scalaBoolean)
@@ -207,7 +285,9 @@ object Multimodal {
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
-          resizeBmp(bytes, tw, th) match {
+          resizeBmp(bytes, tw, th)
+            .orElse(PngCodec.decode(bytes)
+              .map(img => PngCodec.encode(PngCodec.resizeNearest(img, tw, th)))) match {
             case Some(resized) => (r.getLong(0), resized, true)
             case None          => (r.getLong(0), bytes, false)
           }

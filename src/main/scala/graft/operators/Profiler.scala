@@ -53,6 +53,10 @@ object Profiler {
     * no transcendentals, no float accumulation — so the result is
     * bit-identical on any engine (the entropy formulation would not be:
     * `ln` rounding differs across libms; Gini is the portable impurity).
+    * The N²·10⁴ intermediate is widened to DECIMAL(38,0) — in Long it wraps
+    * silently past ~3·10⁷ non-null rows (ANSI off), exactly the scale this
+    * profile targets; DECIMAL(38,0) carries N up to ~10¹⁷ rows and matches
+    * the HUGEINT widening an engine like DuckDB applies to the same SQL.
     *
     * Plan: ONE `unpivot` pass over the table (the Audit trick — narrow row
     * expansion, no per-column jobs), a (column, value) count aggregation,
@@ -70,6 +74,10 @@ object Profiler {
         count(lit(1)).as("n_distinct"),
         sum(col("n") * col("n")).as("__ssq"))
       .select(col("column"), col("n_rows"), col("n_distinct"),
-        expr("(n_rows * n_rows - __ssq) * 10000 DIV (n_rows * n_rows)").as("gini_bp"))
+        expr("""CAST(
+                  (CAST(n_rows AS DECIMAL(19,0)) * CAST(n_rows AS DECIMAL(19,0))
+                    - CAST(__ssq AS DECIMAL(38,0))) * 10000
+                  DIV (CAST(n_rows AS DECIMAL(19,0)) * CAST(n_rows AS DECIMAL(19,0)))
+                AS BIGINT)""").as("gini_bp"))
   }
 }

@@ -84,7 +84,11 @@ object Sampling {
     * join + narrow `priority >= cutoff_priority` filter over the corpus
     * ([[admitByCutoff]]) — no per-document sort at any point. Granularity
     * trade: the budget is honored at bucket resolution (over-admission
-    * bounded by one bucket's tokens). */
+    * bounded by one bucket's tokens). If a group's single highest-priority
+    * bucket already exceeds the budget, that bucket is still admitted (the
+    * cutoff pins to the top bucket) — a group is never silently emptied by
+    * a coarse `bucketWidth`, mirroring the exact path, which always admits
+    * a fitting prefix when one exists. */
   def tokenBudgetCutoffs(df: DataFrame, groupCol: Column, tokensCol: Column,
                          priorityCol: Column, budgetPerGroup: Long,
                          bucketWidth: Long = 100L): DataFrame = {
@@ -94,8 +98,12 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
       .orderBy(col("__bucket").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // `__cum = __btokens` identifies the top of the desc-ordered frame (any
+    // zero-token buckets above it fit trivially), so the highest-priority
+    // bucket survives even when it alone blows the budget — total dropout
+    // would admit zero documents where the exact path admits a prefix.
     hist.withColumn("__cum", sum(col("__btokens")).over(w))
-      .filter(col("__cum") <= budgetPerGroup)
+      .filter(col("__cum") <= budgetPerGroup || col("__cum") === col("__btokens"))
       .groupBy(col("group"))
       .agg((min(col("__bucket")) * bucketWidth).as("cutoff_priority"),
         max(col("__cum")).as("admitted_tokens"))

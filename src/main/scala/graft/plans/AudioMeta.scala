@@ -74,11 +74,14 @@ object AudioMeta {
 
   /** RIFF chunk walk: `fmt ` carries the stream parameters, `data`'s size
     * divided by the frame stride gives the frame count. Chunks are
-    * word-aligned (odd sizes pad one byte). */
+    * word-aligned (odd sizes pad one byte). RIFF does not fix chunk order —
+    * `data` before `fmt ` is legal — so the data chunk's declared size is
+    * recorded during the walk and frames computed only once both chunks
+    * have been seen. */
   private def wav(b: Array[Byte]): InternalRow = {
     var i = 12
     var ch = -1; var rate = -1; var bits = -1; var blockAlign = -1
-    var frames = -1L
+    var dataSize = -1L
     while (i + 8 <= b.length) {
       val size = le32(b, i + 4)
       val body = i + 8
@@ -91,10 +94,12 @@ object AudioMeta {
       } else if (tag(b, i, "data")) {
         // data may legally be the last chunk with bytes beyond the buffer
         // (streaming prefix read): the declared size still gives frames.
-        frames = if (blockAlign > 0) size / blockAlign else -1L
+        dataSize = size
       }
-      if (ch >= 0 && frames >= 0)
-        return if (ch > 0 && rate > 0) row("wav", ch, rate, bits, frames) else null
+      if (ch >= 0 && dataSize >= 0) {
+        if (blockAlign <= 0) return null
+        return if (ch > 0 && rate > 0) row("wav", ch, rate, bits, dataSize / blockAlign) else null
+      }
       // hostile/corrupt declared sizes must terminate the walk, not wrap
       // the cursor backwards into an infinite loop
       if (size < 0 || size > b.length.toLong) return null

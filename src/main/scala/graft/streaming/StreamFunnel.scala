@@ -8,10 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * step1 → step2 → … → stepK state machine as events arrive, emitting the
   * key's funnel row whenever a batch advanced it.
   *
-  * Keyed state is the k-slot timestamp vector — O(k·keys), independent of
-  * stream length; events that do not advance the funnel touch state but
-  * never grow it. Emitted in Update mode (same contract as [[StreamTopK]]:
-  * a key re-emits only in batches where it progressed).
+  * Keyed state is the k-slot timestamp vector — O(k·advanced keys),
+  * independent of stream length; a key that has never advanced the funnel
+  * stores NO state at all (state is written only on progress), so
+  * step-2-only noise keys cannot grow the store. Emitted in Update mode
+  * (same contract as [[StreamTopK]]: a key re-emits only in batches where
+  * it progressed).
   *
   * Caveat shared with every low-watermark-free fold: within a micro-batch
   * events are processed in event-time order, but a step event arriving in
@@ -64,12 +66,16 @@ object StreamFunnel {
           } else {
             val prev = state.getOption.getOrElse(IndexedSeq.fill(stepsIx.length)(Option.empty[Long]))
             val next = advance(prev, rows.toSeq, stepsIx)
-            idleTimeout.foreach(state.setTimeoutDuration)
             if (next != prev) {
               state.update(next)
+              idleTimeout.foreach(state.setTimeoutDuration)
               Iterator.single(FunnelRow(key, next, next.count(_.isDefined)))
             } else {
-              if (state.getOption.isEmpty) state.update(next) // seed silently
+              // No progress: persist NOTHING for never-advanced keys (a
+              // purchase-only user must not pin a k-slot empty vector
+              // forever — an absent key re-derives the same empty vector
+              // next batch), and for live keys just refresh the idle clock.
+              if (state.exists) idleTimeout.foreach(state.setTimeoutDuration)
               Iterator.empty
             }
           }

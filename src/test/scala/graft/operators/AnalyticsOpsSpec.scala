@@ -73,4 +73,12 @@ class AnalyticsOpsSpec extends SparkSpec {
       .orderBy("bucket").as[(String, Int, Long, Double, Double)].collect()
     assert(uneven.map(_._3).toSeq == Seq(3L, 2L, 2L))
   }
+
+  test("depthBucketsApprox n=1: single bucket per group, no sketch analysis failure") {
+    val rows = Seq(("g", 3.0, 1L), ("g", 7.0, 2L), ("h", 5.0, 3L))
+      .toDF("grp", "v", "id")
+    val one = EquiDepth.depthBucketsApprox(rows, col("grp"), col("v"), 1)
+      .orderBy("group").as[(String, Int, Long, Double, Double)].collect()
+    assert(one.toSeq == Seq(("g", 1, 2L, 3.0, 7.0), ("h", 1, 1L, 5.0, 5.0)))
+  }
 }

@@ -145,4 +145,23 @@ class SamplingSpec extends SparkSpec {
       col("score_q"), budgetPerGroup = 1000000L, bucketWidth = 100L)
     assert(Sampling.admitByCutoff(docs, all, col("lang"), col("score_q")).count() == 400L)
   }
+
+  test("tokenBudgetCutoffs: over-budget top bucket still admits, never empties a group") {
+    // 'en': the single occupied top bucket (priority 950..999) carries 500
+    // tokens against a 100-token budget — the naive cum<=budget filter
+    // would leave the group with no cutoff row and admit zero docs.
+    val docs = Seq(
+      ("en", 1L, 200L, 990L), ("en", 2L, 150L, 980L), ("en", 3L, 150L, 960L),
+      ("en", 4L, 50L, 500L),  // lower bucket, must stay rejected
+      ("de", 5L, 10L, 100L)   // fits its budget normally
+    ).toDF("lang", "doc_id", "n_tokens", "score_q")
+    val cut = Sampling.tokenBudgetCutoffs(docs, col("lang"), col("n_tokens"),
+      col("score_q"), budgetPerGroup = 100L, bucketWidth = 100L)
+    val byLang = cut.select("group", "cutoff_priority", "admitted_tokens")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byLang.contains("en"), "over-budget group dropped entirely")
+    assert(byLang("en") == ((900L, 500L))) // pinned to top bucket; over-admission visible
+    val sel = Sampling.admitByCutoff(docs, cut, col("lang"), col("score_q"))
+    assert(sel.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+  }
 }

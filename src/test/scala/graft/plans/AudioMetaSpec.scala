@@ -67,6 +67,20 @@ class AudioMetaSpec extends SparkSpec {
     assert(rows(5L) == null)
   }
 
+  test("data chunk before fmt (legal RIFF ordering) still yields frames") {
+    GraftExtensions.register(ss)
+    // mono 8-bit, 8 frames: data chunk (with its bytes) FIRST, then fmt
+    val data = "data".getBytes ++ le32(8) ++ Array.fill[Byte](8)(0x7f.toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8)
+    val bytes = "RIFF".getBytes ++ le32(4 + data.length + fmt.length) ++
+      "WAVE".getBytes ++ data ++ fmt
+    val m = Seq((1L, bytes)).toDF("id", "bin")
+      .select(call_function("graft_audio_meta", col("bin")).as("m")).head.getStruct(0)
+    assert(m.getString(0) == "wav" && m.getInt(1) == 1 && m.getInt(2) == 8000 &&
+      m.getLong(4) == 8L, s"got $m")
+  }
+
   test("odd-sized chunks are word-aligned in the RIFF walk") {
     GraftExtensions.register(ss)
     // put an odd-sized LIST chunk before fmt — the +1 pad must be honored

@@ -58,6 +58,24 @@ class StreamFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("never-advanced keys persist no state (purchase-only noise cannot grow the store)") {
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[StreamFunnel.StepEvent]
+    val q = StreamFunnel.start(mem.toDS(), steps, "funnel_state_bound")
+    try {
+      // 50 keys that only ever fire the LAST step: zero funnel progress
+      mem.addData((1L to 50L).map(k => StreamFunnel.StepEvent(k, 10L, "purchase")))
+      q.processAllAvailable()
+      def stateRows: Long =
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
+      assert(stateRows == 0L, s"non-advancing keys wrote state: $stateRows rows")
+      // one key actually enters the funnel → exactly one state row
+      mem.addData(Seq(StreamFunnel.StepEvent(99L, 20L, "view")))
+      q.processAllAvailable()
+      assert(stateRows == 1L, s"expected 1 state row, got $stateRows")
+    } finally q.stop()
+  }
+
   test("advance is strict and order-insensitive within a batch") {
     val st0 = IndexedSeq[Option[Long]](None, None, None)
     val shuffled = Seq(
