@@ -201,7 +201,7 @@ object PngCodec {
     def_.end()
 
     val out = new java.io.ByteArrayOutputStream()
-    out.write(Signature.map(_.toInt), 0, 8)
+    out.write(Signature, 0, 8)
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, img.width); putBe32(ihdr, 4, img.height)
     ihdr(8) = 8; ihdr(9) = colorType.toByte // bit depth 8; compression/filter/interlace 0
