@@ -29,10 +29,17 @@ import org.apache.spark.sql.functions._
   * `direction` (pandas `merge_asof` parity): "backward" (default) matches
   * the largest right ts ≤ left ts; "forward" the smallest right ts ≥ left
   * ts — the same one-shuffle machinery traversed in reverse time order.
-  * `tolerance` bounds how far the match may sit from the left timestamp
-  * (an interval for time columns, a number for numeric ones); out-of-range
-  * matches NULL the `__asof` struct, the left row is kept — merge_asof
-  * semantics, and what keeps the operator a left join.
+  * "nearest" runs BOTH scans over the single shuffled union (same
+  * partitioning, two per-partition sorts — still one Exchange) and keeps
+  * the match with the smaller |Δt|; equidistant candidates resolve to the
+  * backward match (pandas' tie rule), which with the per-side equal-ts
+  * inclusivity keeps the result a total deterministic function of the
+  * input. `tolerance` bounds how far the match may sit from the left
+  * timestamp (an interval for time columns, a number for numeric ones);
+  * out-of-range matches NULL the `__asof` struct, the left row is kept —
+  * merge_asof semantics, and what keeps the operator a left join. For
+  * "nearest" the tolerance applies per side before the distance pick, so
+  * a too-far backward match never shadows an in-range forward one.
   */
 object AsOfJoin {
 
@@ -40,8 +47,8 @@ object AsOfJoin {
            right: DataFrame, rKey: Column, rTs: Column,
            direction: String = "backward",
            tolerance: Option[Column] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(direction == "backward" || direction == "forward" || direction == "nearest",
+      s"direction must be backward|forward|nearest, got $direction")
     val lStruct = struct(left.columns.map(left(_)): _*)
     val rStruct = struct(right.columns.map(right(_)): _*)
     val rType = right.select(rStruct.as("p")).schema.head.dataType
@@ -50,24 +57,45 @@ object AsOfJoin {
       lStruct.as("__l"), lit(null).cast(rType).as("__p"))
     val r2 = right.select(rKey.as("__k"), rTs.as("__t"), lit(1).as("__r"),
       lit(null).cast(lType).as("__l"), rStruct.as("__p"))
+    val union = l2.unionByName(r2)
     // backward scans time ascending; forward scans it descending — either
     // way right rows sort before left rows at equal timestamps, so an
     // equal-ts right row matches (as-of is inclusive on both directions)
-    val tsOrder = if (direction == "backward") col("__t").asc else col("__t").desc
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(tsOrder, col("__r").desc)
+    def win(backward: Boolean) = Window.partitionBy(col("__k"))
+      .orderBy(if (backward) col("__t").asc else col("__t").desc, col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l2.unionByName(r2)
-      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
-      .withColumn("__asof_t",
-        last(when(col("__r") === 1, col("__t")), ignoreNulls = true).over(w))
-      .filter(col("__r") === 0)
-    val bounded = tolerance.fold(matched) { tol =>
-      val inRange =
-        if (direction == "backward") col("__asof_t") >= col("__t") - tol
-        else col("__asof_t") <= col("__t") + tol
-      matched.withColumn("__asof", when(inRange, col("__asof")))
+    def scan(df: DataFrame, backward: Boolean, sfx: String): DataFrame =
+      df.withColumn("__asof" + sfx, last(col("__p"), ignoreNulls = true).over(win(backward)))
+        .withColumn("__asof_t" + sfx,
+          last(when(col("__r") === 1, col("__t")), ignoreNulls = true).over(win(backward)))
+    // per-side tolerance gate (null = keep the match unconditionally)
+    def gated(backward: Boolean, sfx: String): (Column, Column) = {
+      val inRange = tolerance.map { tol =>
+        if (backward) col("__asof_t" + sfx) >= col("__t") - tol
+        else col("__asof_t" + sfx) <= col("__t") + tol
+      }.getOrElse(lit(true))
+      (when(inRange, col("__asof" + sfx)), when(inRange, col("__asof_t" + sfx)))
     }
-    bounded.select(col("__l.*"), col("__asof"))
+
+    if (direction == "nearest") {
+      // both scans over ONE shuffled union: identical partitioning, so
+      // Catalyst plans a single Exchange with two per-partition sorts
+      val both = scan(scan(union, backward = true, "_b"), backward = false, "_f")
+        .filter(col("__r") === 0)
+      val (b, bt) = gated(backward = true, "_b")
+      val (f, ft) = gated(backward = false, "_f")
+      // distances are sign-known (bt <= __t <= ft), so no abs — and the
+      // subtraction stays type-agnostic (intervals for time, numbers for
+      // numerics). Tie (equidistant) takes backward, pandas' rule.
+      val pickBackward = ft.isNull || (bt.isNotNull && (col("__t") - bt <= ft - col("__t")))
+      both.withColumn("__asof", when(pickBackward, b).otherwise(f))
+        .select(col("__l.*"), col("__asof"))
+    } else {
+      val backward = direction == "backward"
+      val matched = scan(union, backward, "").filter(col("__r") === 0)
+      val (asof, _) = gated(backward, "")
+      matched.withColumn("__asof", asof)
+        .select(col("__l.*"), col("__asof"))
+    }
   }
 }

@@ -28,23 +28,44 @@ object Funnel {
   /** Per-key earliest strict funnel chain: columns `key`, one
     * `t_<step>_us` micros-since-epoch column per step (null = step not
     * reached), and `steps_completed`. Keys that never fire `steps.head`
-    * are absent (they never entered the funnel). */
+    * are absent (they never entered the funnel).
+    *
+    * Exact duplicates ((ts, type) re-fired or double-ingested — the
+    * common bot/at-least-once shape) are dropped before collection
+    * (`collect_set`): a duplicate can never advance the strict chain, so
+    * this is free semantics-preserving compression of the hot key.
+    *
+    * `maxEventsPerStep` (0 = off, the exact default) explicitly bounds a
+    * pathological key: keep only the N earliest events per (key, step
+    * type) — through the native bounded-heap [[graft.plans.TopKPerKey]]
+    * plan, so even the PRE-filter's map side holds O(keys·steps·N), never
+    * the bot's raw firehose. With a cap, a chain is missed only when a
+    * step's true match is not among its type's N earliest events for that
+    * key (needs > N same-type events BEFORE the predecessor step's time —
+    * an adversarial interleaving; real funnels match within the first
+    * few). */
   def funnelTimes(df: DataFrame, keyCol: Column, tsCol: Column,
-                  typeCol: Column, steps: Seq[String]): DataFrame = {
+                  typeCol: Column, steps: Seq[String],
+                  maxEventsPerStep: Int = 0): DataFrame = {
     require(steps.nonEmpty && steps.distinct == steps,
       s"steps must be non-empty and distinct, got $steps")
     val k = steps.length
     val stepsArr = steps.map(s => s"'${s.replace("'", "''")}'").mkString("array(", ",", ")")
+    val events = df
+      .filter(typeCol.isin(steps: _*) && keyCol.isNotNull)
+      .select(keyCol.as("key"),
+        struct(unix_micros(tsCol).as("ts_us"), typeCol.as("et")).as("ev"))
+    val bounded =
+      if (maxEventsPerStep <= 0) events
+      else TopK.topKPerKeyNative(events, Seq(col("key"), col("ev.et")),
+        Seq(col("ev.ts_us").asc), maxEventsPerStep)
     // Sorted fold: state = k-slot micros vector; an event advances the
     // funnel iff it is the next step's type and strictly later than the
     // previous slot. `p` (#filled slots) is recomputed per use — k is
     // tiny, and keeping the lambda pure lets it stay in codegen.
-    val folded = df
-      .filter(typeCol.isin(steps: _*) && keyCol.isNotNull)
-      .select(keyCol.as("key"),
-        struct(unix_micros(tsCol).as("ts_us"), typeCol.as("et")).as("ev"))
+    val folded = bounded
       .groupBy("key")
-      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .agg(sort_array(collect_set(col("ev"))).as("evs"))
       .withColumn("st", expr(
         s"""aggregate(
            |  evs,

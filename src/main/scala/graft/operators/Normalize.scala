@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: rank-based normalization is a per-group sort by definition (one
   * hash-partition + sort, same cost class as any window). When a single
-  * group outgrows a partition's sort budget, switch to quantile-bucket
-  * normalization via [[CorpusStats.groupQuantiles]] (`exact=false`) —
-  * sketch cuts, no sort, bucket-resolution ranks.
+  * group outgrows a partition's sort budget, switch to
+  * [[percentRankApproxBp]] — quantile-sketch cuts, no sort anywhere,
+  * bucket-resolution ranks.
   */
 object Normalize {
 
@@ -33,4 +33,32 @@ object Normalize {
     df.withColumn(outName,
       floor(percent_rank().over(
         Window.partitionBy(groupCol).orderBy(valueCol)) * 10000).cast("long"))
+
+  /** SCALE path for [[percentRankBp]]: rank at bucket resolution from a
+    * per-group quantile sketch — NO per-group sort, so a single group may
+    * be arbitrarily larger than any partition.
+    *
+    * One map-side-combinable aggregation computes `nBuckets − 1` interior
+    * cut points per group (`percentile_approx`, a fixed-size mergeable
+    * sketch); the cut frame (groups × 1 rows) broadcasts back and the rank
+    * is a narrow codegen'd projection: `pr_bp = (#cuts strictly below v) ·
+    * 10⁴ / nBuckets`. Equal values count the same cuts, so ties normalize
+    * equally, and the rank is nondecreasing in the value — the two
+    * properties downstream threshold filters rely on. Error vs the exact
+    * rank is bounded by one bucket width (10⁴/nBuckets bp) plus sketch
+    * error (`accuracy`-controlled, ~0 for groups under the sketch size). */
+  def percentRankApproxBp(df: DataFrame, groupCol: Column, valueCol: Column,
+                          outName: String = "pr_bp", nBuckets: Int = 100,
+                          accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = df.select(groupCol.as("__prg"), valueCol.cast("double").as("__prv"))
+      .groupBy("__prg")
+      .agg(percentile_approx(col("__prv"), typedlit(ps), lit(accuracy)).as("__prcuts"))
+    df.join(broadcast(cuts), groupCol === col("__prg"))
+      .withColumn(outName,
+        (size(filter(col("__prcuts"), c => c < valueCol.cast("double")))
+          * (10000L / nBuckets)).cast("long"))
+      .drop("__prg", "__prcuts")
+  }
 }

@@ -141,20 +141,30 @@ object Similarity {
     }
   }
 
-  /** IVF-style ANN (inverted-file index, nprobe=1): coarse centroids are a
+  /** IVF-style ANN (inverted-file index): coarse centroids are a
     * deterministic sample of the corpus (`id % centroidMod == 0`); every
     * vector is assigned to its nearest centroid by quantized cosine
     * (`floor(10⁴·cos)`, centroid-id tiebreak — total order, engine-
-    * portable); each query then searches ONLY its own centroid's inverted
-    * list. Cost drops from n² to ~n²/C for C centroids.
+    * portable); each query then searches the inverted lists of its
+    * `nprobe` nearest centroids. Cost drops from n² to ~n²·nprobe/C for C
+    * centroids.
     *
     * Scale shape: the centroid set is tiny → broadcast for assignment (a
     * narrow pass over the corpus — no shuffle); the probe join is
     * equality-keyed on the centroid id, so hot centroids are AQE-skew-
-    * splittable; the query set is broadcast. Recall < 1 by design (as with
-    * any IVF index) — [[cosineTopK]] is the exact baseline. */
+    * splittable; the query set is broadcast. Multi-probe (`nprobe` > 1) is
+    * the standard recall knob — vectors near a centroid boundary live in
+    * one list but score high against queries assigned to the neighboring
+    * list; probing the runner-up centroids recovers them. The query-side
+    * top-nprobe centroid pick runs through the native bounded-heap
+    * [[graft.plans.TopKPerKey]] plan (no sort, survivors-only shuffle),
+    * and corpus vectors stay in exactly ONE list, so probe candidates are
+    * naturally distinct — no dedup exchange. Recall < 1 by design (as
+    * with any IVF index) — [[cosineTopK]] is the exact baseline. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              queryPredicate: Column, k: Int, centroidMod: Int): DataFrame = {
+              queryPredicate: Column, k: Int, centroidMod: Int,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     GraftExtensions.register(embeddings.sparkSession)
     val base = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("__vec"))
       .withColumn("__norm", sqrt(nativeDot(col("__vec"), col("__vec"))))
@@ -177,8 +187,28 @@ object Similarity {
       .agg(max(col("__packed")).as("__p"))
       .select(col(idCol), (lit(P - 1) - pmod(col("__p"), lit(P))).as("cid"))
     val assigned = base.join(assignedIds, idCol)
-    val q = assigned.filter(queryPredicate)
-      .select(col(idCol).as("qid"), col("__vec").as("qvec"), col("__norm").as("qnorm"), col("cid"))
+    val q =
+      if (nprobe == 1)
+        // a query's top-1 probe IS its assigned centroid — reuse the
+        // assignment instead of re-scoring
+        assigned.filter(queryPredicate)
+          .select(col(idCol).as("qid"), col("__vec").as("qvec"), col("__norm").as("qnorm"), col("cid"))
+      else {
+        // top-nprobe centroids per query: score the (small) query set
+        // against the broadcast centroids, keep the nprobe best via the
+        // bounded-heap native plan ordered by the same packed key the
+        // assignment argmax uses (sim desc, cid asc — total order).
+        val probes = TopK.topKPerKeyNative(
+          base.filter(queryPredicate).crossJoin(broadcast(cent))
+            .select(col(idCol).as("qid"), col("cid"),
+              ((floor(nativeDot(col("__vec"), col("cvec")) / (col("__norm") * col("cnorm")) * 10000)
+                .cast("long") + 20000L) * P + (lit(P - 1) - col("cid"))).as("__packed")),
+          Seq(col("qid")), Seq(col("__packed").desc), nprobe)
+          .select(col("qid"), col("cid"))
+        base.filter(queryPredicate)
+          .select(col(idCol).as("qid"), col("__vec").as("qvec"), col("__norm").as("qnorm"))
+          .join(probes, "qid")
+      }
     val n = assigned
       .select(col(idCol).as("nid"), col("__vec").as("nvec"), col("__norm").as("nnorm"), col("cid"))
     val sims = n.join(broadcast(q), Seq("cid"))

@@ -52,4 +52,58 @@ object SnapshotDiff {
           coalesce(col(s"__new_$c"), col(s"__old_$c")).as(c)
         }: _*)
   }
+
+  /** SCD2 merge-apply: consume a [[diff]] into a slowly-changing-dimension
+    * type-2 table — the standard versioned sink for a daily-full-drop
+    * source (the reference re-reads a complete extract every run:
+    * `data_loader.py:46-70`; SCD2 is how a warehouse keeps that history).
+    *
+    * `dim` layout: `keyCol`, `compareCols…`, `valid_from`, `valid_to`
+    * (null = the key's CURRENT version). Per change row, effective `asOf`:
+    *   - `removed`  → close the open version (`valid_to = asOf`)
+    *   - `changed`  → close the open version AND insert the new one
+    *     (`valid_from = asOf`, open-ended)
+    *   - `added`    → insert an open version
+    *
+    * IDEMPOTENT: closing only fires when the open row's values actually
+    * differ from the change's new values, and an insert is skipped when an
+    * identical open version already exists — so re-applying the same diff
+    * (a retried job, an at-least-once pipeline) is a no-op. Precondition:
+    * `changes` was computed against this dim's current state (one open
+    * version per key); history rows pass through untouched.
+    *
+    * Scale shape: two equality joins on the key (close-check and
+    * insert-skip), both shuffle-partitioned on the same key domain — no
+    * windows, no global sort; the closed-history partition streams through
+    * unshuffled. The result is a plain DataFrame: write it back
+    * partitioned however the lake lays out the dimension. */
+  def applyScd2(dim: DataFrame, changes: DataFrame, keyCol: String,
+                compareCols: Seq[String], asOf: Column): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val history = dim.filter(col("valid_to").isNotNull)
+    val current = dim.filter(col("valid_to").isNull)
+    val ch = changes.select(col(keyCol).as("__ck") +: col("change_type") +:
+      compareCols.map(c => col(c).as(s"__ch_$c")): _*)
+    val sameAsChange = compareCols.map(c => col(c) <=> col(s"__ch_$c")).reduce(_ && _)
+    // close-or-keep pass over the open versions
+    val adjusted = current.join(ch, col(keyCol) === col("__ck"), "left")
+      .withColumn("valid_to",
+        when(col("change_type") === "removed", asOf)
+          .when(col("change_type") === "changed" && !sameAsChange, asOf)
+          .otherwise(col("valid_to")))
+      .select(dim.columns.map(col): _*)
+    // insert pass: added/changed versions not already open with identical
+    // values (the idempotency guard)
+    val curVals = current.select(col(keyCol).as("__dk") +:
+      compareCols.map(c => col(c).as(s"__cur_$c")): _*)
+    val identicalOpen = col("__ck") === col("__dk") &&
+      compareCols.map(c => col(s"__ch_$c") <=> col(s"__cur_$c")).reduce(_ && _)
+    val inserts = ch.filter(col("change_type").isin("added", "changed"))
+      .join(curVals, identicalOpen, "left_anti")
+      .select(col("__ck").as(keyCol) +:
+        compareCols.map(c => col(s"__ch_$c").as(c)) :+
+        asOf.as("valid_from") :+
+        lit(null).cast(dim.schema("valid_to").dataType).as("valid_to"): _*)
+    history.unionByName(adjusted).unionByName(inserts)
+  }
 }

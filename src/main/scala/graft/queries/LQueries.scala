@@ -48,6 +48,7 @@ object LQueries {
     "q72_bm25" -> ((s, d) => q72(s, d)),
     "q74_inverted_index" -> ((s, d) => q74(s, d)),
     "q75_percent_rank" -> ((s, d) => q75(s, d)),
+    "q76_ivf_multiprobe" -> ((s, d) => q76(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -227,6 +228,14 @@ object LQueries {
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScoreQ(col("text")).as("score_q")),
       col("lang"), col("score_q"))
+
+  /** L15 multi-probe: same IVF index as q33 but each query searches its 3
+    * nearest centroids' lists — the standard recall knob for vectors near
+    * centroid boundaries. Deterministic (md5-free: quantized cosine +
+    * centroid-id tiebreaks), so exact-checkable like q33. */
+  def q76(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      col("vec_id") % 1000 === 0, k = 5, centroidMod = 31, nprobe = 3)
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -657,6 +666,33 @@ object LQueries {
         |SELECT doc_id, lang, score_q,
         |       CAST(floor(percent_rank() OVER (PARTITION BY lang ORDER BY score_q) * 10000) AS BIGINT) AS pr_bp
         |FROM scored""".stripMargin,
+    "q76_ivf_multiprobe" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |              FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM base WHERE vec_id % 31 = 0),
+        |assigned AS (SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT b.vec_id, b.v, b.nrm, c.cid,
+        |           row_number() OVER (PARTITION BY b.vec_id
+        |             ORDER BY CAST(floor(list_dot_product(b.v, c.cv) / (b.nrm * c.cnrm) * 10000) AS BIGINT) DESC,
+        |                      c.cid ASC) AS rn
+        |    FROM base b CROSS JOIN cent c) t
+        |  WHERE rn = 1),
+        |probes AS (SELECT qid, cid FROM (
+        |    SELECT b.vec_id AS qid, c.cid,
+        |           row_number() OVER (PARTITION BY b.vec_id
+        |             ORDER BY CAST(floor(list_dot_product(b.v, c.cv) / (b.nrm * c.cnrm) * 10000) AS BIGINT) DESC,
+        |                      c.cid ASC) AS rn
+        |    FROM base b CROSS JOIN cent c WHERE b.vec_id % 1000 = 0) t
+        |  WHERE rn <= 3),
+        |q AS (SELECT b.vec_id AS qid, b.v AS qv, b.nrm AS qnrm, p.cid
+        |      FROM base b JOIN probes p ON p.qid = b.vec_id),
+        |s AS (SELECT q.qid, n.vec_id AS nid,
+        |             CAST(floor(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) * 10000) AS BIGINT) AS sim_q
+        |      FROM assigned n JOIN q ON n.cid = q.cid AND q.qid <> n.vec_id)
+        |SELECT qid, nid, sim_q, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_q DESC, nid ASC) AS rank FROM s) t
+        |WHERE rank <= 5""".stripMargin,
     "q20_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,

@@ -35,6 +35,7 @@ object RQueries {
     "q38_event_stats" -> ((s, d) => q38(s, d)),
     "q39_asof_join" -> ((s, d) => q39(s, d)),
     "q60_asof_forward" -> ((s, d) => q60(s, d)),
+    "q77_asof_nearest" -> ((s, d) => q77(s, d)),
     "q40_range_join" -> ((s, d) => q40(s, d)),
     "q43_salted_join" -> ((s, d) => q43(s, d)),
     "q47_histogram" -> ((s, d) => q47(s, d)),
@@ -49,6 +50,7 @@ object RQueries {
     "q67_rolling" -> ((s, d) => q67(s, d)),
     "q68_deciles" -> ((s, d) => q68(s, d)),
     "q69_snapshot_diff" -> ((s, d) => q69(s, d)),
+    "q78_scd2_apply" -> ((s, d) => q78(s, d)),
     "q73_concentration" -> ((s, d) => q73(s, d)),
     "q70_melt" -> ((s, d) => q70(s, d)),
     "q71_pivot_wide" -> ((s, d) => q71(s, d)),
@@ -182,6 +184,24 @@ object RQueries {
         coalesce(date_format(col("__asof.o_orderdate"), "yyyy-MM-dd"), lit("none")).as("order_date"))
   }
 
+  /** R28 nearest variant: each event's CLOSEST order date in either
+    * direction (equidistant → backward, pandas' tie rule) — completes
+    * merge_asof direction parity. Same one-Exchange tagged-union plan,
+    * two per-partition sorts. */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("okey"))
+    graft.operators.AsOfJoin.asOf(ev, col("user_id"), col("d"),
+        ord, col("o_custkey"), col("o_orderdate"), direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("event_date"),
+        coalesce(col("__asof.okey"), lit(-1L)).as("near_order"),
+        coalesce(date_format(col("__asof.o_orderdate"), "yyyy-MM-dd"), lit("none")).as("order_date"))
+  }
+
   /** R41: weekly cohort retention triangle — first-active-week cohorts ×
     * week offset, distinct-user counts via the set-explode two-shuffle
     * plan (no joins, no count_distinct). */
@@ -209,6 +229,30 @@ object RQueries {
     graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "c_custkey",
         Seq("c_mktsegment", "c_acctbal"))
       .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+  }
+
+  /** R45b: SCD2 merge-apply — q69's two snapshot days folded into a
+    * versioned dimension: day-1 seeds open rows, day-2's diff closes
+    * changed/removed versions and inserts the new ones. valid_to='' marks
+    * open rows (string, not DATE — oracle-hash-stable). */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val oldSnap = c.filter(col("c_custkey") % 10 =!= 3)
+    val newSnap = c.filter(col("c_custkey") % 10 =!= 7)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("CHANGED")).otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+    val dim0 = oldSnap.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+    val changes = graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"))
+    graft.operators.SnapshotDiff.applyScd2(dim0, changes, "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"), lit("2024-01-02"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("valid_from"), coalesce(col("valid_to"), lit("")).as("valid_to"))
   }
 
   /** R46a: wide→long melt (native unpivot, narrow one-pass). */
@@ -587,6 +631,21 @@ object RQueries {
         |       CAST(CASE WHEN in_tol THEN okey ELSE -1 END AS BIGINT) AS next_order,
         |       CASE WHEN in_tol THEN strftime(o_orderdate, '%Y-%m-%d') ELSE 'none' END AS order_date
         |FROM j""".stripMargin,
+    "q77_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |      FROM orders GROUP BY o_custkey, o_orderdate),
+        |b AS (SELECT l.event_id, r.o_orderdate AS bd, r.okey AS bkey
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.d >= r.o_orderdate),
+        |f AS (SELECT l.event_id, r.o_orderdate AS fd, r.okey AS fkey
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.d <= r.o_orderdate),
+        |j AS (SELECT l.event_id, l.user_id, l.d, b.bd, b.bkey, f.fd, f.fkey,
+        |             (f.fd IS NULL OR (b.bd IS NOT NULL AND l.d - b.bd <= f.fd - l.d)) AS pick_b
+        |      FROM l JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id, strftime(d, '%Y-%m-%d') AS event_date,
+        |       CAST(coalesce(CASE WHEN pick_b THEN bkey ELSE fkey END, -1) AS BIGINT) AS near_order,
+        |       coalesce(strftime(CASE WHEN pick_b THEN bd ELSE fd END, '%Y-%m-%d'), 'none') AS order_date
+        |FROM j""".stripMargin,
     "q64_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
         |              CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
@@ -648,6 +707,33 @@ object RQueries {
         |SELECT "group", CAST(bucket AS BIGINT) AS bucket,
         |       CAST(count(*) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q78_scd2_apply" ->
+      """WITH o AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer WHERE c_custkey % 10 <> 3),
+        |n AS (SELECT c_custkey AS k,
+        |             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg,
+        |             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS bal
+        |      FROM customer WHERE c_custkey % 10 <> 7),
+        |j AS (SELECT o.k AS ok, o.seg AS oseg, o.bal AS obal, n.k AS nk, n.seg AS nseg, n.bal AS nbal
+        |      FROM o FULL JOIN n ON o.k = n.k),
+        |-- day-1 open rows: closed when the key vanished or changed on day 2
+        |day1 AS (SELECT ok AS c_custkey, oseg AS c_mktsegment, obal AS c_acctbal,
+        |                '2024-01-01' AS valid_from,
+        |                CASE WHEN nk IS NULL
+        |                       OR oseg IS DISTINCT FROM nseg
+        |                       OR obal IS DISTINCT FROM nbal
+        |                     THEN '2024-01-02' ELSE '' END AS valid_to
+        |         FROM j WHERE ok IS NOT NULL),
+        |-- day-2 inserts: added keys and changed versions stay open
+        |day2 AS (SELECT nk AS c_custkey, nseg AS c_mktsegment, nbal AS c_acctbal,
+        |                '2024-01-02' AS valid_from, '' AS valid_to
+        |         FROM j
+        |         WHERE nk IS NOT NULL AND (ok IS NULL
+        |               OR oseg IS DISTINCT FROM nseg
+        |               OR obal IS DISTINCT FROM nbal))
+        |SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+        |       valid_from, valid_to
+        |FROM (SELECT * FROM day1 UNION ALL SELECT * FROM day2) u""".stripMargin,
     "q69_snapshot_diff" ->
       """WITH o AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
         |           FROM customer WHERE c_custkey % 10 <> 3),

@@ -59,12 +59,55 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run("forward") == Map(1L -> None, 2L -> None, 3L -> Some(2.0)))
   }
 
+  test("nearest picks the smaller gap, backward on ties, per-side tolerance") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0),
+      ("B", 15L, 9.0)).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", 12L, 1L),  // gaps 2 back / 8 fwd → 10
+      ("A", 18L, 2L),  // gaps 8 back / 2 fwd → 20
+      ("A", 15L, 3L),  // equidistant → backward (pandas tie rule) → 10
+      ("A", 20L, 4L),  // exact hit → 20
+      ("A", 99L, 5L),  // only backward exists → 20
+      ("B", 1L, 6L),   // only forward exists → 15
+      ("C", 50L, 7L)).toDF("sym", "tts", "tid")
+    val got = AsOfJoin.asOf(trades, col("sym"), col("tts"), quotes, col("sym"), col("qts"),
+        direction = "nearest")
+      .select(col("tid"), col("__asof.price"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0),
+      4L -> Some(2.0), 5L -> Some(2.0), 6L -> Some(9.0), 7L -> None))
+    // tolerance is per side: an out-of-range backward match must not
+    // shadow an in-range forward one
+    val tol = AsOfJoin.asOf(
+        Seq(("A", 18L, 1L)).toDF("sym", "tts", "tid"), col("sym"), col("tts"),
+        Seq(("A", 10L, 1.0), ("A", 21L, 2.0)).toDF("sym", "qts", "price"),
+        col("sym"), col("qts"), direction = "nearest", tolerance = Some(lit(5L)))
+      .select(col("__asof.price")).collect().map(r => Option(r.get(0))).toSeq
+    assert(tol == Seq(Some(2.0)), "backward gap 8 > 5 must yield the forward match at gap 3")
+  }
+
+  test("nearest on date columns: interval distances compare without abs") {
+    val ev = Seq((1L, "2024-03-10"), (2L, "2024-03-14")).toDF("id", "d")
+      .select(col("id"), to_date(col("d")).as("d"))
+    val snap = Seq(("2024-03-08", 80L), ("2024-03-15", 150L)).toDF("sd", "v")
+      .select(to_date(col("sd")).as("sd"), col("v"))
+    val got = AsOfJoin.asOf(ev, lit(1), col("d"), snap, lit(1), col("sd"),
+        direction = "nearest")
+      .select(col("id"), col("__asof.v")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 80L, 2L -> 150L))
+  }
+
   test("one shuffle: single Exchange over the unioned sides") {
     val right = (1 to 100).map(i => (i % 5, i.toLong, i * 2.0)).toDF("k", "ts", "v")
     val left = (1 to 50).map(i => (i % 5, i.toLong + 10, i.toLong)).toDF("k", "ts", "id")
-    val plan = AsOfJoin.asOf(left, col("k"), col("ts"), right, col("k"), col("ts"))
+    def plan(dir: String) = AsOfJoin.asOf(left, col("k"), col("ts"), right, col("k"), col("ts"),
+        direction = dir)
       .queryExecution.executedPlan.toString
-    assert(plan.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") == 1, plan)
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val p = plan(dir)
+      assert(p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") == 1, s"$dir: $p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), s"$dir: $p")
+    }
   }
 }

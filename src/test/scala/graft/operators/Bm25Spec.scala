@@ -69,6 +69,35 @@ class Bm25Spec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 2500L, 3L -> 2500L, 4L -> 7500L, 5L -> 10000L, 6L -> 0L))
   }
 
+  test("percentRankApproxBp: within one bucket of exact, tie-stable, monotone, no sort") {
+    // 2000 rows per group, distinct values → exact pr is dense in [0,10000]
+    val rows = (1 to 2000).flatMap(i => Seq(("en", i.toLong, i.toLong), ("de", (i + 9000).toLong, (3 * i).toLong)))
+      .toDF("lang", "doc_id", "score_q")
+    val exact = Normalize.percentRankBp(rows, col("lang"), col("score_q"))
+      .select(col("doc_id"), col("pr_bp").as("exact_bp"))
+    val approx = Normalize.percentRankApproxBp(rows, col("lang"), col("score_q"), nBuckets = 100)
+    val joined = approx.join(exact, "doc_id")
+      .select(col("lang"), col("score_q"), col("pr_bp"), col("exact_bp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // error bound: one bucket width (100 bp) + sketch slack on 2k rows
+    val maxErr = joined.map(t => math.abs(t._3 - t._4)).max
+    assert(maxErr <= 200L, s"approx rank drifted $maxErr bp from exact")
+    // monotone in the value within each group
+    joined.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._3 <= p(1)._3))
+    }
+    // ties normalize identically
+    val tied = Normalize.percentRankApproxBp(
+        Seq(("en", 1L, 5L), ("en", 2L, 5L), ("en", 3L, 9L)).toDF("lang", "doc_id", "score_q"),
+        col("lang"), col("score_q"), nBuckets = 10)
+      .select("doc_id", "pr_bp").as[(Long, Long)].collect().toMap
+    assert(tied(1L) == tied(2L))
+    // scale contract: no per-group sort anywhere in the plan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx path must not window-sort:\n$plan")
+  }
+
   test("categoryConcentration: uniform spread vs dominated column, integer-exact") {
     val rows = (1 to 100).map(i =>
       (s"v${i % 10}",                      // uniform over 10 values → gini 9000 bp

@@ -51,6 +51,32 @@ class FunnelSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("bot key: duplicates pre-dedup, and maxEventsPerStep bounds the fold input") {
+    // a bot fires 5000 'view' events (2500 distinct ts, each duplicated)
+    // before finally clicking and purchasing
+    val bot = (0 until 5000).map(i => (9L, ts(10 + i / 2), "view")) ++
+      Seq((9L, ts(20000), "click"), (9L, ts(20001), "purchase"),
+        (2L, ts(1), "view"), (2L, ts(5), "click"))
+    val events = bot.toDF("user_id", "ts", "event_type")
+    val uncapped = Funnel.funnelTimes(events, col("user_id"), col("ts"),
+        col("event_type"), steps)
+      .orderBy("key")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)].collect().toSeq
+    // the earliest chain: first view at ts 10, click 20000, purchase 20001
+    assert(uncapped == Seq(
+      (2L, Some(1000000L), Some(5000000L), None, 2L),
+      (9L, Some(10000000L), Some(20000000000L), Some(20001000000L), 3L)))
+    // capped path: identical result (the chain's events are each within
+    // their type's 8 earliest), and the pre-filter runs the bounded-heap
+    // plan so no task ever materializes the bot's full event list
+    val capped = Funnel.funnelTimes(events, col("user_id"), col("ts"),
+      col("event_type"), steps, maxEventsPerStep = 8)
+    assert(capped.orderBy("key")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)].collect().toSeq == uncapped)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"cap must route through the bounded-heap plan:\n$plan")
+  }
+
   test("plan shape: one exchange, no join, type filter reaches the scan") {
     val events = Seq((1L, ts(1), "view")).toDF("user_id", "ts", "event_type")
     val plan = Funnel.funnelTimes(events, col("user_id"), col("ts"),

@@ -37,6 +37,41 @@ class ReshapeDiffSpec extends SparkSpec {
     assert(got == "seg,bal")
   }
 
+  test("applyScd2 closes changed/removed versions, inserts new ones, and re-applies as a no-op") {
+    val oldDf = Seq(
+      (1L, "A", 10.0),  // unchanged
+      (2L, "B", 20.0),  // changes on day 2
+      (4L, "D", 40.0))  // removed on day 2
+      .toDF("k", "seg", "bal")
+    val newDf = Seq(
+      (1L, "A", 10.0),
+      (2L, "X", 20.0),
+      (5L, "E", 50.0))  // added on day 2
+      .toDF("k", "seg", "bal")
+    val dim0 = oldDf.withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+    val changes = SnapshotDiff.diff(oldDf, newDf, "k", Seq("seg", "bal"))
+    val applied = SnapshotDiff.applyScd2(dim0, changes, "k", Seq("seg", "bal"), lit("2024-01-02"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("seg"), col("bal"), col("valid_from"),
+          coalesce(col("valid_to"), lit("open")).as("vt"))
+        .as[(Long, String, Double, String, String)].collect().toSet
+    val expected = Set(
+      (1L, "A", 10.0, "2024-01-01", "open"),        // untouched
+      (2L, "B", 20.0, "2024-01-01", "2024-01-02"),  // closed
+      (2L, "X", 20.0, "2024-01-02", "open"),        // new version
+      (4L, "D", 40.0, "2024-01-01", "2024-01-02"),  // closed, no successor
+      (5L, "E", 50.0, "2024-01-02", "open"))        // added
+    assert(rows(applied) == expected)
+    // idempotency: the same diff applied to the applied table changes nothing
+    val again = SnapshotDiff.applyScd2(applied, changes, "k", Seq("seg", "bal"), lit("2024-01-02"))
+    assert(rows(again) == expected)
+    // exactly one open version per live key
+    val openPerKey = applied.filter(col("valid_to").isNull).groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    assert(openPerKey.values.forall(_ == 1L))
+  }
+
   test("melt is a narrow one-pass unpivot (no shuffle)") {
     val df = Seq((1L, 2, 3.5), (2L, 4, 7.25)).toDF("id", "a", "b")
     val m = Reshape.melt(df, Seq("id"), Seq("a", "b"))

@@ -18,6 +18,9 @@ class PlanAuditSpec extends SparkSpec {
     "q20_cosine_topk" -> "tiny fixed query-vector set vs corpus (bounded side)",
     "q26_lsh_ann" -> "tiny fixed query-vector set vs corpus (bounded side)",
     "q33_ivf_ann" -> "tiny fixed query-vector set vs corpus (bounded side)",
+    "q76_ivf_multiprobe" -> ("same IVF assignment shape as q33 (broadcast centroid cross for the " +
+      "packed-long argmax) plus the query-side top-nprobe centroid scoring — both broadcast sides " +
+      "are the tiny centroid sample"),
     "q29_cosine_neardup" -> "deliberate all-pairs EXACT baseline (L12); q52 is the LSH scale path",
     "q53_tfidf_topk" -> ("1-row corpus-count aggregate broadcast into the vocabulary-sized dfreq " +
       "frame — a single-row build side is exactly what BNLJ is optimal for (an equi-join on a " +
