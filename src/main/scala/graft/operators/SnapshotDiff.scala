@@ -106,4 +106,13 @@ object SnapshotDiff {
         lit(null).cast(dim.schema("valid_to").dataType).as("valid_to"): _*)
     history.unionByName(adjusted).unionByName(inserts)
   }
+
+  /** Point-in-time (time-travel) view of an SCD2 dimension: the rows that
+    * were current AT `at` — `valid_from <= at < valid_to` (open versions
+    * have null `valid_to`). A narrow filter, pushed down to the scan; with
+    * the dim lake-partitioned on `valid_to IS NULL` the common "current
+    * state" read never touches history files. */
+  def snapshotAt(dim: DataFrame, at: Column): DataFrame =
+    dim.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
 }

@@ -70,6 +70,11 @@ class ReshapeDiffSpec extends SparkSpec {
     val openPerKey = applied.filter(col("valid_to").isNull).groupBy("k").count()
       .as[(Long, Long)].collect().toMap
     assert(openPerKey.values.forall(_ == 1L))
+    // time travel: day-1 view shows pre-change state, day-2 view the new one
+    def at(d: String) = SnapshotDiff.snapshotAt(applied, lit(d))
+      .select(col("k"), col("seg")).as[(Long, String)].collect().toSet
+    assert(at("2024-01-01") == Set((1L, "A"), (2L, "B"), (4L, "D")))
+    assert(at("2024-01-02") == Set((1L, "A"), (2L, "X"), (5L, "E")))
   }
 
   test("melt is a narrow one-pass unpivot (no shuffle)") {
