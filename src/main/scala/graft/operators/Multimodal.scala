@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * The Spark-side mechanics — schema, partition-parallel batched execution,
   * stable output shape — are real and tested. The decode stage is REAL for
   * PNG (full pixel decode via [[PngCodec]]: JDK Inflater + per-row
-  * unfilter, no codec library) and for uncompressed 24-bit BMP
-  * ([[resizeBmp]] / [[bmpPixels]]); formats that genuinely need a codec
-  * library (JPEG/GIF/video/audio samples) fall back to the deterministic
-  * STUB (`decodeStub`), clearly labeled as such. Swapping in a real codec
-  * for those means replacing only that function body; everything around it
+  * unfilter, no codec library), uncompressed 24-bit BMP ([[resizeBmp]] /
+  * [[bmpPixels]]), JPEG and GIF (via the JDK's own `javax.imageio` —
+  * standard-library, not a third-party codec; [[imageIoPixels]]), and
+  * WAV/AIFF PCM audio (byte-order assembly via [[AudioCodec]] — PCM needs
+  * no codec at all). Only formats that genuinely need a decoder LIBRARY
+  * (FLAC, MP3/AAC, video codecs) fall back to the deterministic STUB
+  * (`decodeStub`), clearly labeled as such. Swapping in a real codec for
+  * those means replacing only that function body; everything around it
   * (the `mapPartitions` batching, the schema contract) is
   * production-shaped.
   */
@@ -31,9 +34,10 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, n_bytes: Long, checksum: Long, features: Array[Float])
 
   /** STUB decoder: deterministic fake features derived from the bytes.
-    * The fallback for formats whose pixel/sample decode needs a codec
-    * library (JPEG/GIF/audio samples) — same signature, same batching as
-    * the real paths. */
+    * The fallback for formats whose pixel/sample decode needs a decoder
+    * library (FLAC, MP3/AAC, video codecs) — same signature, same batching
+    * as the real paths. Also the source of the raw-byte checksum every
+    * real path reuses. */
   def decodeStub(mediaId: Long, bytes: Array[Byte], dim: Int): MediaFeatures = {
     var checksum = 0L
     var i = 0
@@ -103,16 +107,54 @@ object Multimodal {
     Some(PngCodec.Image(w, hi, hasAlpha = false, rgba))
   }
 
+  /** JPEG/GIF pixels through the JDK's own `javax.imageio` (the
+    * java.desktop module ships JPEG and GIF readers — standard library,
+    * not a codec dependency). Gated on the container magic so arbitrary
+    * binary rows never pay an ImageIO probe; PNG/BMP stay on the pure
+    * in-repo decoders above, which are faster and fully auditable. Output
+    * is the same RGBA raster contract as [[PngCodec.decode]], capped at
+    * [[PngCodec.MaxPixels]]. */
+  def imageIoPixels(b: Array[Byte]): Option[PngCodec.Image] = {
+    if (b == null || b.length < 4) return None
+    val isJpeg = (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+    val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    if (!isJpeg && !isGif) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0 || w.toLong * h > PngCodec.MaxPixels) return None
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      val rgba = new Array[Byte](w * h * 4)
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i); val d = i * 4
+        rgba(d) = (p >> 16).toByte; rgba(d + 1) = (p >> 8).toByte
+        rgba(d + 2) = p.toByte; rgba(d + 3) = (p >>> 24).toByte
+        i += 1
+      }
+      Some(PngCodec.Image(w, h, hasAlpha = img.getColorModel.hasAlpha, rgba))
+    } catch { case _: Throwable => None }
+  }
+
   /** Route one payload to the REAL decode (PNG via [[PngCodec]], plain BMP
-    * via [[bmpPixels]]) or the labeled stub. The checksum stays the raw
-    * byte-stream hash in every path (identity of the payload, not of the
-    * decode), so dedup-by-checksum is decode-agnostic. */
+    * via [[bmpPixels]], JPEG/GIF via [[imageIoPixels]], WAV/AIFF PCM via
+    * [[AudioCodec]] — image rasters yield band-luminance features, audio
+    * clips band-RMS energy, both `dim`-long in [0,1]) or the labeled stub.
+    * The checksum stays the raw byte-stream hash in every path (identity
+    * of the payload, not of the decode), so dedup-by-checksum is
+    * decode-agnostic. */
   def decodeMedia(mediaId: Long, bytes: Array[Byte], dim: Int): MediaFeatures =
-    PngCodec.decode(bytes).orElse(bmpPixels(bytes)) match {
+    PngCodec.decode(bytes).orElse(bmpPixels(bytes)).orElse(imageIoPixels(bytes)) match {
       case Some(img) =>
         val stub = decodeStub(mediaId, bytes, dim) // reuse byte checksum
         MediaFeatures(mediaId, bytes.length.toLong, stub.checksum, rasterFeatures(img, dim))
-      case None => decodeStub(mediaId, bytes, dim)
+      case None => AudioCodec.decode(bytes) match {
+        case Some(clip) =>
+          val stub = decodeStub(mediaId, bytes, dim)
+          MediaFeatures(mediaId, bytes.length.toLong, stub.checksum, AudioCodec.features(clip, dim))
+        case None => decodeStub(mediaId, bytes, dim)
+      }
     }
 
   /** Batched per-partition feature extraction over (media_id, media) —
@@ -141,8 +183,8 @@ object Multimodal {
     * the REAL header sniff (`graft_image_meta`, a codegen'd scalar over
     * the binary column — PNG/JPEG/GIF/BMP container layouts, no codec
     * library); files whose header is unrecognized fall back to the
-    * basename's extension with null dimensions. Pixel decode stays with
-    * the (stubbed) feature-extraction stage. */
+    * basename's extension with null dimensions. Pixel decode happens in
+    * the feature-extraction stage ([[decodeMedia]]). */
   def readMediaDir(spark: org.apache.spark.sql.SparkSession, path: String,
                    glob: String = "*"): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
@@ -177,8 +219,8 @@ object Multimodal {
   /** Audio sibling of [[imageMeta]]: `struct(format, channels,
     * sample_rate, bits_per_sample, n_frames, duration_ms)` from WAV /
     * AIFF / FLAC container headers, null when unrecognized — see
-    * [[graft.plans.AudioMeta]]. Sample decode stays with the stubbed
-    * codec stage, exactly like pixels. */
+    * [[graft.plans.AudioMeta]]. WAV/AIFF PCM sample decode is real
+    * ([[AudioCodec]]); FLAC samples stay with the stub contract. */
   def audioMeta(df: DataFrame, binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     call_function("graft_audio_meta", binCol)
@@ -211,7 +253,7 @@ object Multimodal {
   /** Batch decoder — same signature a vectorized/native codec binding
     * would have: parallel id/payload sequences in, features out, sizes
     * equal. Routes each payload through [[decodeMedia]] (real for
-    * PNG/BMP, stub otherwise). */
+    * PNG/BMP/JPEG/GIF rasters and WAV/AIFF PCM, stub otherwise). */
   def decodeBatch(ids: Seq[Long], payloads: Seq[Array[Byte]], dim: Int): Seq[MediaFeatures] = {
     require(ids.length == payloads.length)
     ids.lazyZip(payloads).map((id, bytes) => decodeMedia(id, bytes, dim))
@@ -273,11 +315,14 @@ object Multimodal {
   }
 
   /** Media resize over a frame: REAL for PNG (decode → nearest-neighbor →
-    * re-encode via [[PngCodec]]) and plain 24-bit BMPs ([[resizeBmp]]),
-    * passthrough (resized=false) for codec-bound formats — per-partition
-    * batched like the decode stage, constant memory per task. Output keeps
-    * (media_id, media, resized); a resized payload re-sniffs under
-    * `graft_image_meta` with the target dimensions and its own format. */
+    * re-encode via [[PngCodec]]), plain 24-bit BMPs ([[resizeBmp]]), and
+    * JPEG/GIF ([[imageIoPixels]] → nearest-neighbor → LOSSLESS re-encode
+    * as PNG: re-JPEGing resampled pixels would stack generation loss and
+    * the JDK GIF writer cannot express >256-color rasters, so transcoding
+    * to PNG is the production choice — the output re-sniffs as `png` at
+    * the target dimensions); passthrough (resized=false) for codec-bound
+    * formats — per-partition batched like the decode stage, constant
+    * memory per task. Output keeps (media_id, media, resized). */
   def resizeMedia(df: DataFrame, tw: Int, th: Int): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong,
       Encoders.BINARY, Encoders.scalaBoolean)
@@ -286,7 +331,7 @@ object Multimodal {
         rows.map { r =>
           val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
           resizeBmp(bytes, tw, th)
-            .orElse(PngCodec.decode(bytes)
+            .orElse(PngCodec.decode(bytes).orElse(imageIoPixels(bytes))
               .map(img => PngCodec.encode(PngCodec.resizeNearest(img, tw, th)))) match {
             case Some(resized) => (r.getLong(0), resized, true)
             case None          => (r.getLong(0), bytes, false)

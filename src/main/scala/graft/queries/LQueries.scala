@@ -49,6 +49,9 @@ object LQueries {
     "q74_inverted_index" -> ((s, d) => q74(s, d)),
     "q75_percent_rank" -> ((s, d) => q75(s, d)),
     "q76_ivf_multiprobe" -> ((s, d) => q76(s, d)),
+    "q79_kmeans_assign" -> ((s, d) => q79(s, d)),
+    "q80_semantic_prune" -> ((s, d) => q80(s, d)),
+    "q81_source_cap" -> ((s, d) => q81(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -236,6 +239,32 @@ object LQueries {
   def q76(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       col("vec_id") % 1000 === 0, k = 5, centroidMod = 31, nprobe = 3)
+
+  /** L38: k-means nearest-seed assignment (the deterministic E-step the
+    * semantic-dedup family builds on) — broadcast seeds, quantized-L2
+    * argmin as a primitive packed-long max (one shuffle row per vector). */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.operators.KMeans.assign(e,
+      graft.operators.KMeans.seeds(e, "vec_id", "embedding", 8), "vec_id", "embedding")
+  }
+
+  /** L38: SemDeDup pruning over the seed clustering — near-dup drop with
+    * the pair search bounded per cluster (never global n²), keep-lowest-id
+    * rule, quantized cosine ≥ 0.35. Fully deterministic → exact oracle. */
+  def q80(s: SparkSession, d: String): DataFrame =
+    graft.operators.KMeans.semanticPrune(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 8, simThresholdQ = 3500L)
+
+  /** L39: per-source document cap (C4/RefinedWeb-style domain cap): keep
+    * each source's 10 best docs by quality score through the native
+    * bounded-heap plan — no per-source sort, survivors-only shuffle. */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScoreQ(col("text")).as("score_q"))
+    graft.operators.TopK.topKPerKeyNative(scored, Seq(col("source")),
+      Seq(col("score_q").desc, col("doc_id").asc), k = 10)
+  }
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -693,6 +722,53 @@ object LQueries {
         |SELECT qid, nid, sim_q, CAST(rank AS BIGINT) AS rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_q DESC, nid ASC) AS rank FROM s) t
         |WHERE rank <= 5""".stripMargin,
+    "q79_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, s.cid,
+        |        CAST(least(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
+        |                          + list_dot_product(s.cv, s.cv)) * 100), 4194304) AS BIGINT) AS dist_q
+        |      FROM e CROSS JOIN seeds s)
+        |SELECT vec_id, cid, dist_q FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q ASC, cid ASC) AS rn FROM d) t
+        |WHERE rn = 1""".stripMargin,
+    "q80_semantic_prune" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, s.cid,
+        |        CAST(least(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
+        |                          + list_dot_product(s.cv, s.cv)) * 100), 4194304) AS BIGINT) AS dist_q
+        |      FROM e CROSS JOIN seeds s),
+        |a AS (SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q ASC, cid ASC) AS rn FROM d) t
+        |  WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cid, n.v, n.nrm FROM a JOIN n USING (vec_id))
+        |SELECT vec_id, cid FROM m x WHERE NOT EXISTS (
+        |  SELECT 1 FROM m y WHERE y.cid = x.cid AND y.vec_id < x.vec_id
+        |   AND CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) >= 3500)""".stripMargin,
+    "q81_source_cap" ->
+      """WITH scored AS (SELECT doc_id, source,
+        |  CAST(floor((0.4 * least(len / 500.0, 1.0)
+        |      + 0.3 * least(stop / greatest(tokens, 1.0) * 5.0, 1.0)
+        |      + 0.15 * (1.0 - least(punct / greatest(len, 1.0) * 10.0, 1.0))
+        |      + 0.15 * (1.0 - least(upper / greatest(len, 1.0) * 5.0, 1.0))) * 10000.0) AS BIGINT) AS score_q
+        |FROM (SELECT doc_id, source,
+        |        CAST(length(text) AS DOUBLE) AS len,
+        |        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS tokens,
+        |        CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+        |           + (length(p) - length(replace(p, ' and ', ''))) / 5
+        |           + (length(p) - length(replace(p, ' of ', ''))) / 4
+        |           + (length(p) - length(replace(p, ' to ', ''))) / 4
+        |           + (length(p) - length(replace(p, ' a ', ''))) / 3 AS DOUBLE) AS stop,
+        |        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+        |        CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper
+        |      FROM (SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS p FROM documents) x) t)
+        |SELECT doc_id, source, score_q FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score_q DESC, doc_id ASC) AS rk
+        |  FROM scored) z
+        |WHERE rk <= 10""".stripMargin,
     "q20_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,

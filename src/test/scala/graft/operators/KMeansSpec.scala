@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import ss.implicits._
+
+  /** Two tight blobs far apart plus ids chosen so the two seed vectors
+    * (lowest ids) land one in each blob. */
+  private def blobs() = Seq(
+    (0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)),
+    (2L, Array(0.1, 0.0)), (3L, Array(0.0, 0.2)), (4L, Array(0.3, 0.1)),
+    (5L, Array(10.1, 10.0)), (6L, Array(10.0, 10.2)), (7L, Array(9.8, 10.1))
+  ).toDF("id", "vec")
+
+  test("assign puts every vector with its nearest seed, ties to lower cid") {
+    val df = blobs()
+    val out = KMeans.assign(df, KMeans.seeds(df, "id", "vec", 2), "id", "vec")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).sameElements(0L to 7L))
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(Seq(0L, 2L, 3L, 4L).forall(byId(_) == 0L))
+    assert(Seq(1L, 5L, 6L, 7L).forall(byId(_) == 1L))
+    // seed itself is at distance 0
+    assert(out(0)._3 == 0L && out(1)._3 == 0L)
+    // equidistant vector ties to the LOWER cid
+    val tie = Seq((0L, Array(0.0, 0.0)), (1L, Array(4.0, 0.0)), (9L, Array(2.0, 0.0)))
+      .toDF("id", "vec")
+    val t = KMeans.assign(tie, KMeans.seeds(tie, "id", "vec", 2), "id", "vec")
+      .filter($"id" === 9L).as[(Long, Long, Long)].head()
+    assert(t._2 == 0L && t._3 == 400L)
+  }
+
+  test("assignment shuffles ONE row per vector (primitive max, map-side combined)") {
+    val df = blobs()
+    val plan = KMeans.assign(df, KMeans.seeds(df, "id", "vec", 2), "id", "vec")
+      .queryExecution.executedPlan.toString
+    // the argmin must be a HashAggregate over max(packed), never a window
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("lloyd converges to the blob means and is SSE-non-increasing") {
+    val df = blobs()
+    def sse(assigned: org.apache.spark.sql.DataFrame): Long =
+      assigned.agg(sum("dist_q")).as[Long].head()
+    val (a0, _) = KMeans.lloyd(df, "id", "vec", k = 2, iters = 0)
+    val (a2, cent) = KMeans.lloyd(df, "id", "vec", k = 2, iters = 2)
+    assert(sse(a2) <= sse(a0))
+    // refined centroids are the exact blob means
+    val c = cent.toMap
+    assert(c(0L).zip(Array(0.1, 0.075)).forall { case (x, e) => math.abs(x - e) < 1e-9 })
+    assert(c(1L).zip(Array(9.975, 10.075)).forall { case (x, e) => math.abs(x - e) < 1e-9 })
+    // partition unchanged by refinement on well-separated blobs
+    val byId = a2.select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 2L, 3L, 4L).forall(byId(_) == 0L))
+    assert(Seq(1L, 5L, 6L, 7L).forall(byId(_) == 1L))
+  }
+
+  test("lloyd keeps the previous centroid for an emptied cluster") {
+    // seed 1 (id=1) is strictly closer to seed 0's blob than every vector,
+    // so after one assignment nothing lands on it... construct: two seeds,
+    // all OTHER vectors nearer seed 0; seed 1 itself still assigns to
+    // itself (dist 0), so empty-cluster needs k > distinct occupied — use
+    // a duplicate-heavy frame where seeds collide.
+    val df = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)), // seed 1 duplicates seed 0
+      (2L, Array(0.2, 0.0)), (3L, Array(0.1, 0.1))
+    ).toDF("id", "vec")
+    val (_, cent) = KMeans.lloyd(df, "id", "vec", k = 2, iters = 1)
+    val c = cent.toMap
+    // cluster 1 got no members (ties go to cid 0) → centroid carried over
+    assert(c(1L).sameElements(Array(0.0, 0.0)))
+    // cluster 0's centroid is the mean of all four vectors
+    assert(c(0L).zip(Array(0.075, 0.025)).forall { case (x, e) => math.abs(x - e) < 1e-9 })
+  }
+
+  test("semanticPrune keeps the lowest-id representative of near-identical mates") {
+    val df = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),       // seeds: two directions
+      (2L, Array(1.0, 0.01)),                              // ~dup of 0 (cos ≈ 1)
+      (3L, Array(0.01, 1.0)),                              // ~dup of 1
+      (4L, Array(0.8, 0.6))                                // distinct direction
+    ).toDF("id", "vec")
+    val kept = KMeans.semanticPrune(df, "id", "vec", k = 2, simThresholdQ = 9900L)
+      .select("id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 1L, 4L)))
+    // prune is idempotent on its own output
+    val again = KMeans.semanticPrune(
+      df.join(kept.toSeq.toDF("id"), Seq("id")), "id", "vec", k = 2, simThresholdQ = 9900L)
+      .select("id").as[Long].collect().sorted
+    assert(again.sameElements(kept))
+  }
+}

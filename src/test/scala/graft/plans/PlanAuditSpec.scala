@@ -27,7 +27,11 @@ class PlanAuditSpec extends SparkSpec {
       "constant key folds back to this), and its codegen is clean since the TopKPerKeyExec " +
       "usedInputs fix"),
     "q72_bm25" -> ("same shape as q53: the 1-row (N, Σdl) corpus-totals aggregate broadcast into " +
-      "the |terms|-bounded dfq frame — single-row build side, BNLJ-optimal by construction"))
+      "the |terms|-bounded dfq frame — single-row build side, BNLJ-optimal by construction"),
+    "q79_kmeans_assign" -> ("k-means E-step: the k-row seed-centroid set broadcast-crossed with " +
+      "the corpus for the packed-long argmin — same bounded-build shape as the IVF assignment"),
+    "q80_semantic_prune" -> ("seed assignment inside semanticPrune shares q79's broadcast " +
+      "centroid cross; the prune pair join itself is cluster-keyed equality"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
