@@ -153,4 +153,38 @@ object KMeans {
     assigned.select(col(idCol), col("cid"))
       .join(dominated, Seq(idCol), "left_anti")
   }
+
+  /** Prototypicality pruning (the SSL-Prototypes rule D4 pairs with
+    * SemDeDup — Sorscher et al. 2022, arXiv:2206.14486; Tirumala et al.
+    * 2023, arXiv:2308.12284): within each seed cluster, the vectors
+    * CLOSEST to their centroid are the most prototypical — semantically
+    * redundant, "easy" examples — and the first `dropBp`/10⁴ fraction of
+    * each cluster (ascending quantized distance, id tiebreak) is dropped.
+    * Complements [[semanticPrune]]: that rule removes near-DUPLICATE
+    * pairs, this one thins dense cluster CORES wholesale without any pair
+    * search.
+    *
+    * Exactness/scale: ranking is `row_number` over (cid, dist_q asc, id)
+    * with the cluster size from a sibling window — ONE shuffle on cid for
+    * both (integer math throughout: drop while `rank ≤ ⌊n·dropBp/10⁴⌋`,
+    * so the kept set is exact-SQL-oracle-checkable). Per-cid partitions
+    * carry ~n/k rows; for clusters too large to sort per-task, the
+    * documented fallback is ranking against per-cluster `approx_
+    * percentile` distance cuts exactly as [[Normalize.percentRankApproxBp]]
+    * does — a sort-free map-side-combinable sketch with error ≤ one
+    * bucket. Returns kept `(id, cid, dist_q)`. */
+  def prototypePrune(embeddings: DataFrame, idCol: String, vecCol: String,
+                     k: Int, dropBp: Long): DataFrame = {
+    require(dropBp >= 0 && dropBp < 10000, s"dropBp must be in [0, 10000), got $dropBp")
+    val base = embeddings.select(col(idCol).cast("long").as(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val assigned = assign(base, seeds(base, idCol, vecCol, k), idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val rank = row_number().over(w.orderBy(col("dist_q").asc, col(idCol).asc))
+    assigned
+      .withColumn("__rk", rank)
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") > floor(col("__n") * dropBp / 10000L))
+      .select(col(idCol), col("cid"), col("dist_q"))
+  }
 }

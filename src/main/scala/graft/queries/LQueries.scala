@@ -52,6 +52,7 @@ object LQueries {
     "q79_kmeans_assign" -> ((s, d) => q79(s, d)),
     "q80_semantic_prune" -> ((s, d) => q80(s, d)),
     "q81_source_cap" -> ((s, d) => q81(s, d)),
+    "q82_proto_prune" -> ((s, d) => q82(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -265,6 +266,13 @@ object LQueries {
     graft.operators.TopK.topKPerKeyNative(scored, Seq(col("source")),
       Seq(col("score_q").desc, col("doc_id").asc), k = 10)
   }
+
+  /** L40: prototypicality pruning (SSL-Prototypes / D4 companion to q80's
+    * SemDeDup): drop the 25% of each seed cluster closest to its centroid
+    * — integer rank math, exact oracle. */
+  def q82(s: SparkSession, d: String): DataFrame =
+    graft.operators.KMeans.prototypePrune(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 8, dropBp = 2500L)
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -747,6 +755,20 @@ object LQueries {
         |SELECT vec_id, cid FROM m x WHERE NOT EXISTS (
         |  SELECT 1 FROM m y WHERE y.cid = x.cid AND y.vec_id < x.vec_id
         |   AND CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) >= 3500)""".stripMargin,
+    "q82_proto_prune" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT e.vec_id, s.cid,
+        |        CAST(least(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
+        |                          + list_dot_product(s.cv, s.cv)) * 100), 4194304) AS BIGINT) AS dist_q
+        |      FROM e CROSS JOIN seeds s),
+        |a AS (SELECT vec_id, cid, dist_q FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q ASC, cid ASC) AS rn FROM d) t
+        |  WHERE rn = 1)
+        |SELECT vec_id, cid, dist_q FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY dist_q ASC, vec_id ASC) AS rk,
+        |         count(*) OVER (PARTITION BY cid) AS n FROM a) z
+        |WHERE rk > floor(n * 2500 / 10000)""".stripMargin,
     "q81_source_cap" ->
       """WITH scored AS (SELECT doc_id, source,
         |  CAST(floor((0.4 * least(len / 500.0, 1.0)

@@ -92,4 +92,30 @@ class KMeansSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(again.sameElements(kept))
   }
+
+  test("prototypePrune drops the closest dropBp fraction of each cluster") {
+    // blob 0: seed + 3 members at increasing distance; blob 1: seed + 3
+    val df = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)),
+      (2L, Array(0.1, 0.0)), (3L, Array(0.0, 0.2)), (4L, Array(0.3, 0.1)),
+      (5L, Array(10.1, 10.0)), (6L, Array(10.0, 10.2)), (7L, Array(9.8, 10.1))
+    ).toDF("id", "vec")
+    // 25% of a 4-member cluster = drop the single closest (the seed, dist 0)
+    val kept = KMeans.prototypePrune(df, "id", "vec", k = 2, dropBp = 2500L)
+      .select("id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 3L, 4L, 5L, 6L, 7L)))
+    // dropBp = 0 keeps everything
+    val all = KMeans.prototypePrune(df, "id", "vec", k = 2, dropBp = 0L)
+      .select("id").as[Long].collect().sorted
+    assert(all.sameElements(0L to 7L))
+    // tie on dist_q breaks by id: duplicate closest vectors → lower id dropped
+    val ties = Seq(
+      (0L, Array(0.0, 0.0)),
+      (2L, Array(0.5, 0.0)), (3L, Array(0.5, 0.0)), (4L, Array(0.9, 0.0))
+    ).toDF("id", "vec")
+    val keptT = KMeans.prototypePrune(ties, "id", "vec", k = 1, dropBp = 5000L)
+      .select("id").as[Long].collect().sorted
+    // 4 members, drop floor(4*0.5)=2 closest: seed 0 (dist 0), then id 2 over 3
+    assert(keptT.sameElements(Array(3L, 4L)))
+  }
 }

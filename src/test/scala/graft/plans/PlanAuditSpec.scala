@@ -31,7 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     "q79_kmeans_assign" -> ("k-means E-step: the k-row seed-centroid set broadcast-crossed with " +
       "the corpus for the packed-long argmin — same bounded-build shape as the IVF assignment"),
     "q80_semantic_prune" -> ("seed assignment inside semanticPrune shares q79's broadcast " +
-      "centroid cross; the prune pair join itself is cluster-keyed equality"))
+      "centroid cross; the prune pair join itself is cluster-keyed equality"),
+    "q82_proto_prune" -> ("prototypicality pruning ranks q79's assignment output — same " +
+      "broadcast centroid cross, then one cid-partitioned window"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
