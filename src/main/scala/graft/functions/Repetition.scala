@@ -85,4 +85,35 @@ object Repetition {
       .groupBy("id")
       .agg(floor(max("cnt") * lit(10000.0) / sum("cnt")).cast("long")
         .as(s"top_${n}gram_frac_q"))
+
+  /** Within-document first-occurrence segment dedup — the REPAIR sibling of
+    * the detection signals above: split on `sep`, keep each segment's FIRST
+    * occurrence (order preserved), re-join. The Gopher/RefinedWeb cleanup
+    * for boilerplate documents whose repeated lines/paragraphs would
+    * otherwise sink them under the repetition thresholds; with `sep = " "`
+    * the same code path is order-preserving word dedup.
+    *
+    * Shape: one narrow Project over the scan — split / indexed
+    * higher-order `filter` (keep where `array_position` = own index) /
+    * `array_join`; zero shuffle, zero state. The in-row first-occurrence
+    * scan is O(segments²) string compares per doc — fine for line-grained
+    * segments (a 10k-line doc is pathological input, not a workload); a
+    * corpus of such pathologies would move to the explode → min-pos window
+    * shape that [[graft.operators.SpanDedup]] uses cross-document.
+    *
+    * Emits (id, n_segments, n_kept, text_dedup) — exact SQL oracle
+    * (DuckDB's 1-based list lambdas mirror `array_position`). */
+  def dedupSegments(df: DataFrame, id: Column, text: Column,
+                    sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val segs = split(text, java.util.regex.Pattern.quote(sep))
+    df.select(id.as("id"), segs.as("__segs"))
+      .select(col("id"), col("__segs"),
+        filter(col("__segs"),
+          (s, i) => array_position(col("__segs"), s) === i + 1).as("__kept"))
+      .select(col("id"),
+        size(col("__segs")).cast("long").as("n_segments"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), sep).as("text_dedup"))
+  }
 }

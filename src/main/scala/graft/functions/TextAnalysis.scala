@@ -73,4 +73,20 @@ object TextAnalysis {
   /** Normalized-content fingerprint: lower-case, collapse whitespace, md5. */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** DEFLATE-compressed size of the text/binary payload (native
+    * [[graft.plans.DeflateLen]] expression — requires
+    * `GraftExtensions.register`). */
+  def deflateLen(c: Column): Column = call_function("graft_deflate_len", c)
+
+  /** Compressibility in basis points: ⌊10⁴ · deflated/raw⌋ over UTF-8
+    * byte counts. LOW = heavily compressible = repetitive boilerplate
+    * (the standard drop rule is a low-side threshold); diverse prose
+    * lands high. NULL for empty payloads (no bytes, no signal) — callers
+    * filter or coalesce. Complements the exact-repeat fractions in
+    * [[Repetition]]: DEFLATE also sees approximate/structural
+    * redundancy. */
+  def compressRatioQ(c: Column): Column =
+    when(octet_length(c) > 0,
+      floor(deflateLen(c) * lit(10000.0) / octet_length(c)).cast("long"))
 }

@@ -63,6 +63,12 @@ object GraftExtensions {
         require(args.length == 1, "graft_nfc takes exactly one argument")
         NfcNormalize(args.head)
       }),
+    (FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_deflate_len takes exactly one argument")
+        DeflateLen(args.head)
+      }),
     (FunctionIdentifier("graft_unmojibake"),
       new ExpressionInfo(classOf[MojibakeRepair].getName, "graft_unmojibake"),
       (args: Seq[Expression]) => {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Dedup, NearDup, Similarity}
-import graft.functions.TextAnalysis
+import graft.functions.{Repetition, TextAnalysis}
 
 /** LLM-training-data-pipeline verify queries (SURVEY §2b) over the
   * `documents` and `embeddings` tables. */
@@ -53,6 +53,8 @@ object LQueries {
     "q80_semantic_prune" -> ((s, d) => q80(s, d)),
     "q81_source_cap" -> ((s, d) => q81(s, d)),
     "q82_proto_prune" -> ((s, d) => q82(s, d)),
+    "q83_segment_dedup" -> ((s, d) => q83(s, d)),
+    "q84_compress_ratio" -> ((s, d) => q84(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -273,6 +275,25 @@ object LQueries {
   def q82(s: SparkSession, d: String): DataFrame =
     graft.operators.KMeans.prototypePrune(Tables.embeddings(s, d),
       "vec_id", "embedding", k = 8, dropBp = 2500L)
+
+  /** L41: within-document first-occurrence segment dedup (repetition
+    * REPAIR): narrow split/filter/join projection, no shuffle. The corpus
+    * has no newlines, so `sep = " "` drives the same code path as
+    * order-preserving word dedup. */
+  def q83(s: SparkSession, d: String): DataFrame =
+    Repetition.dedupSegments(Tables.documents(s, d), col("doc_id"), col("text"),
+      sep = " ").withColumnRenamed("id", "doc_id")
+
+  /** L42: compression-ratio quality signal — DEFLATE runs only on the JVM,
+    * so this row is rows-only at the driver gate (no SQL oracle; the
+    * monotonicity contract is spec-pinned in DeflateLenSpec). */
+  def q84(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    Tables.documents(s, d).select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("raw_bytes"),
+      TextAnalysis.deflateLen(col("text")).as("deflate_bytes"),
+      TextAnalysis.compressRatioQ(col("text")).as("compress_ratio_q"))
+  }
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -769,6 +790,14 @@ object LQueries {
         |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY dist_q ASC, vec_id ASC) AS rk,
         |         count(*) OVER (PARTITION BY cid) AS n FROM a) z
         |WHERE rk > floor(n * 2500 / 10000)""".stripMargin,
+    "q83_segment_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
+        |k AS (SELECT doc_id, segs,
+        |        list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept FROM s)
+        |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segments,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, ' ') AS text_dedup
+        |FROM k""".stripMargin,
     "q81_source_cap" ->
       """WITH scored AS (SELECT doc_id, source,
         |  CAST(floor((0.4 * least(len / 500.0, 1.0)

@@ -52,4 +52,35 @@ class RepetitionSpec extends SparkSpec {
     val exchanges = plan.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }
     assert(exchanges.isEmpty, s"expected zero shuffles, got:\n$plan")
   }
+
+  test("dedupSegments keeps first occurrences in order and re-joins") {
+    val df = Seq(
+      (1L, "intro\nbody\nintro\nfooter\nbody"),
+      (2L, "only one line"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Repetition.dedupSegments(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, 3L, "intro\nbody\nfooter")))
+    assert(out(2L) == ((1L, 1L, "only one line")))
+    assert(out(3L) == ((1L, 1L, ""))) // split("") = [""] — one empty segment
+    // word-grained path (the q83 shape): order-preserving word dedup
+    val w = Repetition.dedupSegments(
+      Seq((9L, "a b a c b a")).toDF("doc_id", "text"), col("doc_id"), col("text"), " ")
+      .collect().head
+    assert((w.getLong(1), w.getLong(2), w.getString(3)) == ((6L, 3L, "a b c")))
+    // regex metacharacter separators are taken literally
+    val dot = Repetition.dedupSegments(
+      Seq((8L, "x.y.x")).toDF("doc_id", "text"), col("doc_id"), col("text"), ".")
+      .collect().head
+    assert((dot.getLong(1), dot.getLong(2), dot.getString(3)) == ((3L, 2L, "x.y")))
+  }
+
+  test("dedupSegments is a narrow plan: no exchange") {
+    val df = ss.range(50).selectExpr("id AS doc_id", "repeat('l\n', CAST(id % 5 + 1 AS INT)) AS text")
+    val plan = Repetition.dedupSegments(df, col("doc_id"), col("text"))
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.isEmpty, s"expected zero shuffles, got:\n$plan")
+  }
 }
