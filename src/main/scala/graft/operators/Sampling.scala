@@ -116,4 +116,37 @@ object Sampling {
     df.join(broadcast(cutoffs), groupCol === cutoffs("group"))
       .filter(priorityCol >= cutoffs("cutoff_priority"))
       .drop("group", "cutoff_priority", "admitted_tokens")
+
+  /** Training-sequence packing, concat-then-chunk (the GPT-style packer):
+    * within each group, documents in `idCol` order form one contiguous
+    * token stream that is cut into sequences of `capacity` tokens —
+    * documents SPAN sequence boundaries (zero padding waste; the packer
+    * that instead starts a fresh bin on overflow trades waste for
+    * boundary purity and is inherently sequential — not offered here).
+    * Emits per doc: `seq_id` = the sequence its first token lands in,
+    * `seq_off` = offset within that sequence, `n_seqs_spanned` = how many
+    * sequences the document crosses. All integer math over the running
+    * token sum ⇒ exact-SQL-oracle-checkable.
+    *
+    * Scale shape: ONE hash-partition by group + per-group sort for the
+    * prefix-sum window (the same inherently-sequential-prefix trade as
+    * [[tokenBudgetSample]], and the same remedy if a single group
+    * outgrows a partition: split the group key, e.g. by date, and pack
+    * per shard). */
+  def packSequences(df: DataFrame, groupCol: Column, idCol: Column,
+                    tokensCol: Column, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // `div` (integer division), not `/`-then-floor: the double detour
+    // loses exactness past 2^53 cumulative tokens
+    df.withColumn("__start", sum(tokensCol).over(w) - tokensCol)
+      .withColumn("__last", col("__start") + greatest(tokensCol, lit(1L)) - 1)
+      .select(groupCol.as("group"), idCol.as("id"), tokensCol.as("n_tokens"),
+        expr(s"__start div ${capacity}L").as("seq_id"),
+        pmod(col("__start"), lit(capacity)).as("seq_off"),
+        (expr(s"__last div ${capacity}L") - expr(s"__start div ${capacity}L") + 1)
+          .as("n_seqs_spanned"))
+  }
 }

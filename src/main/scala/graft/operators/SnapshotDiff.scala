@@ -53,6 +53,39 @@ object SnapshotDiff {
         }: _*)
   }
 
+  /** Retraction stream between two snapshots (the Flink-style changelog
+    * formulation): `(sign, key, cols…)` rows where a removed/old image
+    * carries `sign = -1` and an added/new image `sign = +1`; a changed row
+    * emits BOTH. Unlike [[diff]] (which keeps one merged image per key),
+    * this loses neither side — it is exactly the input an incremental
+    * aggregate consumer needs ([[Aggregates.applyRetractions]]): summing
+    * `sign`-weighted values over ANY grouping column replays the change,
+    * including rows that migrated between groups (−1 under the old group
+    * value, +1 under the new).
+    *
+    * Same ONE full-outer key join as [[diff]]; the two images leave as an
+    * inline 2-slot array explode — no second join, no extra shuffle. */
+  def retractions(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val o = oldDf.select(col(keyCol).as("__k") +:
+      cols.map(c => col(c).as(s"__old_$c")): _*)
+    val n = newDf.select(col(keyCol).as("__nk") +:
+      cols.map(c => col(c).as(s"__new_$c")): _*)
+    val changed = cols.map(c => !(col(s"__old_$c") <=> col(s"__new_$c")))
+      .reduce(_ || _)
+    val oldImage = struct(lit(-1L).as("sign") +: cols.map(c => col(s"__old_$c").as(c)): _*)
+    val newImage = struct(lit(1L).as("sign") +: cols.map(c => col(s"__new_$c").as(c)): _*)
+    o.join(n, col("__k") === col("__nk"), "full_outer")
+      .select(coalesce(col("__nk"), col("__k")).as(keyCol),
+        explode(array_compact(array(
+          when(col("__nk").isNull || (col("__k").isNotNull && changed), oldImage),
+          when(col("__k").isNull || (col("__nk").isNotNull && changed), newImage)
+        ))).as("__img"))
+      .select(col(keyCol) +: col("__img.sign").as("sign") +:
+        cols.map(c => col(s"__img.$c").as(c)): _*)
+  }
+
   /** SCD2 merge-apply: consume a [[diff]] into a slowly-changing-dimension
     * type-2 table — the standard versioned sink for a daily-full-drop
     * source (the reference re-reads a complete extract every run:

@@ -55,6 +55,7 @@ object LQueries {
     "q82_proto_prune" -> ((s, d) => q82(s, d)),
     "q83_segment_dedup" -> ((s, d) => q83(s, d)),
     "q84_compress_ratio" -> ((s, d) => q84(s, d)),
+    "q85_pack_sequences" -> ((s, d) => q85(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -293,6 +294,16 @@ object LQueries {
       octet_length(col("text")).cast("long").as("raw_bytes"),
       TextAnalysis.deflateLen(col("text")).as("deflate_bytes"),
       TextAnalysis.compressRatioQ(col("text")).as("compress_ratio_q"))
+  }
+
+  /** L43: training-sequence packing — concat-then-chunk per source at 512
+    * tokens, integer math over the per-group prefix sum → exact oracle. */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.wsTokenCount(col("text")).as("n_toks"))
+    graft.operators.Sampling.packSequences(docs, col("source"), col("doc_id"),
+        col("n_toks"), capacity = 512L)
+      .withColumnRenamed("group", "source").withColumnRenamed("id", "doc_id")
   }
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
@@ -790,6 +801,19 @@ object LQueries {
         |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY dist_q ASC, vec_id ASC) AS rk,
         |         count(*) OVER (PARTITION BY cid) AS n FROM a) z
         |WHERE rk > floor(n * 2500 / 10000)""".stripMargin,
+    "q85_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |FROM documents),
+        |s AS (SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS st FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |       st // 512 AS seq_id,
+        |       st % 512 AS seq_off,
+        |       (st + greatest(n_tokens, 1) - 1) // 512 - st // 512 + 1 AS n_seqs_spanned
+        |FROM s""".stripMargin,
     "q83_segment_dedup" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
         |k AS (SELECT doc_id, segs,

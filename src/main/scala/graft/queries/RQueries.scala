@@ -51,6 +51,7 @@ object RQueries {
     "q68_deciles" -> ((s, d) => q68(s, d)),
     "q69_snapshot_diff" -> ((s, d) => q69(s, d)),
     "q78_scd2_apply" -> ((s, d) => q78(s, d)),
+    "q86_incr_agg" -> ((s, d) => q86(s, d)),
     "q73_concentration" -> ((s, d) => q73(s, d)),
     "q70_melt" -> ((s, d) => q70(s, d)),
     "q71_pivot_wide" -> ((s, d) => q71(s, d)),
@@ -218,6 +219,29 @@ object RQueries {
   /** R45: snapshot CDC — two deterministic derivations of `customer` play
     * yesterday's and today's full drops; diff = one full outer join +
     * narrow change classification. */
+  /** R48: incremental aggregate maintenance — fold the retraction stream
+    * between q69's two snapshots into the OLD snapshot's per-segment
+    * (count, sum) state; the oracle RECOMPUTES the aggregate from the new
+    * snapshot directly, so a hash match proves incremental == recompute
+    * cross-engine (including rows that migrated segments). */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val oldSnap = c.filter(col("c_custkey") % 10 =!= 3)
+    val newSnap = c.filter(col("c_custkey") % 10 =!= 7)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("CHANGED")).otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+    val state = graft.operators.Aggregates.aggState(
+      oldSnap, col("c_mktsegment"), Seq("c_acctbal"))
+    val delta = graft.operators.SnapshotDiff.retractions(
+      oldSnap, newSnap, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+    graft.operators.Aggregates.applyRetractions(
+        state, delta, col("c_mktsegment"), Seq("c_acctbal"))
+      .select(col("group").as("c_mktsegment"), col("n_rows"),
+        round(col("sum_c_acctbal"), 2).as("sum_bal"))
+  }
+
   def q69(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
     val oldSnap = c.filter(col("c_custkey") % 10 =!= 3)
@@ -734,6 +758,14 @@ object RQueries {
         |SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
         |       valid_from, valid_to
         |FROM (SELECT * FROM day1 UNION ALL SELECT * FROM day2) u""".stripMargin,
+    "q86_incr_agg" ->
+      """WITH n AS (SELECT c_custkey,
+        |             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment,
+        |             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |      FROM customer WHERE c_custkey % 10 <> 7)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(c_acctbal), 2) AS sum_bal
+        |FROM n GROUP BY 1""".stripMargin,
     "q69_snapshot_diff" ->
       """WITH o AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
         |           FROM customer WHERE c_custkey % 10 <> 3),

@@ -129,4 +129,35 @@ object LakeSink {
       .option("parquet.block.size", rowGroupBytes)
       .parquet(path)
   }
+
+  /** Small-files compaction: rewrite a parquet directory as
+    * `ceil(total_bytes / targetFileBytes)` files. Streaming sinks, frequent
+    * partitioned appends, and over-parallel writes leave thousands of tiny
+    * files whose per-file open/footer cost dominates a later 100 TB scan —
+    * periodic compaction to ~128 MB–1 GB files is standard lake hygiene.
+    *
+    * File count comes from actual on-disk bytes (driver-side FS listing —
+    * metadata, not data), so the parquet-encoded size drives the target,
+    * not row-count guesswork. The rewrite is round-robin
+    * (`repartition(n)` — no column skew can produce a giant output file);
+    * use [[writeSorted]]/[[writeZOrdered]] instead when the rewrite should
+    * also re-cluster for skipping. Writes to `destPath` (staging-dir swap
+    * is the caller's move: writing in place would destroy the source on a
+    * mid-job failure). Returns the file count written. */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes >= 1, s"targetFileBytes must be >= 1, got $targetFileBytes")
+    require(srcPath != destPath, "compact writes to a staging path, not in place")
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(src).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    // overflow-safe ceil: totalBytes + target - 1 wraps for huge targets
+    val n = if (totalBytes <= 0) 1 else math.max(1, ((totalBytes - 1) / targetFileBytes + 1).toInt)
+    spark.read.parquet(srcPath)
+      .repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+    n
+  }
 }

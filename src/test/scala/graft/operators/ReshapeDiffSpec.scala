@@ -101,4 +101,29 @@ class ReshapeDiffSpec extends SparkSpec {
     val plan = wide.queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1, s"expected 1 exchange:\n$plan")
   }
+
+  test("retractions emit ±1 images: added, removed, changed both sides") {
+    val oldS = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "y", 30.0)).toDF("k", "g", "v")
+    val newS = Seq((1L, "x", 10.0), (2L, "z", 25.0), (4L, "x", 40.0)).toDF("k", "g", "v")
+    val r = SnapshotDiff.retractions(oldS, newS, "k", Seq("g", "v"))
+      .as[(Long, Long, String, Double)].collect().sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      (2L, -1L, "y", 20.0), (2L, 1L, "z", 25.0), // changed: both images
+      (3L, -1L, "y", 30.0),                       // removed: old image only
+      (4L, 1L, "x", 40.0)))                       // added: new image only
+  }
+
+  test("applyRetractions: incremental state equals recompute, groups migrate and vanish") {
+    val oldS = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "y", 30.0)).toDF("k", "g", "v")
+    val newS = Seq((1L, "x", 10.0), (2L, "z", 25.0), (4L, "x", 40.0)).toDF("k", "g", "v")
+    val state = Aggregates.aggState(oldS, col("g"), Seq("v"))
+    val delta = SnapshotDiff.retractions(oldS, newS, "k", Seq("g", "v"))
+    val next = Aggregates.applyRetractions(state, delta, col("g"), Seq("v"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    val recompute = Aggregates.aggState(newS, col("g"), Seq("v"))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(next.toSeq == recompute.toSeq)
+    // group "y" lost both members → dropped; "z" created by the delta
+    assert(next.map(_._1).toSeq == Seq("x", "z"))
+  }
 }

@@ -164,4 +164,20 @@ class SamplingSpec extends SparkSpec {
     val sel = Sampling.admitByCutoff(docs, cut, col("lang"), col("score_q"))
     assert(sel.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
   }
+
+  test("packSequences: concat-then-chunk offsets, spans, group isolation") {
+    val docs = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L), ("a", 4L, 0L),
+      ("b", 9L, 100L)
+    ).toDF("src", "doc_id", "n_tokens")
+    val out = Sampling.packSequences(docs, col("src"), col("doc_id"),
+        col("n_tokens"), capacity = 512L)
+      .select("id", "seq_id", "seq_off", "n_seqs_spanned")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0L, 0L, 1L)))     // tokens [0, 300)
+    assert(out(2L) == ((0L, 300L, 2L)))   // [300, 600) crosses the 512 boundary
+    assert(out(3L) == ((1L, 88L, 2L)))    // [600, 1100) spans seqs 1–2
+    assert(out(4L) == ((2L, 76L, 1L)))    // empty doc: anchored at its start seq
+    assert(out(9L) == ((0L, 0L, 1L)))     // group b packs independently
+  }
 }

@@ -166,4 +166,25 @@ class LakeSinkSpec extends SparkSpec {
     assert(files.length == 3, files.map(_.getName).mkString(","))
     assert(LakeSink.read(ss, dir).count() == 900)
   }
+
+  test("compact rewrites a many-small-files dir to the byte-targeted count, content intact") {
+    val srcDir = Files.createTempDirectory("lake_compact_src").toString
+    // 64 tiny files
+    ss.range(10000).repartition(64).write.mode("overwrite").parquet(srcDir)
+    val small = new java.io.File(srcDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(small == 64)
+    val totalBytes = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val destDir = Files.createTempDirectory("lake_compact_dst").toString + "/out"
+    val target = totalBytes / 4 + 1 // aim for ~4 files
+    val n = LakeSink.compact(ss, srcDir, destDir, targetFileBytes = target)
+    assert(n == 4, s"expected 4 target files, got $n")
+    val out = new java.io.File(destDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(out == 4, s"wrote $out files")
+    // content identical (same ids, same count)
+    assert(LakeSink.read(ss, destDir).as[Long].collect().sorted.sameElements(0L until 10000L))
+    // a one-file target floors at a single file
+    val destDir1 = Files.createTempDirectory("lake_compact_one").toString + "/out"
+    assert(LakeSink.compact(ss, srcDir, destDir1, targetFileBytes = Long.MaxValue) == 1)
+  }
 }
