@@ -55,7 +55,10 @@ object KMeans {
     * Argmin-as-max packing: dist_q (≤ DistCap) and the bit-inverted cid
     * share one long, so the per-id reduction is a primitive `max` that
     * stays in HashAggregate with map-side combine — the shuffle carries
-    * ONE row per vector, not one per (vector, centroid). */
+    * ONE row per vector, not one per (vector, centroid). Centroid ids
+    * must fit the packing's low 40 bits (0 ≤ cid < 2⁴⁰) — true for
+    * [[seeds]]/[[lloyd]] output by construction; re-index (dense_rank)
+    * before passing hand-built centroids keyed by 64-bit hashes. */
   def assign(vectors: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String): DataFrame = {
     GraftExtensions.register(vectors.sparkSession)
