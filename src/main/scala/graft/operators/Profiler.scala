@@ -80,4 +80,35 @@ object Profiler {
                   DIV (CAST(n_rows AS DECIMAL(19,0)) * CAST(n_rows AS DECIMAL(19,0)))
                 AS BIGINT)""").as("gini_bp"))
   }
+
+  /** Order-independent content fingerprint `(n_rows, fp_sum, fp_xor)` —
+    * the cross-cluster/cross-engine equality check for migrations,
+    * replication and backfills: two tables with equal fingerprints over
+    * the same columns hold the same multiset of rows, computed WITHOUT
+    * moving either table (one aggregation, no sort, no join; commutative
+    * reductions, so partitioning and row order are irrelevant).
+    *
+    * Per-row hash: 32 bits from md5 over the `\u0001`-joined,
+    * null-sentineled string casts (the portable md5-digit idiom of
+    * [[Sampling.hashBucket]]). Two independent reductions guard each
+    * other's blind spots: `fp_sum` (modular sum — DECIMAL(38,0)
+    * accumulator so ~10²⁹ rows cannot wrap it, then mod the largest
+    * 63-bit prime; an even number of identical rows CAN'T cancel) and
+    * `fp_xor` (bitwise — catches value permutations sum is blind to).
+    * Cast floating-point columns to a fixed decimal scale first: raw
+    * float→string rendering is not engine-portable. */
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val digits = (1 to 8).map(i =>
+      (instr(lit("0123456789abcdef"), substring(col("__hex"), i, 1)) - 1).cast("long"))
+    val rowH = digits.reduce((acc, d) => acc * 16L + d)
+    df.select(md5(canon).as("__hex"))
+      .select(rowH.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(CAST(sum(CAST(__h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % 9223372036854775783 AS BIGINT)")
+          .as("fp_sum"),
+        expr("bit_xor(__h)").as("fp_xor"))
+  }
 }

@@ -52,6 +52,7 @@ object RQueries {
     "q69_snapshot_diff" -> ((s, d) => q69(s, d)),
     "q78_scd2_apply" -> ((s, d) => q78(s, d)),
     "q86_incr_agg" -> ((s, d) => q86(s, d)),
+    "q87_fingerprint" -> ((s, d) => q87(s, d)),
     "q73_concentration" -> ((s, d) => q73(s, d)),
     "q70_melt" -> ((s, d) => q70(s, d)),
     "q71_pivot_wide" -> ((s, d) => q71(s, d)),
@@ -241,6 +242,14 @@ object RQueries {
       .select(col("group").as("c_mktsegment"), col("n_rows"),
         round(col("sum_c_acctbal"), 2).as("sum_bal"))
   }
+
+  /** R49: order-independent table fingerprint — cross-engine equality via
+    * md5-digit row hashes reduced by modular sum + xor; the oracle computes
+    * the identical fingerprint in DuckDB, so the hash match IS the
+    * demonstration (two engines, one fingerprint). */
+  def q87(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profiler.tableFingerprint(Tables.customer(s, d),
+      Seq("c_custkey", "c_name", "c_mktsegment"))
 
   def q69(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -758,6 +767,24 @@ object RQueries {
         |SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
         |       valid_from, valid_to
         |FROM (SELECT * FROM day1 UNION ALL SELECT * FROM day2) u""".stripMargin,
+    "q87_fingerprint" ->
+      """WITH h AS (SELECT md5(concat_ws(chr(1),
+        |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+        |    coalesce(c_name, chr(0)),
+        |    coalesce(c_mktsegment, chr(0)))) AS hex FROM customer),
+        |v AS (SELECT CAST(
+        |    (instr('0123456789abcdef', substr(hex,1,1))-1)*268435456
+        |  + (instr('0123456789abcdef', substr(hex,2,1))-1)*16777216
+        |  + (instr('0123456789abcdef', substr(hex,3,1))-1)*1048576
+        |  + (instr('0123456789abcdef', substr(hex,4,1))-1)*65536
+        |  + (instr('0123456789abcdef', substr(hex,5,1))-1)*4096
+        |  + (instr('0123456789abcdef', substr(hex,6,1))-1)*256
+        |  + (instr('0123456789abcdef', substr(hex,7,1))-1)*16
+        |  + (instr('0123456789abcdef', substr(hex,8,1))-1) AS BIGINT) AS hv FROM h)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(hv) % 9223372036854775783 AS BIGINT) AS fp_sum,
+        |       CAST(bit_xor(hv) AS BIGINT) AS fp_xor
+        |FROM v""".stripMargin,
     "q86_incr_agg" ->
       """WITH n AS (SELECT c_custkey,
         |             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment,

@@ -141,9 +141,12 @@ object LakeSink {
     * not row-count guesswork. The rewrite is round-robin
     * (`repartition(n)` — no column skew can produce a giant output file);
     * use [[writeSorted]]/[[writeZOrdered]] instead when the rewrite should
-    * also re-cluster for skipping. Writes to `destPath` (staging-dir swap
-    * is the caller's move: writing in place would destroy the source on a
-    * mid-job failure). Returns the file count written. */
+    * also re-cluster for skipping. Operates on one FLAT (leaf) directory —
+    * on a `part=value/` layout run it per partition directory, which also
+    * keeps each rewrite small and restartable. Writes to `destPath`
+    * (staging-dir swap is the caller's move: writing in place would
+    * destroy the source on a mid-job failure). Returns the file count
+    * written. */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes >= 1, s"targetFileBytes must be >= 1, got $targetFileBytes")

@@ -40,16 +40,24 @@ object StreamSemanticDedup {
   final case class Admitted(id: Long, cid: Long)
 
   /** Nearest centroid by the [[graft.operators.KMeans.assign]] metric:
-    * quantized `floor(100·‖x−c‖²)` (saturated), ties to the lower cid. */
+    * quantized `floor(100·‖x−c‖²)` (saturated), ties to the lower cid.
+    * The distance is the SAME `x·x − 2·x·c + c·c` three-fold expansion
+    * assign evaluates — not the algebraically-equal direct `Σ(vᵢ−cᵢ)²`,
+    * whose different rounding could flip the floor at a quantization
+    * boundary and assign a batch/stream pair to different clusters. */
   private[streaming] def nearestCid(v: Array[Double],
                                     centroids: Array[(Long, Array[Double])]): Long = {
     val DistCap = 1L << 22
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vv = dot(v, v)
     var bestCid = Long.MaxValue
     var bestD = Long.MaxValue
     centroids.foreach { case (cid, c) =>
-      var d = 0.0
-      var i = 0
-      while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+      val d = vv - 2.0 * dot(v, c) + dot(c, c)
       val dq = math.min(math.floor(d * 100).toLong, DistCap)
       if (dq < bestD || (dq == bestD && cid < bestCid)) { bestD = dq; bestCid = cid }
     }
