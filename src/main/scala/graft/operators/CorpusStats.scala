@@ -200,4 +200,38 @@ object CorpusStats {
       .agg(concat_ws(",", array_sort(collect_list(col("id")))).as("postings"))
     dfreq.join(postings, "word")
   }
+
+  /** Overlapping fixed-token-window chunking — the retrieval/embedding prep
+    * step (RAG indexing, long-doc embedding): each document's word tokens
+    * are cut into windows of `chunkTokens` advancing by
+    * `chunkTokens - overlap`, so consecutive chunks share `overlap` tokens
+    * and no boundary sentence is lost to a hard cut. The within-doc
+    * sibling of [[graft.operators.Sampling.packSequences]] (which
+    * assigns docs ACROSS sequences): `chunk_count = 1 + ⌈max(0, n −
+    * chunk)/stride⌉` in integer `div` math, the final chunk simply shorter
+    * (no padding). Token-less documents emit no chunks.
+    *
+    * Shape: one narrow projection — tokenize once, `transform(sequence)`
+    * builds the window list in-row, `posexplode` emits (chunk_id, text);
+    * no shuffle at all (spec-asserted). Emits
+    * `(id, n_tokens, chunk_id, chunk_text)`, exact SQL oracle (DuckDB
+    * list comprehension + 1-based inclusive `list_slice`). */
+  def chunkDocs(df: DataFrame, idCol: Column, textCol: Column,
+                chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    df.select(idCol.as("id"), graft.functions.Repetition.wordTokens(textCol).as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("__nchunks",
+        expr(s"1L + (greatest(__n - ${chunkTokens}L, 0L) + ${stride - 1}L) div ${stride}L"))
+      .select(col("id"), col("__n").as("n_tokens"),
+        posexplode(transform(sequence(lit(0L), col("__nchunks") - 1),
+          i => concat_ws(" ",
+            slice(col("__ws"), (i * stride + 1).cast("int"), lit(chunkTokens))))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_text")
+  }
 }

@@ -56,6 +56,7 @@ object LQueries {
     "q83_segment_dedup" -> ((s, d) => q83(s, d)),
     "q84_compress_ratio" -> ((s, d) => q84(s, d)),
     "q85_pack_sequences" -> ((s, d) => q85(s, d)),
+    "q88_chunk_docs" -> ((s, d) => q88(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -305,6 +306,13 @@ object LQueries {
         col("n_toks"), capacity = 512L)
       .withColumnRenamed("group", "source").withColumnRenamed("id", "doc_id")
   }
+
+  /** L44: overlapping fixed-window chunking (RAG/embedding prep) — 16-token
+    * chunks, 4-token overlap, zero-shuffle projection, exact oracle. */
+  def q88(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusStats.chunkDocs(Tables.documents(s, d),
+        col("doc_id"), col("text"), chunkTokens = 16, overlap = 4)
+      .withColumnRenamed("id", "doc_id")
 
   /** L3 via the native Catalyst expression (SURVEY §2b): same semantics as
     * q25 but computed by `plans.SimHash64` inside whole-stage codegen —
@@ -801,6 +809,19 @@ object LQueries {
         |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY dist_q ASC, vec_id ASC) AS rk,
         |         count(*) OVER (PARTITION BY cid) AS n FROM a) z
         |WHERE rk > floor(n * 2500 / 10000)""".stripMargin,
+    "q88_chunk_docs" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    1 + (greatest(CAST(len(ws) AS BIGINT) - 16, 0) + 11) // 12 AS nchunks
+        |  FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, n_tokens, u.chunk_id, u.chunk_text FROM (
+        |  SELECT doc_id, n_tokens,
+        |    unnest([{'chunk_id': CAST(i AS INTEGER),
+        |             'chunk_text': array_to_string(list_slice(ws, 1 + i*12,
+        |                             least(i*12 + 16, len(ws))), ' ')}
+        |            FOR i IN range(0, nchunks)]) AS u
+        |  FROM n)""".stripMargin,
     "q85_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -111,4 +111,24 @@ class Bm25Spec extends SparkSpec {
     assert(got("skewed") == ((100L, 10L, 1710L)))
     assert(got("nully") == ((50L, 1L, 0L)))
   }
+
+  test("chunkDocs: overlapping windows, short tail, empty docs dropped, no shuffle") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
+      (2L, "a b"),                  // fits one chunk
+      (3L, "   ")                   // token-less → no chunks
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.chunkDocs(df, col("doc_id"), col("text"),
+      chunkTokens = 4, overlap = 2)
+    val rows = out.as[(Long, Long, Int, String)].collect().sortBy(r => (r._1, r._3))
+    // stride 2: chunks at 0,2,4 — 1 + ceil((7-4)/2) = 3
+    assert(rows.toSeq == Seq(
+      (1L, 7L, 0, "t0 t1 t2 t3"),
+      (1L, 7L, 1, "t2 t3 t4 t5"),
+      (1L, 7L, 2, "t4 t5 t6"), // short tail, no padding
+      (2L, 2L, 0, "a b")))
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.isEmpty, "chunking must not shuffle")
+  }
 }

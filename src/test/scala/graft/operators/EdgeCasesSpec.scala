@@ -190,4 +190,31 @@ class EdgeCasesSpec extends SparkSpec {
       .select(call_function("graft_audio_meta", col("bin")).as("m"))
     assert(weird.filter(col("m").isNotNull).count() == 0)
   }
+  test("round-7 operators on empty and degenerate inputs") {
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    // k-means family: k larger than the corpus, empty corpus
+    assert(KMeans.seeds(noVecs, "id", "vec", 5).count() == 0)
+    val one = Seq((1L, Array(1.0, 0.0))).toDF("id", "vec")
+    assert(KMeans.assign(one, KMeans.seeds(one, "id", "vec", 8), "id", "vec").count() == 1)
+    assert(KMeans.semanticPrune(one, "id", "vec", k = 3, simThresholdQ = 9000L).count() == 1)
+    assert(KMeans.prototypePrune(one, "id", "vec", k = 3, dropBp = 5000L).count() == 1)
+    // packing: zero-token docs take zero width, chunking drops them
+    val zeros = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 5L)).toDF("src", "id", "toks")
+    val packed = Sampling.packSequences(zeros, col("src"), col("id"), col("toks"), 4L)
+      .select("id", "seq_id", "seq_off").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L)))
+    assert(CorpusStats.chunkDocs(noDocs, col("doc_id"), col("text"), 8, 0).count() == 0)
+    // retractions of identical snapshots are empty; apply of empty delta is identity
+    val snap = Seq((1L, "a", 1.0)).toDF("k", "g", "v")
+    val empt = SnapshotDiff.retractions(snap, snap, "k", Seq("g", "v"))
+    assert(empt.count() == 0)
+    val st = Aggregates.aggState(snap, col("g"), Seq("v"))
+    val applied = Aggregates.applyRetractions(st, empt, col("g"), Seq("v"))
+      .as[(String, Long, Double)].collect()
+    assert(applied.toSeq == Seq(("a", 1L, 1.0)))
+    // fingerprint of an empty frame: zero rows, defined reductions
+    val fp = Profiler.tableFingerprint(noDocs, Seq("doc_id", "text"))
+      .select("n_rows").as[Long].head()
+    assert(fp == 0L)
+  }
 }
