@@ -148,4 +148,29 @@ object SnapshotDiff {
   def snapshotAt(dim: DataFrame, at: Column): DataFrame =
     dim.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
+
+  /** Fact-to-SCD2 temporal join: each fact row picks the dimension version
+    * that was valid AT ITS OWN timestamp — `valid_from <= ts < valid_to` —
+    * the per-row generalization of [[snapshotAt]]'s single global instant,
+    * and the standard star-schema pattern for facts against a versioned
+    * dimension. Rows with no valid version at their ts (fact predates the
+    * key's first version, or the key never existed) keep null dim columns
+    * (left join — facts are never dropped by dimension gaps).
+    *
+    * Shape: ONE equi-join on the key (both sides hash-partition; AQE skew
+    * handles hot keys) with the validity window as a residual join
+    * predicate — correct because SCD2 versions per key are disjoint in
+    * time, so at most one version matches each fact (no fan-out). Never a
+    * range/theta join: the key equality carries all the data movement and
+    * the window test is a narrow per-row filter inside the join. */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+                   tsCol: Column): DataFrame = {
+    val d = dim.withColumnRenamed(keyCol, "__dk")
+    facts.join(d,
+      facts(keyCol) === d("__dk") &&
+        d("valid_from") <= tsCol &&
+        (d("valid_to").isNull || d("valid_to") > tsCol),
+      "left")
+      .drop("__dk")
+  }
 }

@@ -53,6 +53,7 @@ object RQueries {
     "q78_scd2_apply" -> ((s, d) => q78(s, d)),
     "q86_incr_agg" -> ((s, d) => q86(s, d)),
     "q87_fingerprint" -> ((s, d) => q87(s, d)),
+    "q89_temporal_join" -> ((s, d) => q89(s, d)),
     "q73_concentration" -> ((s, d) => q73(s, d)),
     "q70_melt" -> ((s, d) => q70(s, d)),
     "q71_pivot_wide" -> ((s, d) => q71(s, d)),
@@ -286,6 +287,33 @@ object RQueries {
       .select(col("c_custkey"), col("c_mktsegment"),
         round(col("c_acctbal"), 2).as("c_acctbal"),
         col("valid_from"), coalesce(col("valid_to"), lit("")).as("valid_to"))
+  }
+
+  /** R50: fact-to-SCD2 temporal join — orders pick the dimension version
+    * valid at their own probe timestamp (even keys probe day 1, odd keys
+    * day 3); facts with no valid version keep blanks (left join). One
+    * key equi-join with the validity window as residual predicate. */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val oldSnap = c.filter(col("c_custkey") % 10 =!= 3)
+    val newSnap = c.filter(col("c_custkey") % 10 =!= 7)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("CHANGED")).otherwise(col("c_mktsegment")))
+    val dim0 = oldSnap.select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+    val changes = graft.operators.SnapshotDiff.diff(oldSnap, newSnap,
+      "c_custkey", Seq("c_mktsegment"))
+    val dim = graft.operators.SnapshotDiff.applyScd2(dim0, changes,
+      "c_custkey", Seq("c_mktsegment"), lit("2024-01-02"))
+    val facts = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey").as("c_custkey"),
+      when(col("o_orderkey") % 2 === 0, lit("2024-01-01"))
+        .otherwise(lit("2024-01-03")).as("probe_ts"))
+    graft.operators.SnapshotDiff.temporalJoin(facts, dim, "c_custkey", col("probe_ts"))
+      .select(col("o_orderkey"), col("c_custkey"), col("probe_ts"),
+        coalesce(col("c_mktsegment"), lit("")).as("seg_at_ts"),
+        coalesce(col("valid_from"), lit("")).as("dim_valid_from"))
   }
 
   /** R46a: wide→long melt (native unpivot, narrow one-pass). */
@@ -767,6 +795,32 @@ object RQueries {
         |SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
         |       valid_from, valid_to
         |FROM (SELECT * FROM day1 UNION ALL SELECT * FROM day2) u""".stripMargin,
+    "q89_temporal_join" ->
+      """WITH o AS (SELECT c_custkey AS k, c_mktsegment AS seg
+        |           FROM customer WHERE c_custkey % 10 <> 3),
+        |n AS (SELECT c_custkey AS k,
+        |             CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg
+        |      FROM customer WHERE c_custkey % 10 <> 7),
+        |j AS (SELECT o.k AS ok, o.seg AS oseg, n.k AS nk, n.seg AS nseg
+        |      FROM o FULL JOIN n ON o.k = n.k),
+        |day1 AS (SELECT ok AS c_custkey, oseg AS c_mktsegment,
+        |                '2024-01-01' AS valid_from,
+        |                CASE WHEN nk IS NULL OR oseg IS DISTINCT FROM nseg
+        |                     THEN '2024-01-02' ELSE NULL END AS valid_to
+        |         FROM j WHERE ok IS NOT NULL),
+        |day2 AS (SELECT nk AS c_custkey, nseg AS c_mktsegment,
+        |                '2024-01-02' AS valid_from, NULL AS valid_to
+        |         FROM j WHERE nk IS NOT NULL AND (ok IS NULL OR oseg IS DISTINCT FROM nseg)),
+        |dim AS (SELECT * FROM day1 UNION ALL SELECT * FROM day2),
+        |f AS (SELECT o_orderkey, o_custkey AS c_custkey,
+        |             CASE WHEN o_orderkey % 2 = 0 THEN '2024-01-01' ELSE '2024-01-03' END AS probe_ts
+        |      FROM orders)
+        |SELECT f.o_orderkey, f.c_custkey, f.probe_ts,
+        |       coalesce(d.c_mktsegment, '') AS seg_at_ts,
+        |       coalesce(d.valid_from, '') AS dim_valid_from
+        |FROM f LEFT JOIN dim d
+        |  ON d.c_custkey = f.c_custkey AND d.valid_from <= f.probe_ts
+        |     AND (d.valid_to IS NULL OR d.valid_to > f.probe_ts)""".stripMargin,
     "q87_fingerprint" ->
       """WITH h AS (SELECT md5(concat_ws(chr(1),
         |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),

@@ -113,6 +113,28 @@ class ReshapeDiffSpec extends SparkSpec {
       (4L, 1L, "x", 40.0)))                       // added: new image only
   }
 
+  test("temporalJoin resolves each fact to the version valid at its ts") {
+    val dim = Seq(
+      (1L, "A1", "2024-01-01", "2024-01-05"), // closed version
+      (1L, "A2", "2024-01-05", null),         // open successor
+      (2L, "B1", "2024-01-03", null)
+    ).toDF("k", "seg", "valid_from", "valid_to")
+    val facts = Seq(
+      (100L, 1L, "2024-01-02"), // inside closed version
+      (101L, 1L, "2024-01-05"), // boundary: valid_from inclusive, valid_to exclusive
+      (102L, 2L, "2024-01-01"), // predates the key's first version
+      (103L, 9L, "2024-01-04")  // key never existed
+    ).toDF("fid", "k", "ts")
+    val out = SnapshotDiff.temporalJoin(facts, dim, "k", col("ts"))
+      .select("fid", "seg").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(100L -> Some("A1"), 101L -> Some("A2"),
+      102L -> None, 103L -> None))
+    // one key equi-join, no cartesian/BNLJ
+    val plan = SnapshotDiff.temporalJoin(facts, dim, "k", col("ts"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("applyRetractions: incremental state equals recompute, groups migrate and vanish") {
     val oldS = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "y", 30.0)).toDF("k", "g", "v")
     val newS = Seq((1L, "x", 10.0), (2L, "z", 25.0), (4L, "x", 40.0)).toDF("k", "g", "v")
