@@ -66,10 +66,15 @@ object KMeans {
     val DistCap = 1L << 22 // dist_q beyond this saturates (still a total order)
     val base = vectors.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__vec"))
+    // greatest(0, …): the expanded form is algebraically ≥ 0 but float rounding
+    // can dip it just below (a vector against itself as a seed centroid), which
+    // would emit dist_q = -1 outside the documented [0, DistCap] contract.
     val distQ = least(
-      floor((nativeDot(col("__vec"), col("__vec"))
-        - lit(2.0) * nativeDot(col("__vec"), col("cvec"))
-        + nativeDot(col("cvec"), col("cvec"))) * 100).cast("long"),
+      greatest(
+        floor((nativeDot(col("__vec"), col("__vec"))
+          - lit(2.0) * nativeDot(col("__vec"), col("cvec"))
+          + nativeDot(col("cvec"), col("cvec"))) * 100).cast("long"),
+        lit(0L)),
       lit(DistCap))
     base.crossJoin(broadcast(centroids))
       .select(col("__id"),
@@ -171,11 +176,10 @@ object KMeans {
     * with the cluster size from a sibling window — ONE shuffle on cid for
     * both (integer math throughout: drop while `rank ≤ ⌊n·dropBp/10⁴⌋`,
     * so the kept set is exact-SQL-oracle-checkable). Per-cid partitions
-    * carry ~n/k rows; for clusters too large to sort per-task, the
-    * documented fallback is ranking against per-cluster `approx_
-    * percentile` distance cuts exactly as [[Normalize.percentRankApproxBp]]
-    * does — a sort-free map-side-combinable sketch with error ≤ one
-    * bucket. Returns kept `(id, cid, dist_q)`. */
+    * carry ~n/k rows; for clusters too large to sort per-task use
+    * [[prototypePruneApprox]] — same rule ranked against per-cluster
+    * `approx_percentile` distance cuts, no sort anywhere. Returns kept
+    * `(id, cid, dist_q)`. */
   def prototypePrune(embeddings: DataFrame, idCol: String, vecCol: String,
                      k: Int, dropBp: Long): DataFrame = {
     require(dropBp >= 0 && dropBp < 10000, s"dropBp must be in [0, 10000), got $dropBp")
@@ -188,6 +192,35 @@ object KMeans {
       .withColumn("__rk", rank)
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__rk") > floor(col("__n") * dropBp / 10000L))
+      .select(col(idCol), col("cid"), col("dist_q"))
+  }
+
+  /** GIANT-CLUSTER fallback for [[prototypePrune]]: the same "drop the
+    * `dropBp`/10⁴ most-prototypical fraction of each cluster" rule, but
+    * ranked against per-cluster `approx_percentile` distance cuts via
+    * [[Normalize.percentRankApproxBp]] instead of a `row_number` window —
+    * NO per-cluster sort anywhere in the plan, so a single cluster may be
+    * arbitrarily larger than any task's sort budget (the skew case a fixed
+    * k at 100 TB eventually produces).
+    *
+    * A row is dropped when its bucket-resolution percent-rank of `dist_q`
+    * within its cluster is below `dropBp`. The drop decision is a MONOTONE
+    * function of `dist_q` (bucket index is nondecreasing in the value), so
+    * every dropped row is at most as far from its centroid as every kept
+    * cluster-mate — same shape as the exact rule — and the per-cluster
+    * dropped fraction differs from `dropBp`/10⁴ by at most one bucket
+    * width (10⁴/`nBuckets` bp) plus sketch error. Returns kept
+    * `(id, cid, dist_q)`. */
+  def prototypePruneApprox(embeddings: DataFrame, idCol: String, vecCol: String,
+                           k: Int, dropBp: Long, nBuckets: Int = 100,
+                           accuracy: Int = 10000): DataFrame = {
+    require(dropBp >= 0 && dropBp < 10000, s"dropBp must be in [0, 10000), got $dropBp")
+    val base = embeddings.select(col(idCol).cast("long").as(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val assigned = assign(base, seeds(base, idCol, vecCol, k), idCol, vecCol)
+    Normalize.percentRankApproxBp(assigned, col("cid"), col("dist_q"), "__bp",
+        nBuckets, accuracy)
+      .filter(col("__bp") >= dropBp)
       .select(col(idCol), col("cid"), col("dist_q"))
   }
 }

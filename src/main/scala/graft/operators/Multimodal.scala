@@ -120,7 +120,20 @@ object Multimodal {
     val isGif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
     if (!isJpeg && !isGif) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      // Ask the reader for dimensions from the header BEFORE decoding: a hostile
+      // 65535x65535 JPEG/GIF header would otherwise make ImageIO.read allocate a
+      // multi-GB raster before the MaxPixels cap is ever consulted.
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis, true, true)
+          val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+          if (hw <= 0 || hh <= 0 || hw.toLong * hh > PngCodec.MaxPixels) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
       if (img == null) return None
       val (w, h) = (img.getWidth, img.getHeight)
       if (w <= 0 || h <= 0 || w.toLong * h > PngCodec.MaxPixels) return None

@@ -297,7 +297,12 @@ object NearDup {
   }
 
   /** SimHash: 64-bit fingerprint over distinct words, md5-derived bits,
-    * rendered as a 64-char '0'/'1' string (engine-portable, no uint64). */
+    * rendered as a 64-char '0'/'1' string (engine-portable, no uint64).
+    *
+    * ORACLE BASELINE ONLY — this form explodes 64 bit-rows per word so a
+    * SQL engine can replicate it verbatim. Production code should use the
+    * codegen'd `graft_simhash64` native expression ([[graft.plans.SimHash64]],
+    * exercised by q30): one fused pass per document, no explode. */
   def simHash(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val words = df.select(idCol.as("id"), explode(array_distinct(split(lower(textCol), " "))).as("w"))
       .filter(col("w") =!= "")

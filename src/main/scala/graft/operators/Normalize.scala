@@ -55,10 +55,14 @@ object Normalize {
     val cuts = df.select(groupCol.as("__prg"), valueCol.cast("double").as("__prv"))
       .groupBy("__prg")
       .agg(percentile_approx(col("__prv"), typedlit(ps), lit(accuracy)).as("__prcuts"))
-    df.join(broadcast(cuts), groupCol === col("__prg"))
+    // Null-safe join (<=>) so null-group rows survive exactly as they do on the
+    // exact percentRankBp path; multiply-then-divide in column math so nBuckets
+    // values that don't divide 10000 (e.g. 64) still reach rank 10000·(n−1)/n at
+    // the top instead of compressing the whole scale by the truncation error.
+    df.join(broadcast(cuts), groupCol <=> col("__prg"))
       .withColumn(outName,
         (size(filter(col("__prcuts"), c => c < valueCol.cast("double")))
-          * (10000L / nBuckets)).cast("long"))
+          .cast("long") * 10000L / nBuckets).cast("long"))
       .drop("__prg", "__prcuts")
   }
 }

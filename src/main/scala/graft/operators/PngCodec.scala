@@ -73,7 +73,10 @@ object PngCodec {
     var off = 0
     while (off < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, off, raw.length - off)
-      if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated stream
+      // Any zero-progress state is malformed: truncated stream (needsInput), or a
+      // crafted zlib header with FDICT set (needsDictionary) which PNG forbids —
+      // looping on the latter would spin forever on hostile input.
+      if (n == 0) { inf.end(); return None }
       off += n
     }
     inf.end()

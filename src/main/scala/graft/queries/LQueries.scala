@@ -55,6 +55,7 @@ object LQueries {
     "q82_proto_prune" -> ((s, d) => q82(s, d)),
     "q83_segment_dedup" -> ((s, d) => q83(s, d)),
     "q84_compress_ratio" -> ((s, d) => q84(s, d)),
+    "q90_compress_contract" -> ((s, d) => q90(s, d)),
     "q85_pack_sequences" -> ((s, d) => q85(s, d)),
     "q88_chunk_docs" -> ((s, d) => q88(s, d)),
   )
@@ -288,13 +289,43 @@ object LQueries {
 
   /** L42: compression-ratio quality signal — DEFLATE runs only on the JVM,
     * so this row is rows-only at the driver gate (no SQL oracle; the
-    * monotonicity contract is spec-pinned in DeflateLenSpec). */
+    * monotonicity contract is spec-pinned in DeflateLenSpec, and [[q90]]
+    * materializes the SQL-checkable invariants for a full driver-side
+    * rows+schema+hash gate). */
   def q84(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     Tables.documents(s, d).select(col("doc_id"),
       octet_length(col("text")).cast("long").as("raw_bytes"),
       TextAnalysis.deflateLen(col("text")).as("deflate_bytes"),
       TextAnalysis.compressRatioQ(col("text")).as("compress_ratio_q"))
+  }
+
+  /** L42 companion with a FULL driver-side oracle: q84's DEFLATE values
+    * can't be recomputed in SQL, so this query materializes the
+    * spec-pinned CONTRACTS of the deflate signal as per-row columns whose
+    * truth values a SQL oracle predicts exactly — `raw_bytes` is plain
+    * byte length, and the three booleans are invariants of DEFLATE
+    * (never-expanding beyond the stored-block bound; ratio ≥ 1 bp, since
+    * deflate cannot beat ~1032:1; doubling a text never worsens its ratio
+    * beyond floor slack). The driver hash-compares these against constant
+    * TRUE, so a broken deflate path (wrong lengths, expansion, ratio
+    * out of range) flips a row and fails the gate — a real check on the
+    * JVM-only computation, unlike q84's rows-only signal. */
+  def q90(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val raw = octet_length(col("text")).cast("long")
+    val defl = TextAnalysis.deflateLen(col("text")).cast("long")
+    val ratio = TextAnalysis.compressRatioQ(col("text"))
+    val ratio2 = TextAnalysis.compressRatioQ(concat(col("text"), col("text")))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      coalesce(raw, lit(0L)).as("raw_bytes"),
+      ratio.isNotNull.as("ratio_defined"),
+      // stored-block worst case: raw + 5·ceil(raw/65535) + 6 zlib framing
+      coalesce(defl <= raw + floor(raw / 65535L) * 5L + lit(16L), lit(true))
+        .as("non_expanding"),
+      coalesce(ratio >= 1L, lit(true)).as("ratio_floor_ok"),
+      coalesce(ratio2 <= ratio + 100L, lit(true)).as("repeat_compresses"))
   }
 
   /** L43: training-sequence packing — concat-then-chunk per source at 512
@@ -479,6 +510,14 @@ object LQueries {
       |       FROM votes GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q90_compress_contract" ->
+      """SELECT doc_id,
+        |       CAST(coalesce(strlen(text), 0) AS BIGINT) AS raw_bytes,
+        |       coalesce(strlen(text) > 0, FALSE) AS ratio_defined,
+        |       TRUE AS non_expanding,
+        |       TRUE AS ratio_floor_ok,
+        |       TRUE AS repeat_compresses
+        |FROM documents""".stripMargin,
     "q31_bucketed_join" ->
       """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
         |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) AS BIGINT) AS revenue_cents
@@ -774,8 +813,8 @@ object LQueries {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
         |d AS (SELECT e.vec_id, s.cid,
-        |        CAST(least(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
-        |                          + list_dot_product(s.cv, s.cv)) * 100), 4194304) AS BIGINT) AS dist_q
+        |        CAST(least(greatest(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
+        |                          + list_dot_product(s.cv, s.cv)) * 100), 0), 4194304) AS BIGINT) AS dist_q
         |      FROM e CROSS JOIN seeds s)
         |SELECT vec_id, cid, dist_q FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q ASC, cid ASC) AS rn FROM d) t
@@ -785,8 +824,8 @@ object LQueries {
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
         |d AS (SELECT e.vec_id, s.cid,
-        |        CAST(least(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
-        |                          + list_dot_product(s.cv, s.cv)) * 100), 4194304) AS BIGINT) AS dist_q
+        |        CAST(least(greatest(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
+        |                          + list_dot_product(s.cv, s.cv)) * 100), 0), 4194304) AS BIGINT) AS dist_q
         |      FROM e CROSS JOIN seeds s),
         |a AS (SELECT vec_id, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q ASC, cid ASC) AS rn FROM d) t
@@ -799,8 +838,8 @@ object LQueries {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
         |d AS (SELECT e.vec_id, s.cid,
-        |        CAST(least(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
-        |                          + list_dot_product(s.cv, s.cv)) * 100), 4194304) AS BIGINT) AS dist_q
+        |        CAST(least(greatest(floor((list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, s.cv)
+        |                          + list_dot_product(s.cv, s.cv)) * 100), 0), 4194304) AS BIGINT) AS dist_q
         |      FROM e CROSS JOIN seeds s),
         |a AS (SELECT vec_id, cid, dist_q FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q ASC, cid ASC) AS rn FROM d) t

@@ -118,4 +118,43 @@ class KMeansSpec extends SparkSpec {
     // 4 members, drop floor(4*0.5)=2 closest: seed 0 (dist 0), then id 2 over 3
     assert(keptT.sameElements(Array(3L, 4L)))
   }
+
+  test("prototypePruneApprox drops within one bucket of the exact fraction, sort-free") {
+    // one cluster of 200 vectors at strictly increasing distance from the
+    // seed (dist_q = i², all distinct) — big enough that bucket resolution
+    // is visible but exact enough to bound the error tightly
+    val df = (0L until 200L).map(i => (i, Array(i * 0.1, 0.0))).toDF("id", "vec")
+    val kept = KMeans.prototypePruneApprox(df, "id", "vec", k = 1, dropBp = 2500L)
+      .select("id", "dist_q").as[(Long, Long)].collect()
+    val dropped = (0L until 200L).toSet -- kept.map(_._1).toSet
+    // exact rule drops the closest 50; approx must land within one bucket
+    // width (1/100 of the cluster = 2 rows) plus sketch slack
+    assert(math.abs(dropped.size - 50) <= 4,
+      s"dropped ${dropped.size}, expected 50 ± one bucket")
+    // drop decision is monotone in dist_q: every dropped row is at most as
+    // far from the centroid as every kept row (dist_q = id² here)
+    if (dropped.nonEmpty && kept.nonEmpty)
+      assert(dropped.max < kept.map(_._1).min)
+    // dropBp = 0 keeps everything
+    val all = KMeans.prototypePruneApprox(df, "id", "vec", k = 1, dropBp = 0L)
+      .select("id").as[Long].collect()
+    assert(all.length == 200)
+    // the point of the fallback: NO sort operator anywhere in the plan
+    // (exact prototypePrune's window needs one; the sketch path must not)
+    val plan = KMeans.prototypePruneApprox(df, "id", "vec", k = 1, dropBp = 2500L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("prototypePruneApprox agrees with exact prototypePrune away from the boundary") {
+    val df = (0L until 200L).map(i => (i, Array(i * 0.1, 0.0))).toDF("id", "vec")
+    val exact = KMeans.prototypePrune(df, "id", "vec", k = 1, dropBp = 2500L)
+      .select("id").as[Long].collect().toSet
+    val approx = KMeans.prototypePruneApprox(df, "id", "vec", k = 1, dropBp = 2500L)
+      .select("id").as[Long].collect().toSet
+    // symmetric difference confined to the one-bucket boundary band
+    assert((exact diff approx).size + (approx diff exact).size <= 4,
+      s"exact-only=${exact diff approx}, approx-only=${approx diff exact}")
+  }
 }

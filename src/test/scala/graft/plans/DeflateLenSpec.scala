@@ -47,6 +47,37 @@ class DeflateLenSpec extends SparkSpec {
     assert(bin > 0 && bin < 100)
   }
 
+  test("q90 contract columns hold on real data and adversarial strings") {
+    // the q90 oracle predicts ratio_defined == (raw_bytes > 0) and the
+    // other three booleans constant-TRUE; any row falsifying one here
+    // would fail the driver's hash gate, so pin them on the actual corpus
+    // plus the nastiest shapes we can construct
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = df.filter(($"ratio_defined" =!= ($"raw_bytes" > 0)) ||
+          !$"non_expanding" || !$"ratio_floor_ok" || !$"repeat_compresses")
+        .limit(5).collect()
+      assert(bad.isEmpty, bad.mkString("; "))
+    }
+    check(graft.queries.LQueries.q90(ss, "/root/testdata/sf0.01"))
+    val nasty = Seq(
+      "", "a", "ab", " ", "\u00e9", "\ud83d\udc4d",         // tiny / multibyte
+      "x" * 100000,                                      // huge run (max compression)
+      ("spam " * 20000).take(70000),                     // > one 65535 stored block
+      (1 to 9000).map(i => (i * 2654435761L).toHexString).mkString("")  // incompressible
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val raw = octet_length($"text").cast("long")
+    val defl = TextAnalysis.deflateLen($"text").cast("long")
+    val ratio = TextAnalysis.compressRatioQ($"text")
+    val ratio2 = TextAnalysis.compressRatioQ(concat($"text", $"text"))
+    check(nasty.toDF("doc_id", "text").select($"doc_id",
+      coalesce(raw, lit(0L)).as("raw_bytes"),
+      ratio.isNotNull.as("ratio_defined"),
+      coalesce(defl <= raw + floor(raw / 65535L) * 5L + lit(16L), lit(true))
+        .as("non_expanding"),
+      coalesce(ratio >= 1L, lit(true)).as("ratio_floor_ok"),
+      coalesce(ratio2 <= ratio + 100L, lit(true)).as("repeat_compresses")))
+  }
+
   test("runs inside whole-stage codegen (no fallback)") {
     val prev = ss.conf.get("spark.sql.codegen.fallback", "true")
     ss.conf.set("spark.sql.codegen.fallback", "false")
