@@ -20,10 +20,16 @@ import org.apache.spark.sql.SparkSession
   * chars as queries are added.
   *
   * Capture hygiene: ambient host load has produced 10-100x phantom outliers
-  * in past rounds (see BASELINE.md). /proc/loadavg is sampled before and
-  * after the timed passes; if either exceeds LoadHotThreshold the line
-  * carries `"hot":1` so a noisy capture can never be mistaken for a plan
-  * regression.
+  * in past rounds (see BASELINE.md). /proc/loadavg is sampled BEFORE the
+  * run; past that point the bench's own local[32] work dominates the
+  * 1-minute loadavg, so an end sample self-triggers on every capture (seen
+  * in r08: hot:1 on a host at 0.04). Only the start sample decides `hot`;
+  * the end sample is still recorded in the local artifact for diagnostics.
+  *
+  * Error honesty: a query that throws in BOTH timed passes is excluded from
+  * `queries` and `total` and listed in the always-present `"err"` array —
+  * r08 recorded 17 crashed queries as innocent 60 ms timings, masking a
+  * total outage as a speedup. A clean run carries `"err":[]`.
   */
 object Bench {
   val LoadHotThreshold = 1.5
@@ -39,22 +45,29 @@ object Bench {
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
   /** Render the driver-contract JSON line. Pure so the spec can bound its
-    * length against the live query registry. */
-  def renderLine(results: Seq[(String, Double)], sfDir: String, hot: Boolean): String = {
+    * length against the live query registry. Failed queries appear only in
+    * `err` (short keys), never in `queries`/`value`, so the line can't read
+    * a crash as a fast timing — and worst-case length stays bounded by the
+    * all-success case. */
+  def renderLine(results: Seq[(String, Double)], sfDir: String, hot: Boolean,
+                 errs: Seq[String] = Nil): String = {
     val qs = results
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.2f"
     val sf = new java.io.File(sfDir).getName
+    val errField = errs.map("\"" + shortKey(_) + "\"").mkString(""","err":[""", ",", "]")
     val hotField = if (hot) ",\"hot\":1" else ""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"$hotField}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"$errField$hotField}"""
   }
 
   /** Full-name 3-decimal timings for the committed local artifact. */
-  def renderFull(results: Seq[(String, Double)], sfDir: String, loadStart: Double, loadEnd: Double): String = {
+  def renderFull(results: Seq[(String, Double)], sfDir: String, loadStart: Double, loadEnd: Double,
+                 errs: Seq[String] = Nil): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd]}"""
+    val errField = errs.map("\"" + _ + "\"").mkString(""","err":[""", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd]$errField}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -85,34 +98,44 @@ object Bench {
     // mercy of transient host stalls (observed 2-8× outliers on individual
     // queries with identical plans); the min of two runs reflects the plan,
     // not the noise.
-    def timedPass(): Seq[(String, Double)] =
+    // Each pass records (name, elapsed, succeeded). A query counts as timed
+    // only on passes where it completed; crashing is not a timing.
+    def timedPass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
+            false
+        }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     // Release dropped checkpoint/broadcast blocks between passes so pass 2
     // measures the plans, not the first pass's garbage.
     def cleanup(): Unit = { spark.catalog.clearCache(); System.gc() }
     val pass1 = timedPass(); cleanup()
     val pass2 = timedPass()
-    val results = (pass1 ++ pass2).groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (name, runs) => name -> runs.map(_._2).min }
+    val byName = (pass1 ++ pass2).groupBy(_._1).toSeq.sortBy(_._1)
+    val results = byName.flatMap { case (name, runs) =>
+      val good = runs.collect { case (_, t, true) => t }
+      if (good.nonEmpty) Some(name -> good.min) else None
+    }
+    val errs = byName.collect { case (name, runs) if !runs.exists(_._3) => name }
     val loadEnd = loadAvg()
-    val hot = loadStart > LoadHotThreshold || loadEnd > LoadHotThreshold
+    val hot = loadStart > LoadHotThreshold
 
     // Full-name artifact for humans/judges (the driver line uses short keys).
     val localPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL", "/root/repo/BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(localPath)
-      try w.println(renderFull(results, sfDir, loadStart, loadEnd)) finally w.close()
+      try w.println(renderFull(results, sfDir, loadStart, loadEnd, errs)) finally w.close()
     } catch { case _: Throwable => () }
 
     // Stop Spark BEFORE printing: the JSON line must be the last thing on
     // stdout (shutdown logs go to stderr, but keep the ordering airtight for
     // last-line parsers; first-line parsers see it unprefixed either way).
     spark.stop()
-    println(renderLine(results, sfDir, hot))
+    println(renderLine(results, sfDir, hot, errs))
     System.out.flush()
   }
 }

@@ -14,8 +14,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // The events table carries TIMESTAMP(NANOS) which Spark 4 refuses to read
-    // natively; read nanos as long and normalize in events().
+    // Generator versions have flip-flopped the events `ts` physical type
+    // between TIMESTAMP(NANOS) and TIMESTAMP(US); keep the nanos-as-long
+    // legacy read enabled so either file opens, and let events() normalize
+    // from whatever type actually loaded.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
@@ -23,12 +25,22 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
-  /** `ts` arrives as nanos-since-epoch (see load); truncate to micros — the
-    * same conversion DuckDB applies casting TIMESTAMP_NS → TIMESTAMP. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  /** Normalizes `ts` to session-zone TimestampType regardless of the parquet
+    * physical type: nanos-read-as-long (legacy flag) truncates to micros —
+    * the same conversion DuckDB applies casting TIMESTAMP_NS → TIMESTAMP —
+    * while native timestamp/TIMESTAMP_NTZ reads just cast (identical
+    * instants under the engine's UTC session zone). Schema-adaptive so a
+    * regenerated testdata drop can't break every downstream events query. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(spark, sfDir, "events")
+    val tsNorm = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _        => col("ts").cast(TimestampType)
+    }
+    raw.withColumn("ts", tsNorm)
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")

@@ -24,8 +24,21 @@ class BenchContractSpec extends AnyFunSuite {
   test("rendered line is valid JSON-shaped and carries the hot flag only when hot") {
     val res = Seq("q01_agg" -> 0.391, "q02_per_key_totals" -> 12.3456)
     val quiet = Bench.renderLine(res, "/root/testdata/sf0.1", hot = false)
-    assert(quiet == """{"metric":"total","value":12.74,"unit":"sec","queries":{"q01":0.39,"q02":12.35},"sf":"sf0.1"}""")
+    assert(quiet == """{"metric":"total","value":12.74,"unit":"sec","queries":{"q01":0.39,"q02":12.35},"sf":"sf0.1","err":[]}""")
     val hot = Bench.renderLine(res, "/root/testdata/sf0.1", hot = true)
-    assert(hot.endsWith(""","hot":1}"""))
+    assert(hot.endsWith(""","err":[],"hot":1}"""))
+  }
+
+  test("failed queries surface in err, not in queries or total") {
+    val res = Seq("q01_agg" -> 0.391)
+    val line = Bench.renderLine(res, "/root/testdata/sf0.1", hot = false, errs = Seq("q04_blocklist", "q11_stream_window"))
+    assert(line.contains(""""err":["q04","q11"]"""))
+    assert(!line.contains("q04\":"), "failed query must not carry a timing")
+    assert(line.contains(""""value":0.39"""), "total must exclude failed queries")
+    // An err entry ("qNN") is strictly shorter than a timing entry
+    // ("qNN":999.99), so the all-success line in the first test remains the
+    // worst case for the 2000-char stdout-tail bound.
+    val full = Bench.renderFull(res, "/root/testdata/sf0.1", 0.1, 0.2, errs = Seq("q04_blocklist"))
+    assert(full.contains(""""err":["q04_blocklist"]"""))
   }
 }
