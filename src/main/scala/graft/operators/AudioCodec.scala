@@ -1,11 +1,15 @@
 package graft.operators
 
-/** Real PCM sample decode for WAV and AIFF containers — like [[PngCodec]],
-  * on JDK primitives alone. Uncompressed PCM needs no codec library: the
-  * container walk finds the sample bytes and the "decode" is byte-order
-  * assembly. This moves WAV/AIFF off the multimodal stub contract; FLAC and
-  * compressed codecs (MP3/AAC/...) genuinely need a decoder library and
-  * stay with [[Multimodal.decodeStub]].
+/** Real PCM sample decode for WAV, AIFF, and FLAC containers — like
+  * [[PngCodec]], on JDK primitives alone. Uncompressed PCM needs no codec
+  * library: the container walk finds the sample bytes and the "decode" is
+  * byte-order assembly. FLAC's lossless compression is likewise
+  * primitives-only (Rice-coded residuals over fixed/LPC integer predictors
+  * — no DSP library involved): [[flacPcm]] decodes CONSTANT, VERBATIM,
+  * FIXED (orders 0-4) and LPC (orders 1-32) subframes with 4/5-bit Rice
+  * partitions, escape partitions, wasted bits, and all four channel
+  * decorrelations. Only genuinely lossy codecs (MP3/AAC, video) need a
+  * decoder library and stay with [[Multimodal.decodeStub]].
   *
   * Samples normalize to the signed 16-bit range regardless of source depth
   * (8-bit unsigned WAV centers, 24/32-bit truncate their low bits), so
@@ -37,13 +41,14 @@ object AudioCodec {
     b.length >= i + 4 && b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
       b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
 
-  /** None for anything that is not uncompressed PCM in a WAV or AIFF
-    * container within [[MaxSamples]]. */
+  /** None for anything that is not WAV/AIFF PCM or decodable FLAC within
+    * [[MaxSamples]]. */
   def decode(b: Array[Byte]): Option[Clip] =
     try {
       if (b == null || b.length < 12) None
       else if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) wav(b)
       else if (tag(b, 0, "FORM") && (tag(b, 8, "AIFF") || tag(b, 8, "AIFC"))) aiff(b)
+      else if (tag(b, 0, "fLaC")) flacPcm(b)
       else None
     } catch { case _: Throwable => None }
 
@@ -150,6 +155,277 @@ object AudioCodec {
       s += 1
     }
     Some(Clip(ch, rate, bits, out))
+  }
+
+  /** MSB-first bit cursor for FLAC frame decode. Reads past the buffer
+    * throw (ArrayIndexOutOfBounds), which the frame loop treats as
+    * end-of-data — hostile lengths can't over-allocate or spin. */
+  private final class BitReader(b: Array[Byte]) {
+    var bytePos = 0
+    private var bitPos = 0
+    def seek(p: Int): Unit = { bytePos = p; bitPos = 0 }
+    def readBit(): Int = {
+      val v = (b(bytePos) >>> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      v
+    }
+    def readBits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(n: Int): Long =
+      if (n == 0) 0L else { val v = readBits(n); (v << (64 - n)) >> (64 - n) }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) {
+        q += 1
+        // a hostile all-zeros run must terminate: 2^26 leading zeros is far
+        // beyond any legal Rice quotient (residuals are bounded by bps)
+        if (q > (1 << 26)) throw new IllegalArgumentException("unary overrun")
+      }
+      q
+    }
+    def alignByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+
+  /** FLAC PCM decode on JDK primitives (see class doc for the supported
+    * subset — it spans everything the format's lossless core can emit).
+    * Frame CRCs are not verified: a corrupt stream surfaces as a malformed
+    * read and truncates to the frames already decoded, mirroring the
+    * prefix-read tolerance of the WAV/AIFF walks. Returns None when no
+    * complete frame decodes. */
+  private def flacPcm(b: Array[Byte]): Option[Clip] = {
+    // metadata walk: STREAMINFO (type 0) is mandatory-first; skip blocks
+    // until the last-block flag, frames start right after
+    if (b.length < 4 + 4 + 34 || (b(4) & 0x7f) != 0) return None
+    val s = 8
+    val rate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) | ((b(s + 12) & 0xff) >>> 4)
+    val ch = ((b(s + 12) >>> 1) & 0x07) + 1
+    val bits = (((b(s + 12) & 0x01) << 4) | ((b(s + 13) & 0xff) >>> 4)) + 1
+    val totalFrames = ((b(s + 13) & 0x0fL) << 32) | (be32(b, s + 14) & 0xffffffffL)
+    if (rate <= 0 || bits < 4 || bits > 32) return None
+    var off = 4
+    var last = false
+    while (!last) {
+      if (off + 4 > b.length) return None
+      last = (b(off) & 0x80) != 0
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      off += 4 + len
+    }
+    if (off >= b.length) return None
+
+    val capFrames = if (totalFrames > 0) math.min(totalFrames, MaxSamples / ch) else MaxSamples / ch
+    val out = new java.util.ArrayList[Array[Int]]() // per-frame interleaved blocks
+    var decodedFrames = 0L
+    val br = new BitReader(b)
+    br.seek(off)
+    try {
+      while (decodedFrames < capFrames && br.bytePos < b.length) {
+        val block = decodeFlacFrame(br, bits, ch)
+        out.add(block)
+        decodedFrames += block.length / ch
+      }
+    } catch { case _: Throwable => () } // truncated/corrupt tail: keep decoded frames
+    if (decodedFrames == 0) return None
+    val keep = math.min(decodedFrames, capFrames) * ch
+    val samples = new Array[Short](keep.toInt)
+    val shift = bits - 16
+    var w = 0
+    val it = out.iterator()
+    while (it.hasNext && w < samples.length) {
+      val blk = it.next()
+      var i = 0
+      while (i < blk.length && w < samples.length) {
+        samples(w) = (if (shift >= 0) blk(i) >> shift else blk(i) << -shift).toShort
+        w += 1; i += 1
+      }
+    }
+    Some(Clip(ch, rate, bits, samples))
+  }
+
+  /** One frame: header, per-channel subframes, decorrelation. Returns the
+    * interleaved block at the stream's sample size. Throws on malformed
+    * input (caller truncates). */
+  private def decodeFlacFrame(br: BitReader, streamBits: Int, streamCh: Int): Array[Int] = {
+    def bad() = throw new IllegalArgumentException("malformed frame")
+    if (br.readBits(14) != 0x3ffe) bad() // sync
+    br.readBit() // reserved
+    br.readBit() // blocking strategy
+    val bsCode = br.readBits(4).toInt
+    val srCode = br.readBits(4).toInt
+    val asgn = br.readBits(4).toInt
+    val ssCode = br.readBits(3).toInt
+    br.readBit() // reserved
+    // UTF-8-style coded frame/sample number: lead byte's high bits give the
+    // continuation count
+    val lead = br.readBits(8).toInt
+    val cont =
+      if ((lead & 0x80) == 0) 0
+      else if ((lead & 0xe0) == 0xc0) 1
+      else if ((lead & 0xf0) == 0xe0) 2
+      else if ((lead & 0xf8) == 0xf0) 3
+      else if ((lead & 0xfc) == 0xf8) 4
+      else if ((lead & 0xfe) == 0xfc) 5
+      else if (lead == 0xfe) 6
+      else bad()
+    var c = 0
+    while (c < cont) { if ((br.readBits(8).toInt & 0xc0) != 0x80) bad(); c += 1 }
+    val blockSize = bsCode match {
+      case 0 => bad()
+      case 1 => 192
+      case n if n >= 2 && n <= 5 => 576 << (n - 2)
+      case 6 => br.readBits(8).toInt + 1
+      case 7 => br.readBits(16).toInt + 1
+      case n => 256 << (n - 8)
+    }
+    srCode match { // stream rate is authoritative; frame-local codes just consume bits
+      case 12 => br.readBits(8)
+      case 13 | 14 => br.readBits(16)
+      case 15 => bad()
+      case _ => ()
+    }
+    val bps = ssCode match {
+      case 0 => streamBits
+      case 1 => 8
+      case 2 => 12
+      case 4 => 16
+      case 5 => 20
+      case 6 => 24
+      case 7 => 32
+      case _ => bad()
+    }
+    br.readBits(8) // header CRC-8 (not verified)
+    val nCh = if (asgn <= 7) asgn + 1 else 2
+    if (nCh != streamCh || blockSize <= 0 || blockSize > 65536) bad()
+    val chans = new Array[Array[Long]](nCh)
+    var ci = 0
+    while (ci < nCh) {
+      // stereo decorrelation stores the SIDE channel one bit wider
+      val sideBit = asgn match {
+        case 8 => if (ci == 1) 1 else 0  // left/side
+        case 9 => if (ci == 0) 1 else 0  // side/right
+        case 10 => if (ci == 1) 1 else 0 // mid/side
+        case _ => 0
+      }
+      chans(ci) = decodeSubframe(br, blockSize, bps + sideBit)
+      ci += 1
+    }
+    br.alignByte()
+    br.readBits(16) // frame CRC-16 (not verified)
+    // undo inter-channel decorrelation
+    asgn match {
+      case 8 => // left/side: right = left - side
+        var i = 0; while (i < blockSize) { chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
+      case 9 => // side/right: left = right + side
+        var i = 0; while (i < blockSize) { chans(0)(i) = chans(1)(i) + chans(0)(i); i += 1 }
+      case 10 => // mid/side
+        var i = 0
+        while (i < blockSize) {
+          val side = chans(1)(i)
+          val mid = (chans(0)(i) << 1) | (side & 1)
+          chans(0)(i) = (mid + side) >> 1
+          chans(1)(i) = (mid - side) >> 1
+          i += 1
+        }
+      case n if n > 10 => bad()
+      case _ => ()
+    }
+    val out = new Array[Int](blockSize * nCh)
+    var i = 0
+    while (i < blockSize) {
+      var j = 0
+      while (j < nCh) { out(i * nCh + j) = chans(j)(i).toInt; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Fixed-predictor coefficients, order 0-4 (polynomial predictors). */
+  private val FixedCoefs: Array[Array[Long]] = Array(
+    Array(), Array(1L), Array(2L, -1L), Array(3L, -3L, 1L), Array(4L, -6L, 4L, -1L))
+
+  private def decodeSubframe(br: BitReader, n: Int, bpsIn: Int): Array[Long] = {
+    def bad() = throw new IllegalArgumentException("malformed subframe")
+    if (br.readBit() != 0) bad() // padding
+    val tpe = br.readBits(6).toInt
+    val wasted = if (br.readBit() == 1) br.readUnary() + 1 else 0
+    val bps = bpsIn - wasted
+    if (bps <= 0 || bps > 33) bad()
+    val out = new Array[Long](n)
+    if (tpe == 0) { // CONSTANT
+      val v = br.readSigned(bps)
+      java.util.Arrays.fill(out, v)
+    } else if (tpe == 1) { // VERBATIM
+      var i = 0; while (i < n) { out(i) = br.readSigned(bps); i += 1 }
+    } else if ((tpe & 0x38) == 0x08 && (tpe & 7) <= 4) { // FIXED
+      val order = tpe & 7
+      var i = 0; while (i < order) { out(i) = br.readSigned(bps); i += 1 }
+      readResiduals(br, out, n, order)
+      val coefs = FixedCoefs(order)
+      i = order
+      while (i < n) {
+        var pred = 0L; var j = 0
+        while (j < order) { pred += coefs(j) * out(i - 1 - j); j += 1 }
+        out(i) += pred
+        i += 1
+      }
+    } else if ((tpe & 0x20) != 0) { // LPC
+      val order = (tpe & 0x1f) + 1
+      var i = 0; while (i < order) { out(i) = br.readSigned(bps); i += 1 }
+      val precision = br.readBits(4).toInt + 1
+      if (precision == 16) bad() // the 0b1111 precision code is invalid per spec
+      val shift = br.readSigned(5).toInt
+      if (shift < 0) bad()
+      val coefs = new Array[Long](order)
+      i = 0; while (i < order) { coefs(i) = br.readSigned(precision); i += 1 }
+      readResiduals(br, out, n, order)
+      i = order
+      while (i < n) {
+        var pred = 0L; var j = 0
+        while (j < order) { pred += coefs(j) * out(i - 1 - j); j += 1 }
+        out(i) += pred >> shift
+        i += 1
+      }
+    } else bad()
+    if (wasted > 0) { var i = 0; while (i < n) { out(i) <<= wasted; i += 1 } }
+    out
+  }
+
+  /** Rice-partitioned residuals into out[order..n). Supports both coding
+    * methods (4/5-bit parameters) and raw-bits escape partitions. */
+  private def readResiduals(br: BitReader, out: Array[Long], n: Int, order: Int): Unit = {
+    def bad() = throw new IllegalArgumentException("malformed residual")
+    val method = br.readBits(2).toInt
+    if (method > 1) bad()
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val partOrder = br.readBits(4).toInt
+    val nParts = 1 << partOrder
+    // blockSize must split evenly and the first partition (which cedes the
+    // warmup samples) must not go negative
+    if ((n % nParts) != 0 || (n >> partOrder) < order) bad()
+    var idx = order
+    var p = 0
+    while (p < nParts) {
+      val count = (n >> partOrder) - (if (p == 0) order else 0)
+      val param = br.readBits(paramBits).toInt
+      if (param == escape) {
+        val raw = br.readBits(5).toInt
+        var i = 0
+        while (i < count) { out(idx) = if (raw == 0) 0L else br.readSigned(raw); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = br.readUnary().toLong
+          val u = (q << param) | br.readBits(param)
+          out(idx) = (u >>> 1) ^ -(u & 1L) // zigzag
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
   }
 
   /** REAL audio features: root-mean-square energy per time band, `dim`

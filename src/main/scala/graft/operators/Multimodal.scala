@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * unfilter, no codec library), uncompressed 24-bit BMP ([[resizeBmp]] /
   * [[bmpPixels]]), JPEG and GIF (via the JDK's own `javax.imageio` —
   * standard-library, not a third-party codec; [[imageIoPixels]]), and
-  * WAV/AIFF PCM audio (byte-order assembly via [[AudioCodec]] — PCM needs
-  * no codec at all). Only formats that genuinely need a decoder LIBRARY
-  * (FLAC, MP3/AAC, video codecs) fall back to the deterministic STUB
+  * WAV/AIFF PCM and FLAC audio (byte-order assembly and a pure-JVM FLAC
+  * decode via [[AudioCodec]] — lossless audio needs no codec library).
+  * Only formats that genuinely need a decoder LIBRARY
+  * (MP3/AAC, video codecs) fall back to the deterministic STUB
   * (`decodeStub`), clearly labeled as such. Swapping in a real codec for
   * those means replacing only that function body; everything around it
   * (the `mapPartitions` batching, the schema contract) is
@@ -35,7 +36,7 @@ object Multimodal {
 
   /** STUB decoder: deterministic fake features derived from the bytes.
     * The fallback for formats whose pixel/sample decode needs a decoder
-    * library (FLAC, MP3/AAC, video codecs) — same signature, same batching
+    * library (MP3/AAC, video codecs) — same signature, same batching
     * as the real paths. Also the source of the raw-byte checksum every
     * real path reuses. */
   def decodeStub(mediaId: Long, bytes: Array[Byte], dim: Int): MediaFeatures = {
@@ -151,8 +152,8 @@ object Multimodal {
   }
 
   /** Route one payload to the REAL decode (PNG via [[PngCodec]], plain BMP
-    * via [[bmpPixels]], JPEG/GIF via [[imageIoPixels]], WAV/AIFF PCM via
-    * [[AudioCodec]] — image rasters yield band-luminance features, audio
+    * via [[bmpPixels]], JPEG/GIF via [[imageIoPixels]], WAV/AIFF PCM and
+    * FLAC via [[AudioCodec]] — image rasters yield band-luminance features, audio
     * clips band-RMS energy, both `dim`-long in [0,1]) or the labeled stub.
     * The checksum stays the raw byte-stream hash in every path (identity
     * of the payload, not of the decode), so dedup-by-checksum is
@@ -232,8 +233,8 @@ object Multimodal {
   /** Audio sibling of [[imageMeta]]: `struct(format, channels,
     * sample_rate, bits_per_sample, n_frames, duration_ms)` from WAV /
     * AIFF / FLAC container headers, null when unrecognized — see
-    * [[graft.plans.AudioMeta]]. WAV/AIFF PCM sample decode is real
-    * ([[AudioCodec]]); FLAC samples stay with the stub contract. */
+    * [[graft.plans.AudioMeta]]. WAV/AIFF PCM and FLAC sample decode are
+    * real ([[AudioCodec]]). */
   def audioMeta(df: DataFrame, binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     call_function("graft_audio_meta", binCol)
