@@ -354,9 +354,48 @@ object Multimodal {
       }.toDF("media_id", "media", "resized")
   }
 
+  /** Video sibling of [[imageMeta]]/[[audioMeta]]: `struct(format, codec,
+    * width, height, duration_ms, n_frames)` from the ISO BMFF (MP4/MOV)
+    * box structure, null when unrecognized — see [[graft.plans.VideoMeta]]
+    * / [[Mp4Codec]]. */
+  def videoMeta(df: DataFrame, binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    call_function("graft_video_meta", binCol)
+  }
+
+  /** REAL container-level video frame sampling: the MP4 sample tables map
+    * every video sample (frame) to its byte range, so "keyframes only" and
+    * "every Nth frame" are pure container operations — no codec involved
+    * (the extracted payloads are still encoded bitstream samples; decoding
+    * THOSE is the library-bound step). One output row per selected sample:
+    * (media_id, frame_idx, is_key, frame). Per-partition batched like the
+    * decode stage, constant memory per task; non-MP4 payloads yield no
+    * rows. This is the scale shape for video pipelines: distributed cheap
+    * selection first, expensive decode only on the selected samples. */
+  def sampleVideoFrames(df: DataFrame, every: Int = 1,
+                        keyframesOnly: Boolean = false): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaBoolean, Encoders.BINARY)
+    df.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+          Mp4Codec.frames(bytes).toSeq.flatten
+            .filter(f => !keyframesOnly || f.isKey)
+            .zipWithIndex.collect { case (f, i) if i % every == 0 =>
+              (r.getLong(0), f.idx, f.isKey,
+                java.util.Arrays.copyOfRange(bytes, f.offset.toInt, (f.offset + f.size).toInt))
+            }
+        }
+      }.toDF("media_id", "frame_idx", "is_key", "frame")
+  }
+
   /** Frame/segment sampling: cut the payload into fixed-size chunks and
     * keep every `stride`-th one — the shape of video frame-sampling, over
-    * opaque bytes. Pure projection (codegen'd), no shuffle. */
+    * opaque bytes when no container structure is available (for MP4, use
+    * the sample-table-aware [[sampleVideoFrames]]). Pure projection
+    * (codegen'd), no shuffle. */
   def sampleChunks(df: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
     df.withColumn("b64", base64(col("media")))
       .withColumn("sampled_chunks",

@@ -92,6 +92,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_audio_meta takes exactly one argument")
         AudioMeta(args.head)
+      }),
+    (FunctionIdentifier("graft_video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "graft_video_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_video_meta takes exactly one argument")
+        VideoMeta(args.head)
       }))
 
   /** Register the graft function set on an already-built session. */

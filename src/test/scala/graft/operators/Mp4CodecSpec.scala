@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Mp4Codec]] + `graft_video_meta` against hand-crafted ISO BMFF files
+  * (no video tooling exists in this environment; the builder below writes
+  * the public box layout independently of the parser: ftyp/mvhd/trak/
+  * tkhd/hdlr/stsd/stsz/stsc/stco/stss and mdat payloads at computed
+  * absolute offsets). */
+class Mp4CodecSpec extends SparkSpec {
+
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    cat(be32(payload.length + 8L), fourcc(tpe), payload)
+  private def fullbox(tpe: String, version: Int, payload: Array[Byte]): Array[Byte] =
+    box(tpe, cat(Array(version.toByte, 0, 0, 0), payload))
+
+  private val ftyp = box("ftyp", cat(fourcc("isom"), be32(0), fourcc("isom"))) // 20 bytes
+
+  private def mvhd(timescale: Long, duration: Long) =
+    fullbox("mvhd", 0, cat(be32(0), be32(0), be32(timescale), be32(duration), be32(0x00010000L)))
+
+  private def tkhd(w: Int, h: Int) = fullbox("tkhd", 0, cat(
+    Array.fill[Byte](20)(0),      // creation/mod/trackId/reserved/duration
+    Array.fill[Byte](52)(0),      // reserved/layer/altgroup/volume/matrix
+    be32(w.toLong << 16), be32(h.toLong << 16)))
+
+  private def hdlr(handler: String) =
+    fullbox("hdlr", 0, cat(be32(0), fourcc(handler), Array.fill[Byte](13)(0)))
+
+  private def stsd(codec: String) =
+    fullbox("stsd", 0, cat(be32(1), be32(16), fourcc(codec), Array.fill[Byte](8)(0)))
+
+  private def stsz(sizes: Seq[Int], uniform: Int = 0, count: Int = -1) =
+    fullbox("stsz", 0, cat(be32(uniform.toLong),
+      be32(if (count >= 0) count.toLong else sizes.length.toLong),
+      cat(sizes.map(s => be32(s.toLong)): _*)))
+
+  private def stsc(runs: Seq[(Int, Int)]) =
+    fullbox("stsc", 0, cat(be32(runs.length.toLong),
+      cat(runs.map { case (fc, spc) => cat(be32(fc.toLong), be32(spc.toLong), be32(1)) }: _*)))
+
+  private def stco(offsets: Seq[Long]) =
+    fullbox("stco", 0, cat(be32(offsets.length.toLong), cat(offsets.map(be32): _*)))
+
+  private def stss(samples: Seq[Int]) =
+    fullbox("stss", 0, cat(be32(samples.length.toLong), cat(samples.map(s => be32(s.toLong)): _*)))
+
+  private def trak(handler: String, w: Int, h: Int, stblBoxes: Array[Byte]*) =
+    box("trak", cat(tkhd(w, h),
+      box("mdia", cat(hdlr(handler), box("minf", box("stbl", cat(stblBoxes: _*)))))))
+
+  /** Three frames "AA"/"BBB"/"CCCC": chunk 1 holds samples 1-2, chunk 2
+    * holds sample 3; samples 1 and 3 are keyframes. */
+  private def sampleMp4(withStss: Boolean = true, uniform: Boolean = false): Array[Byte] = {
+    val frames = if (uniform) Seq("XX", "YY", "ZZ") else Seq("AA", "BBB", "CCCC")
+    val mdatPayload = frames.mkString.getBytes("US-ASCII")
+    val mdat = box("mdat", mdatPayload)
+    val base = ftyp.length + 8 // first frame's absolute offset
+    val offsets = Seq(base.toLong, base.toLong + frames(0).length + frames(1).length)
+    val stbl = Seq(
+      stsd("avc1"),
+      if (uniform) stsz(Nil, uniform = 2, count = frames.length) else stsz(frames.map(_.length)),
+      stsc(Seq((1, 2), (2, 1))),
+      stco(offsets)) ++ (if (withStss) Seq(stss(Seq(1, 3))) else Nil)
+    val moov = box("moov", cat(mvhd(1000, 5000), trak("vide", 640, 360, stbl: _*)))
+    cat(ftyp, mdat, moov)
+  }
+
+  test("videoInfo reads codec, dimensions, duration, and frame count") {
+    val info = Mp4Codec.videoInfo(sampleMp4()).get
+    assert(info == Mp4Codec.VideoInfo("avc1", 640, 360, 5000, 3))
+  }
+
+  test("frames map every sample to its exact byte range with keyframe flags") {
+    val b = sampleMp4()
+    val fs = Mp4Codec.frames(b).get
+    def bytes(f: Mp4Codec.FrameRef) =
+      new String(b.slice(f.offset.toInt, (f.offset + f.size).toInt), "US-ASCII")
+    assert(fs.map(bytes) == Seq("AA", "BBB", "CCCC"))
+    assert(fs.map(_.isKey) == Seq(true, false, true))
+    assert(fs.map(_.idx) == Seq(0, 1, 2))
+  }
+
+  test("missing stss means every sample is a sync sample; uniform stsz works") {
+    val fs = Mp4Codec.frames(sampleMp4(withStss = false, uniform = true)).get
+    assert(fs.map(_.isKey).forall(identity))
+    assert(fs.map(_.size).forall(_ == 2))
+  }
+
+  test("moov-before-mdat ordering parses identically") {
+    // rebuild with moov first: frame offsets shift by the moov length
+    val frames = Seq("AA", "BBB", "CCCC")
+    val stblOf = { offsets: Seq[Long] =>
+      Seq(stsd("avc1"), stsz(frames.map(_.length)), stsc(Seq((1, 2), (2, 1))),
+        stco(offsets), stss(Seq(1, 3))) }
+    // two-pass: size moov with dummy offsets, then rebuild with real ones
+    val dummy = box("moov", cat(mvhd(1000, 5000), trak("vide", 640, 360, stblOf(Seq(0L, 0L)): _*)))
+    val base = ftyp.length + dummy.length + 8
+    val moov = box("moov", cat(mvhd(1000, 5000),
+      trak("vide", 640, 360, stblOf(Seq(base.toLong, base.toLong + 5)): _*)))
+    val b = cat(ftyp, moov, box("mdat", frames.mkString.getBytes("US-ASCII")))
+    val fs = Mp4Codec.frames(b).get
+    assert(fs.map(f => new String(b.slice(f.offset.toInt, (f.offset + f.size).toInt))) ==
+      Seq("AA", "BBB", "CCCC"))
+  }
+
+  test("audio-only container yields no video info; hostile input never throws") {
+    val audioOnly = cat(ftyp, box("moov", cat(mvhd(1000, 2000),
+      trak("soun", 0, 0, stsd("mp4a"), stsz(Seq(2)), stsc(Seq((1, 1))), stco(Seq(0L))))))
+    assert(Mp4Codec.videoInfo(audioOnly).isEmpty)
+    assert(Mp4Codec.frames(audioOnly).isEmpty)
+    assert(Mp4Codec.videoInfo("not a video at all".getBytes).isEmpty)
+    assert(Mp4Codec.videoInfo(sampleMp4().take(30)).isEmpty) // truncated moov
+    val hostile = sampleMp4()
+    hostile(0) = 0x7f.toByte // corrupt the first box length
+    Mp4Codec.videoInfo(hostile) // must not throw
+    // declared frame range past the payload is dropped, not sliced
+    val cut = sampleMp4().dropRight(1) // truncates moov, not mdat — still parses or None, no throw
+    Mp4Codec.frames(cut)
+  }
+
+  test("graft_video_meta SQL surface and helper agree; codegen path compiles") {
+    import ss.implicits._
+    val df = Seq((1L, sampleMp4()), (2L, "plain text".getBytes)).toDF("media_id", "media")
+    val out = df.select(col("media_id"), Multimodal.videoMeta(df, col("media")).as("v"))
+      .orderBy("media_id").collect()
+    assert(out(0).getStruct(1).getString(1) == "avc1")
+    assert(out(0).getStruct(1).getInt(2) == 640 && out(0).getStruct(1).getInt(3) == 360)
+    assert(out(0).getStruct(1).getLong(4) == 5000L && out(0).getStruct(1).getLong(5) == 3L)
+    assert(out(1).isNullAt(1))
+    graft.plans.GraftExtensions.register(ss)
+    val sqlOut = df.createOrReplaceTempView("media_v")
+    val viaSql = ss.sql("SELECT graft_video_meta(media).codec AS c FROM media_v WHERE media_id = 1").collect()
+    assert(viaSql.head.getString(0) == "avc1")
+  }
+
+  test("sampleVideoFrames extracts keyframes and every-Nth through the distributed stage") {
+    import ss.implicits._
+    val df = Seq((1L, sampleMp4()), (2L, "junk".getBytes)).toDF("media_id", "media")
+    val keys = Multimodal.sampleVideoFrames(df, keyframesOnly = true).collect()
+    assert(keys.map(r => new String(r.getAs[Array[Byte]]("frame"))).toSet == Set("AA", "CCCC"))
+    assert(keys.forall(_.getAs[Boolean]("is_key")))
+    val everyTwo = Multimodal.sampleVideoFrames(df, every = 2).collect()
+    assert(everyTwo.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2))
+    assert(Multimodal.sampleVideoFrames(df.filter($"media_id" === 2)).count() == 0)
+  }
+}
