@@ -69,7 +69,7 @@ object AudioMeta {
     if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) return wav(b)
     if (tag(b, 0, "FORM") && (tag(b, 8, "AIFF") || tag(b, 8, "AIFC"))) return aiff(b)
     if (tag(b, 0, "fLaC")) return flac(b)
-    null
+    mp3(b) // last: frame-sync detection is weaker than a magic tag
   }
 
   /** RIFF chunk walk: `fmt ` carries the stream parameters, `data`'s size
@@ -148,5 +148,46 @@ object AudioMeta {
     val bits = (((b(s + 12) & 0x01) << 4) | ((b(s + 13) & 0xff) >>> 4)) + 1
     val frames = ((b(s + 13) & 0x0fL) << 32) | (be32(b, s + 14) & 0xffffffffL)
     if (rate > 0) row("flac", ch, rate, bits, frames) else null
+  }
+
+  /** MPEG-1/2/2.5 Layer III bitrates (kbps), frame-header index 1-14. */
+  private val Mp3BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3Rates = Map( // version code -> sample-rate table
+    3 -> Array(44100, 48000, 32000), // MPEG-1
+    2 -> Array(22050, 24000, 16000), // MPEG-2
+    0 -> Array(11025, 12000, 8000))  // MPEG-2.5
+
+  /** MPEG audio (MP3) frame-header parse: an optional ID3v2 tag is skipped
+    * (syncsafe size), then the 4-byte frame header gives version / layer /
+    * bitrate / sample rate / channel mode. Layer III only (the ubiquitous
+    * case); `bits_per_sample` is 0 — the stream is lossy, there is no
+    * sample width. `n_frames` is the CBR estimate from the audio byte
+    * length and the first frame's bitrate (the standard duration estimate
+    * without a full frame walk). The DECODE of MP3 remains library-bound
+    * and stubbed; this is routing/filtering metadata only. */
+  private def mp3(b: Array[Byte]): InternalRow = {
+    var i = 0
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if (b.length < 10) return null
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) | ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10 + size
+      if (i < 0 || i + 4 > b.length) return null
+    }
+    if (i + 4 > b.length) return null
+    if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return null
+    val version = (b(i + 1) >>> 3) & 0x03 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layer = (b(i + 1) >>> 1) & 0x03   // 1=Layer III
+    if (layer != 1 || version == 1) return null
+    val brIdx = (b(i + 2) >>> 4) & 0x0f
+    val srIdx = (b(i + 2) >>> 2) & 0x03
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+    val rates = Mp3Rates(version)
+    val rate = rates(srIdx)
+    val kbps = if (version == 3) Mp3BitrateV1(brIdx) else Mp3BitrateV2(brIdx)
+    val ch = if (((b(i + 3) >>> 6) & 0x03) == 3) 1 else 2
+    val audioBytes = (b.length - i).toLong
+    val nSamples = audioBytes * 8L * rate / (kbps * 1000L)
+    row("mp3", ch, rate, 0, nSamples)
   }
 }

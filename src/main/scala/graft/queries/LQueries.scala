@@ -58,6 +58,7 @@ object LQueries {
     "q90_compress_contract" -> ((s, d) => q90(s, d)),
     "q85_pack_sequences" -> ((s, d) => q85(s, d)),
     "q88_chunk_docs" -> ((s, d) => q88(s, d)),
+    "q91_lm_quality" -> ((s, d) => q91(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -328,6 +329,13 @@ object LQueries {
       coalesce(ratio2 <= ratio + 100L, lit(true)).as("repeat_compresses"))
   }
 
+  /** L45: corpus-LM quality scoring — quantized unigram rarity + bigram
+    * surprisal under the corpus's own token statistics (CCNet-shaped
+    * perplexity filtering, engine-portable integer math). */
+  def q91(s: SparkSession, d: String): DataFrame =
+    graft.operators.LmQuality.lmQualityScore(Tables.documents(s, d),
+      col("doc_id"), col("text"))
+
   /** L43: training-sequence packing — concat-then-chunk per source at 512
     * tokens, integer math over the per-group prefix sum → exact oracle. */
   def q85(s: SparkSession, d: String): DataFrame = {
@@ -510,6 +518,30 @@ object LQueries {
       |       FROM votes GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q91_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c1) AS total FROM vocab),
+        |uni AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(floor(sum(floor(10000 * total / c1)) / count(*)) AS BIGINT) AS uni_rarity_q
+        |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents) d,
+        |       LATERAL (SELECT unnest(range(1, len(tk))) AS i) r),
+        |bic AS (SELECT prev, cur, count(*) AS c2 FROM bi GROUP BY prev, cur),
+        |bis AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(floor(sum(floor(10000 * c1 / c2)) / count(*)) AS BIGINT) AS bi_surprisal_q
+        |  FROM bi JOIN bic USING (prev, cur) JOIN vocab ON vocab.tok = bi.prev
+        |  GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_tokens, b.n_bigrams, u.uni_rarity_q, b.bi_surprisal_q
+        |FROM uni u LEFT JOIN bis b USING (doc_id)""".stripMargin,
     "q90_compress_contract" ->
       """SELECT doc_id,
         |       CAST(coalesce(strlen(text), 0) AS BIGINT) AS raw_bytes,

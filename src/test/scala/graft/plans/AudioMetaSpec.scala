@@ -92,6 +92,43 @@ class AudioMetaSpec extends SparkSpec {
     assert(m.getString(0) == "wav" && m.getInt(2) == 8000 && m.getLong(5) == 1000L)
   }
 
+  /** MPEG-1 Layer III frame header (+ `audioBytes` of payload), optionally
+    * behind an ID3v2 tag with a syncsafe size. */
+  private def mp3(brIdx: Int, srIdx: Int, mono: Boolean, audioBytes: Int,
+                  id3Bytes: Int = -1): Array[Byte] = {
+    val h = Array(0xff.toByte, 0xfb.toByte, // sync + MPEG-1 + Layer III + no CRC
+      ((brIdx << 4) | (srIdx << 2)).toByte,
+      (if (mono) 0xc0 else 0x00).toByte)
+    val frame = h ++ Array.fill[Byte](audioBytes - 4)(0x55)
+    if (id3Bytes < 0) frame
+    else "ID3".getBytes ++ Array[Byte](4, 0, 0) ++ Array(
+      ((id3Bytes >> 21) & 0x7f).toByte, ((id3Bytes >> 14) & 0x7f).toByte,
+      ((id3Bytes >> 7) & 0x7f).toByte, (id3Bytes & 0x7f).toByte) ++
+      Array.fill[Byte](id3Bytes)(0) ++ frame
+  }
+
+  test("MP3 frame header yields rate/channels and a CBR duration estimate") {
+    GraftExtensions.register(ss)
+    // 128 kbps (idx 9), 44.1 kHz (idx 0), stereo, 16000 audio bytes = 1.0 s
+    val plain = mp3(brIdx = 9, srIdx = 0, mono = false, audioBytes = 16000)
+    // same stream behind a 500-byte ID3v2 tag
+    val tagged = mp3(9, 0, mono = true, audioBytes = 16000, id3Bytes = 500)
+    val rows = Seq((1L, plain), (2L, tagged),
+      (3L, Array[Byte](0xff.toByte, 0xfb.toByte, 0xf0.toByte, 0)), // bitrate idx 15: invalid
+      (4L, "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 10))    // tag longer than payload
+    ).toDF("id", "bin")
+      .select(col("id"), call_function("graft_audio_meta", col("bin")).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    val m1 = rows(1L)
+    assert(m1.getString(0) == "mp3" && m1.getInt(1) == 2 && m1.getInt(2) == 44100)
+    assert(m1.getInt(3) == 0, "lossy stream has no sample width")
+    assert(m1.getLong(5) == 1000L, s"128 kbps x 16000 bytes = 1 s, got ${m1.getLong(5)}")
+    val m2 = rows(2L)
+    assert(m2.getString(0) == "mp3" && m2.getInt(1) == 1 && m2.getLong(5) == 1000L,
+      "ID3v2 tag must not count toward the duration estimate")
+    assert(rows(3L) == null && rows(4L) == null)
+  }
+
   test("audioMeta helper and SQL surface agree; codegen path compiles") {
     val df = Seq((1L, wav(2, 22050, 16, 22050))).toDF("id", "bin")
     val viaHelper = df.select(graft.operators.Multimodal.audioMeta(df, col("bin")).as("m"))

@@ -33,7 +33,10 @@ class PlanAuditSpec extends SparkSpec {
     "q80_semantic_prune" -> ("seed assignment inside semanticPrune shares q79's broadcast " +
       "centroid cross; the prune pair join itself is cluster-keyed equality"),
     "q82_proto_prune" -> ("prototypicality pruning ranks q79's assignment output — same " +
-      "broadcast centroid cross, then one cid-partitioned window"))
+      "broadcast centroid cross, then one cid-partitioned window"),
+    "q91_lm_quality" -> ("same shape as q53/q72: the 1-row corpus-token-total aggregate " +
+      "broadcast into the token stream for the rarity quotient — single-row build side, " +
+      "BNLJ-optimal by construction"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
