@@ -59,6 +59,7 @@ object LQueries {
     "q85_pack_sequences" -> ((s, d) => q85(s, d)),
     "q88_chunk_docs" -> ((s, d) => q88(s, d)),
     "q91_lm_quality" -> ((s, d) => q91(s, d)),
+    "q92_dsir_weights" -> ((s, d) => q92(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -336,6 +337,13 @@ object LQueries {
     graft.operators.LmQuality.lmQualityScore(Tables.documents(s, d),
       col("doc_id"), col("text"))
 
+  /** L46: DSIR importance weights — bigram likelihood ratio of the `lang =
+    * 'en'` target domain vs the whole corpus, quantized-mean per doc
+    * (engine-portable: fixed-shape IEEE arithmetic, no transcendentals). */
+  def q92(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dsir.importanceScore(Tables.documents(s, d),
+      col("doc_id"), col("text"), col("lang") === "en", k = 2)
+
   /** L43: training-sequence packing — concat-then-chunk per source at 512
     * tokens, integer math over the per-group prefix sum → exact oracle. */
   def q85(s: SparkSession, d: String): DataFrame = {
@@ -518,6 +526,21 @@ object LQueries {
       |       FROM votes GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q92_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id, is_target, gram FROM (
+        |  SELECT doc_id, is_target,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM t WHERE len(w) >= 2) raw),
+        |counts AS (SELECT gram, count(*) AS cs, count(*) FILTER (is_target) AS ct
+        |           FROM g GROUP BY gram),
+        |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt, count(*) AS v FROM counts)
+        |SELECT doc_id, is_target, count(*) AS n_grams,
+        |       CAST(floor(sum(floor(10000.0 * (ct + 1) * (ts + v) /
+        |                            (CAST(cs + 1 AS DOUBLE) * (tt + v)))) / count(*)) AS BIGINT) AS dsir_q
+        |FROM g JOIN counts USING (gram) CROSS JOIN tot
+        |GROUP BY doc_id, is_target""".stripMargin,
     "q91_lm_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok

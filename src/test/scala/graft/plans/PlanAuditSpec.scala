@@ -36,7 +36,9 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast centroid cross, then one cid-partitioned window"),
     "q91_lm_quality" -> ("same shape as q53/q72: the 1-row corpus-token-total aggregate " +
       "broadcast into the token stream for the rarity quotient — single-row build side, " +
-      "BNLJ-optimal by construction"))
+      "BNLJ-optimal by construction"),
+    "q92_dsir_weights" -> ("same 1-row totals-broadcast shape as q91 (corpus/target gram " +
+      "totals + vocabulary size crossed into the gram stream)"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
