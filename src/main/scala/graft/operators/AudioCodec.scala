@@ -217,28 +217,37 @@ object AudioCodec {
     if (off >= b.length) return None
 
     val capFrames = if (totalFrames > 0) math.min(totalFrames, MaxSamples / ch) else MaxSamples / ch
-    val out = new java.util.ArrayList[Array[Int]]() // per-frame interleaved blocks
+    // blocks normalize to shorts as soon as each frame decodes, so peak
+    // memory stays ~2x MaxSamples-as-shorts during final assembly (one
+    // frame's Int scratch is transient), not 3x
+    val out = new java.util.ArrayList[Array[Short]]()
     var decodedFrames = 0L
+    val shift = bits - 16
     val br = new BitReader(b)
     br.seek(off)
     try {
       while (decodedFrames < capFrames && br.bytePos < b.length) {
         val block = decodeFlacFrame(br, bits, ch)
-        out.add(block)
+        val sb = new Array[Short](block.length)
+        var i = 0
+        while (i < block.length) {
+          sb(i) = (if (shift >= 0) block(i) >> shift else block(i) << -shift).toShort
+          i += 1
+        }
+        out.add(sb)
         decodedFrames += block.length / ch
       }
     } catch { case _: Throwable => () } // truncated/corrupt tail: keep decoded frames
     if (decodedFrames == 0) return None
     val keep = math.min(decodedFrames, capFrames) * ch
     val samples = new Array[Short](keep.toInt)
-    val shift = bits - 16
     var w = 0
     val it = out.iterator()
     while (it.hasNext && w < samples.length) {
       val blk = it.next()
       var i = 0
       while (i < blk.length && w < samples.length) {
-        samples(w) = (if (shift >= 0) blk(i) >> shift else blk(i) << -shift).toShort
+        samples(w) = blk(i)
         w += 1; i += 1
       }
     }

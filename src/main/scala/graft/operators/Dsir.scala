@@ -31,11 +31,19 @@ object Dsir {
 
   /** Per-document (doc_id, is_target, n_grams, dsir_q): quantized-mean
     * importance weight of the document's distinct word-k-grams. Documents
-    * with fewer than k tokens emit nothing (no feature evidence). */
+    * with fewer than k tokens emit nothing (no feature evidence).
+    *
+    * Per-gram weights clip at `maxWeightQ` — importance-weight clipping is
+    * the standard DSIR variance control, and here it doubles as the
+    * determinism bound: the per-doc sum stays long-exact (no overflow
+    * below ~9M grams in one document at the default clip) and the
+    * oracle's double-sum stays integer-exact under 2^53. */
   def importanceScore(df: DataFrame, idCol: Column, textCol: Column,
                       targetPred: Column, k: Int = 2,
-                      scale: Double = 10000.0): DataFrame = {
+                      scale: Double = 10000.0,
+                      maxWeightQ: Long = 1000000000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxWeightQ > 0, s"maxWeightQ must be positive, got $maxWeightQ")
     graft.plans.GraftExtensions.register(df.sparkSession)
     val grams = df.select(idCol.as("doc_id"), targetPred.as("is_target"),
         explode(call_function("graft_shingles", textCol, lit(k))).as("g"))
@@ -54,8 +62,9 @@ object Dsir {
         // expression so every intermediate double rounds the same way; the
         // denominator goes through double BEFORE multiplying (a long×long
         // product of two corpus-scale counts overflows at 100 TB)
-        sum(floor(lit(scale) * (col("ct") + 1) * (col("ts") + col("v")) /
-          ((col("cs") + 1).cast("double") * (col("tt") + col("v"))))).as("__ws"))
+        sum(least(floor(lit(scale) * (col("ct") + 1) * (col("ts") + col("v")) /
+          ((col("cs") + 1).cast("double") * (col("tt") + col("v")))),
+          lit(maxWeightQ))).as("__ws"))
       .select(col("doc_id"), col("is_target"), col("n_grams"),
         floor(col("__ws") / col("n_grams")).cast("long").as("dsir_q"))
     scored

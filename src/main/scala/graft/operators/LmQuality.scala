@@ -43,8 +43,10 @@ object LmQuality {
     * documents with no tokens score null (no evidence, not "perfect").
     * Single-token documents have no bigrams: `bi_surprisal_q` is null. */
   def lmQualityScore(df: DataFrame, idCol: Column, textCol: Column,
-                     scale: Long = 10000L): DataFrame = {
+                     scale: Long = 10000L,
+                     maxRarityQ: Long = 1000000000000L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
+    require(maxRarityQ > 0, s"maxRarityQ must be positive, got $maxRarityQ")
     val toks = df.select(idCol.as("doc_id"),
       filter(split(textCol, " "), t => t =!= "").as("__tk"))
 
@@ -56,7 +58,10 @@ object LmQuality {
       .crossJoin(broadcast(total)) // one row
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(floor(lit(scale) * col("total") / col("c1"))).as("__us"))
+        // rarity clips at maxRarityQ: keeps the per-doc long sum exact (no
+        // overflow below ~9M tokens in one doc) and the oracle's double
+        // sum integer-exact under 2^53 — same role as DSIR weight clipping
+        sum(least(floor(lit(scale) * col("total") / col("c1")), lit(maxRarityQ))).as("__us"))
       .select(col("doc_id"), col("n_tokens"),
         floor(col("__us") / col("n_tokens")).cast("long").as("uni_rarity_q"))
 
@@ -74,7 +79,7 @@ object LmQuality {
       .join(vocab.withColumnRenamed("tok", "prev").withColumnRenamed("c1", "cprev"), "prev")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(floor(lit(scale) * col("cprev") / col("c2"))).as("__bs"))
+        sum(least(floor(lit(scale) * col("cprev") / col("c2")), lit(maxRarityQ))).as("__bs"))
       .select(col("doc_id"), col("n_bigrams"),
         floor(col("__bs") / col("n_bigrams")).cast("long").as("bi_surprisal_q"))
 

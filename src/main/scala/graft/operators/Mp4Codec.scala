@@ -57,14 +57,15 @@ object Mp4Codec {
       val declared = be32(b, i.toInt)
       val tpe = fourcc(b, i.toInt + 4)
       var body = i + 8
+      var minSize = 8L
       val size =
         if (declared == 1) { // 64-bit largesize
           if (body + 8 > end) return
-          val s = be64(b, body.toInt); body += 8; s
+          val s = be64(b, body.toInt); body += 8; minSize = 16L; s
         } else if (declared == 0) end - i // box runs to end of enclosing space
         else declared
       val boxEnd = i + size
-      if (size < 8 || boxEnd > end || boxEnd <= i) return // hostile length: stop, keep parsed
+      if (size < minSize || boxEnd > end || boxEnd <= i) return // hostile length: stop, keep parsed
       f(tpe, body, boxEnd)
       i = boxEnd
     }
@@ -95,17 +96,20 @@ object Mp4Codec {
     def visit(tpe: String, s: Long, e: Long, depth: Int): Unit = {
       if (depth > 8) return
       tpe match {
-        case "mvhd" =>
+        case "mvhd" if s + 4 <= e =>
           val v = b(s.toInt) & 0xff
-          if (v == 1 && s + 28 <= e) { t.timescale = be32(b, s.toInt + 20); t.duration = be64(b, s.toInt + 24) }
-          else if (s + 24 <= e) { t.timescale = be32(b, s.toInt + 12); t.duration = be32(b, s.toInt + 16) }
+          if (v == 1 && s + 32 <= e) { t.timescale = be32(b, s.toInt + 20); t.duration = be64(b, s.toInt + 24) }
+          else if (v == 0 && s + 24 <= e) { t.timescale = be32(b, s.toInt + 12); t.duration = be32(b, s.toInt + 16) }
         case "trak" if !t.videoTrackDone =>
-          // probe the trak's handler before committing its tables
+          // probe the trak's handler before committing its tables; restore
+          // the flag on exit so a (nonstandard) nested trak can't strand
+          // the outer video track's remaining sample-table boxes
+          val saved = inVideoTrak
           inVideoTrak = trakIsVideo(b, s, e)
           walk(b, s, e)((ct, cs, ce) => visit(ct, cs, ce, depth + 1))
           if (inVideoTrak && t.nSamples > 0) t.videoTrackDone = true
-          inVideoTrak = false
-        case "tkhd" if inVideoTrak =>
+          inVideoTrak = saved
+        case "tkhd" if inVideoTrak && s + 4 <= e =>
           val v = b(s.toInt) & 0xff
           val base = if (v == 1) s + 4 + 32 + 52 else s + 4 + 20 + 52
           if (base + 8 <= e) {

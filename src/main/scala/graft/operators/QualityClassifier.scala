@@ -35,7 +35,9 @@ object QualityClassifier {
                          numFeatures: Int)
 
   private def gramsCol(textCol: Column): Column = {
-    val toks = filter(split(lower(textCol), "\\s+"), t => t =!= "")
+    // null text → empty gram list (HashingTF's transform NPEs on a null
+    // array; every sibling operator tolerates null text, so must this)
+    val toks = filter(split(lower(coalesce(textCol, lit(""))), "\\s+"), t => t =!= "")
     concat(toks, zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
@@ -82,7 +84,9 @@ object QualityClassifier {
   def calibrateThreshold(scored: DataFrame, keepRate: Double,
                          relErr: Double = 0.001): Double = {
     require(keepRate > 0 && keepRate < 1, s"keepRate in (0,1), got $keepRate")
-    scored.stat.approxQuantile("quality_p", Array(1.0 - keepRate), relErr).head
+    val qs = scored.stat.approxQuantile("quality_p", Array(1.0 - keepRate), relErr)
+    require(qs.nonEmpty, "cannot calibrate a threshold on an empty scored pool")
+    qs.head
   }
 
   /** Top-k grams most indicative of the positive class: re-hash the

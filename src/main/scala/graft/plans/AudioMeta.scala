@@ -164,8 +164,15 @@ object AudioMeta {
     * case); `bits_per_sample` is 0 — the stream is lossy, there is no
     * sample width. `n_frames` is the CBR estimate from the audio byte
     * length and the first frame's bitrate (the standard duration estimate
-    * without a full frame walk). The DECODE of MP3 remains library-bound
-    * and stubbed; this is routing/filtering metadata only. */
+    * without a full frame walk).
+    *
+    * An 11-bit sync alone false-positives on ~2⁻¹³ of random blobs — in a
+    * media lake of opaque attachments that systematically misroutes
+    * non-audio bytes. So the sniff demands CORROBORATION: a second valid
+    * frame header must sit exactly at the first frame's CBR-predicted
+    * length (sync + same version/layer). Buffers too short for two frames
+    * are accepted on the first header alone (prefix reads). The DECODE of
+    * MP3 remains library-bound and stubbed; this is routing metadata. */
   private def mp3(b: Array[Byte]): InternalRow = {
     var i = 0
     if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
@@ -186,6 +193,16 @@ object AudioMeta {
     val rate = rates(srIdx)
     val kbps = if (version == 3) Mp3BitrateV1(brIdx) else Mp3BitrateV2(brIdx)
     val ch = if (((b(i + 3) >>> 6) & 0x03) == 3) 1 else 2
+    // corroborate: Layer III frame length = 144 * bitrate / rate (+pad);
+    // the next frame header must start right there with a matching sync
+    val pad = (b(i + 2) >>> 1) & 0x01
+    val frameLen = 144000 * kbps / rate + pad
+    val next = i + frameLen
+    if (frameLen > 4 && next + 2 <= b.length) {
+      val syncOk = (b(next) & 0xff) == 0xff && (b(next + 1) & 0xe0) == 0xe0
+      val sameStream = syncOk && ((b(next + 1) >>> 1) & 0x1f) == ((b(i + 1) >>> 1) & 0x1f)
+      if (!sameStream) return null
+    }
     val audioBytes = (b.length - i).toLong
     val nSamples = audioBytes * 8L * rate / (kbps * 1000L)
     row("mp3", ch, rate, 0, nSamples)

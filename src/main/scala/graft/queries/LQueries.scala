@@ -537,8 +537,9 @@ object LQueries {
         |           FROM g GROUP BY gram),
         |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt, count(*) AS v FROM counts)
         |SELECT doc_id, is_target, count(*) AS n_grams,
-        |       CAST(floor(sum(floor(10000.0 * (ct + 1) * (ts + v) /
-        |                            (CAST(cs + 1 AS DOUBLE) * (tt + v)))) / count(*)) AS BIGINT) AS dsir_q
+        |       CAST(floor(sum(least(floor(10000.0 * (ct + 1) * (ts + v) /
+        |                                  (CAST(cs + 1 AS DOUBLE) * (tt + v))),
+        |                            1000000000000)) / count(*)) AS BIGINT) AS dsir_q
         |FROM g JOIN counts USING (gram) CROSS JOIN tot
         |GROUP BY doc_id, is_target""".stripMargin,
     "q91_lm_quality" ->
@@ -549,7 +550,7 @@ object LQueries {
         |tot AS (SELECT sum(c1) AS total FROM vocab),
         |uni AS (
         |  SELECT doc_id, count(*) AS n_tokens,
-        |         CAST(floor(sum(floor(10000 * total / c1)) / count(*)) AS BIGINT) AS uni_rarity_q
+        |         CAST(floor(sum(least(floor(10000 * total / c1), 1000000000000)) / count(*)) AS BIGINT) AS uni_rarity_q
         |  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
         |  GROUP BY doc_id),
         |bi AS (
@@ -560,7 +561,7 @@ object LQueries {
         |bic AS (SELECT prev, cur, count(*) AS c2 FROM bi GROUP BY prev, cur),
         |bis AS (
         |  SELECT doc_id, count(*) AS n_bigrams,
-        |         CAST(floor(sum(floor(10000 * c1 / c2)) / count(*)) AS BIGINT) AS bi_surprisal_q
+        |         CAST(floor(sum(least(floor(10000 * c1 / c2), 1000000000000)) / count(*)) AS BIGINT) AS bi_surprisal_q
         |  FROM bi JOIN bic USING (prev, cur) JOIN vocab ON vocab.tok = bi.prev
         |  GROUP BY doc_id)
         |SELECT u.doc_id, u.n_tokens, b.n_bigrams, u.uni_rarity_q, b.bi_surprisal_q

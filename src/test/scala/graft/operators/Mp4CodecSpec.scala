@@ -110,6 +110,41 @@ class Mp4CodecSpec extends SparkSpec {
       Seq("AA", "BBB", "CCCC"))
   }
 
+  test("version-1 mvhd (64-bit duration) parses; a short v1 box is skipped, not fatal") {
+    val mvhdV1 = fullbox("mvhd", 1, cat(Array.fill[Byte](16)(0), // creation+modification (8+8)
+      be32(1000), be32(0), be32(7500))) // timescale, duration hi=0 lo=7500
+    val frames = Seq("AA", "BBB", "CCCC")
+    val mdat = box("mdat", frames.mkString.getBytes("US-ASCII"))
+    val base = ftyp.length + 8
+    val stbl = Seq(stsd("avc1"), stsz(frames.map(_.length)), stsc(Seq((1, 2), (2, 1))),
+      stco(Seq(base.toLong, base.toLong + 5)), stss(Seq(1, 3)))
+    val moov = box("moov", cat(mvhdV1, trak("vide", 640, 360, stbl: _*)))
+    val info = Mp4Codec.videoInfo(cat(ftyp, mdat, moov)).get
+    assert(info.durationMs == 7500L && info.nFrames == 3)
+    // v1 mvhd truncated below the 32-byte payload: duration unread (0),
+    // but the sample tables still parse — no AIOOBE aborting the file
+    val shortMvhd = fullbox("mvhd", 1, Array.fill[Byte](20)(0))
+    val moov2 = box("moov", cat(shortMvhd, trak("vide", 640, 360, stbl: _*)))
+    val info2 = Mp4Codec.videoInfo(cat(ftyp, mdat, moov2)).get
+    assert(info2.durationMs == 0L && info2.nFrames == 3)
+  }
+
+  test("a nested trak cannot strand the outer video track's sample tables") {
+    val frames = Seq("AA", "BBB", "CCCC")
+    val mdat = box("mdat", frames.mkString.getBytes("US-ASCII"))
+    val base = ftyp.length + 8
+    // nonstandard: an (audio) trak nested INSIDE the video trak, before mdia
+    val inner = box("trak", box("mdia", hdlr("soun")))
+    val stbl = cat(stsd("avc1"), stsz(frames.map(_.length)), stsc(Seq((1, 2), (2, 1))),
+      stco(Seq(base.toLong, base.toLong + 5)), stss(Seq(1, 3)))
+    val outer = box("trak", cat(tkhd(640, 360), inner,
+      box("mdia", cat(hdlr("vide"), box("minf", box("stbl", stbl))))))
+    val b = cat(ftyp, mdat, box("moov", cat(mvhd(1000, 5000), outer)))
+    val fs = Mp4Codec.frames(b)
+    assert(fs.isDefined && fs.get.length == 3,
+      "outer video track's tables must survive the nested trak")
+  }
+
   test("audio-only container yields no video info; hostile input never throws") {
     val audioOnly = cat(ftyp, box("moov", cat(mvhd(1000, 2000),
       trak("soun", 0, 0, stsd("mp4a"), stsz(Seq(2)), stsc(Seq((1, 1))), stco(Seq(0L))))))

@@ -92,19 +92,26 @@ class AudioMetaSpec extends SparkSpec {
     assert(m.getString(0) == "wav" && m.getInt(2) == 8000 && m.getLong(5) == 1000L)
   }
 
-  /** MPEG-1 Layer III frame header (+ `audioBytes` of payload), optionally
-    * behind an ID3v2 tag with a syncsafe size. */
+  /** MPEG-1 Layer III CBR stream: headers repeated at the true frame
+    * length (144000·kbps/rate — the sniff corroborates the second header
+    * there), truncated to `audioBytes`, optionally behind an ID3v2 tag
+    * with a syncsafe size. */
   private def mp3(brIdx: Int, srIdx: Int, mono: Boolean, audioBytes: Int,
                   id3Bytes: Int = -1): Array[Byte] = {
     val h = Array(0xff.toByte, 0xfb.toByte, // sync + MPEG-1 + Layer III + no CRC
       ((brIdx << 4) | (srIdx << 2)).toByte,
       (if (mono) 0xc0 else 0x00).toByte)
-    val frame = h ++ Array.fill[Byte](audioBytes - 4)(0x55)
-    if (id3Bytes < 0) frame
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+    val rate = Array(44100, 48000, 32000)(srIdx)
+    val frameLen = 144000 * kbps / rate
+    val oneFrame = h ++ Array.fill[Byte](frameLen - 4)(0x55)
+    val stream = Array.fill((audioBytes + frameLen - 1) / frameLen)(oneFrame)
+      .flatten.take(audioBytes)
+    if (id3Bytes < 0) stream
     else "ID3".getBytes ++ Array[Byte](4, 0, 0) ++ Array(
       ((id3Bytes >> 21) & 0x7f).toByte, ((id3Bytes >> 14) & 0x7f).toByte,
       ((id3Bytes >> 7) & 0x7f).toByte, (id3Bytes & 0x7f).toByte) ++
-      Array.fill[Byte](id3Bytes)(0) ++ frame
+      Array.fill[Byte](id3Bytes)(0) ++ stream
   }
 
   test("MP3 frame header yields rate/channels and a CBR duration estimate") {
@@ -113,9 +120,16 @@ class AudioMetaSpec extends SparkSpec {
     val plain = mp3(brIdx = 9, srIdx = 0, mono = false, audioBytes = 16000)
     // same stream behind a 500-byte ID3v2 tag
     val tagged = mp3(9, 0, mono = true, audioBytes = 16000, id3Bytes = 500)
+    // a sync-matching header followed by garbage where the second frame
+    // must sit — the corroboration check rejects it (false-positive guard)
+    val noSecondFrame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0) ++
+      Array.fill[Byte](1000)(0x55)
+    // too short to contain a second frame: accepted on the first header
+    val prefixOnly = mp3(9, 0, mono = false, audioBytes = 16000).take(100)
     val rows = Seq((1L, plain), (2L, tagged),
       (3L, Array[Byte](0xff.toByte, 0xfb.toByte, 0xf0.toByte, 0)), // bitrate idx 15: invalid
-      (4L, "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 10))    // tag longer than payload
+      (4L, "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 10)),   // tag longer than payload
+      (5L, noSecondFrame), (6L, prefixOnly)
     ).toDF("id", "bin")
       .select(col("id"), call_function("graft_audio_meta", col("bin")).as("m"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
@@ -127,6 +141,9 @@ class AudioMetaSpec extends SparkSpec {
     assert(m2.getString(0) == "mp3" && m2.getInt(1) == 1 && m2.getLong(5) == 1000L,
       "ID3v2 tag must not count toward the duration estimate")
     assert(rows(3L) == null && rows(4L) == null)
+    assert(rows(5L) == null, "garbage at the CBR-predicted second-frame offset must reject")
+    assert(rows(6L) != null && rows(6L).getString(0) == "mp3",
+      "a prefix too short for two frames is accepted on the first header")
   }
 
   test("audioMeta helper and SQL surface agree; codegen path compiles") {
