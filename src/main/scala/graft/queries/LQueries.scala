@@ -60,6 +60,7 @@ object LQueries {
     "q88_chunk_docs" -> ((s, d) => q88(s, d)),
     "q91_lm_quality" -> ((s, d) => q91(s, d)),
     "q92_dsir_weights" -> ((s, d) => q92(s, d)),
+    "q93_winnow_fp" -> ((s, d) => q93(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -344,6 +345,13 @@ object LQueries {
     graft.operators.Dsir.importanceScore(Tables.documents(s, d),
       col("doc_id"), col("text"), col("lang") === "en", k = 2)
 
+  /** L49: winnowing fingerprints (MOSS) — window-min selection over
+    * positional 4-gram hashes, w=3; any shared run of ≥ w+k−1 tokens
+    * between documents shares a fingerprint. */
+  def q93(s: SparkSession, d: String): DataFrame =
+    graft.operators.Winnowing.fingerprints(Tables.documents(s, d),
+      col("doc_id"), col("text"), k = 4, w = 3)
+
   /** L43: training-sequence packing — concat-then-chunk per source at 512
     * tokens, integer math over the per-group prefix sum → exact oracle. */
   def q85(s: SparkSession, d: String): DataFrame = {
@@ -526,6 +534,18 @@ object LQueries {
       |       FROM votes GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q93_winnow_fp" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, len(w) - 3 AS n_grams,
+        |             substr(md5(array_to_string(list_slice(w, i, i + 3), ' ')), 1, 16) AS h
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i)
+        |      WHERE len(w) >= 6),
+        |sel AS (SELECT doc_id, pos, n_grams,
+        |               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                            ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fp
+        |        FROM g)
+        |SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= n_grams - 3""".stripMargin,
     "q92_dsir_weights" ->
       """WITH t AS (SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS w
         |           FROM documents),
