@@ -35,14 +35,20 @@ object Winnowing {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
     val toks = filter(split(textCol, " "), t => t =!= "")
     // filter BEFORE building grams: sequence(0, n-k) with n < k descends
-    // into negatives; n >= k+w-1 also guarantees at least one full window
+    // into negatives; n >= k+w-1 also guarantees at least one full window.
+    // __n (the gram count) is DERIVED ARITHMETICALLY from the token count,
+    // never as size(<the transform>): CollapseProject inlines a projected
+    // expression into post-explode consumers, and size-of-transform would
+    // re-build the whole gram array once per exploded row (measured 15 s
+    // on 5000 docs vs ~1 s total for the arithmetic form).
     val base = df.select(idCol.as("doc_id"), toks.as("__t"))
       .where(size(col("__t")) >= k + w - 1)
+      .select(col("doc_id"), col("__t"), (size(col("__t")) - (k - 1)).as("__n"))
     val grams = transform(
       sequence(lit(0), size(col("__t")) - k),
       i => concat_ws(" ", slice(col("__t"), i + lit(1), lit(k))))
     val hashed = base
-      .select(col("doc_id"), size(grams).as("__n"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("__n"), posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("__n"), col("pos"),
         substring(md5(col("gram")), 1, 16).as("h"))
     hashed
