@@ -61,6 +61,7 @@ object LQueries {
     "q91_lm_quality" -> ((s, d) => q91(s, d)),
     "q92_dsir_weights" -> ((s, d) => q92(s, d)),
     "q93_winnow_fp" -> ((s, d) => q93(s, d)),
+    "q94_collocations" -> ((s, d) => q94(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -352,6 +353,12 @@ object LQueries {
     graft.operators.Winnowing.fingerprints(Tables.documents(s, d),
       col("doc_id"), col("text"), k = 4, w = 3)
 
+  /** L50: top-20 collocations by quantized lift (log-free PMI ranking),
+    * min support 2 — statistical phrase mining over the corpus. */
+  def q94(s: SparkSession, d: String): DataFrame =
+    graft.operators.Collocations.topCollocations(Tables.documents(s, d),
+      col("text"), k = 20, minSupport = 2L)
+
   /** L43: training-sequence packing — concat-then-chunk per source at 512
     * tokens, integer math over the per-group prefix sum → exact oracle. */
   def q85(s: SparkSession, d: String): DataFrame = {
@@ -534,6 +541,22 @@ object LQueries {
       |       FROM votes GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q94_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |uni AS (SELECT tok, count(*) AS c1
+        |        FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+        |tot AS (SELECT sum(c1) AS total FROM uni),
+        |bi AS (SELECT tk[i] AS prev, tk[i + 1] AS cur
+        |       FROM t, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r),
+        |pairs AS (SELECT prev, cur, count(*) AS n_pair FROM bi
+        |          GROUP BY prev, cur HAVING count(*) >= 2)
+        |SELECT prev, cur, n_pair,
+        |       CAST(floor(10000 * CAST(n_pair AS DOUBLE) * total /
+        |                  (CAST(p.c1 AS DOUBLE) * c.c1)) AS BIGINT) AS lift_q
+        |FROM pairs JOIN uni p ON p.tok = pairs.prev
+        |           JOIN uni c ON c.tok = pairs.cur CROSS JOIN tot
+        |ORDER BY lift_q DESC, prev ASC, cur ASC LIMIT 20""".stripMargin,
     "q93_winnow_fp" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
         |           FROM documents),

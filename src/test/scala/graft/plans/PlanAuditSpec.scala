@@ -38,7 +38,9 @@ class PlanAuditSpec extends SparkSpec {
       "broadcast into the token stream for the rarity quotient — single-row build side, " +
       "BNLJ-optimal by construction"),
     "q92_dsir_weights" -> ("same 1-row totals-broadcast shape as q91 (corpus/target gram " +
-      "totals + vocabulary size crossed into the gram stream)"))
+      "totals + vocabulary size crossed into the gram stream)"),
+    "q94_collocations" -> ("same 1-row corpus-total broadcast as q53/q72/q91 crossed into " +
+      "the supported-pairs frame for the lift quotient"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
