@@ -193,10 +193,11 @@ object AudioMeta {
     val rate = rates(srIdx)
     val kbps = if (version == 3) Mp3BitrateV1(brIdx) else Mp3BitrateV2(brIdx)
     val ch = if (((b(i + 3) >>> 6) & 0x03) == 3) 1 else 2
-    // corroborate: Layer III frame length = 144 * bitrate / rate (+pad);
-    // the next frame header must start right there with a matching sync
+    // corroborate: Layer III frame length = samplesPerFrame/8 * bitrate /
+    // rate (+pad) — 1152 samples for MPEG-1, 576 for MPEG-2/2.5; the next
+    // frame header must start right there with a matching sync
     val pad = (b(i + 2) >>> 1) & 0x01
-    val frameLen = 144000 * kbps / rate + pad
+    val frameLen = (if (version == 3) 144000 else 72000) * kbps / rate + pad
     val next = i + frameLen
     if (frameLen > 4 && next + 2 <= b.length) {
       val syncOk = (b(next) & 0xff) == 0xff && (b(next + 1) & 0xe0) == 0xe0

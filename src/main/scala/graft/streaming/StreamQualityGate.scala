@@ -31,9 +31,13 @@ object StreamQualityGate {
   /** Frozen unigram statistics from the settled corpus: the vocabulary
     * (tok, c1) and the total token count (one driver scalar). */
   def trainStats(corpus: DataFrame, textCol: Column): (DataFrame, Long) = {
+    // cache BEFORE the totals action: the stream-static join re-reads the
+    // vocab every microbatch, and an uncached plan would re-run the full
+    // corpus tokenize+groupBy each time — "trained once" must mean once
     val vocab = corpus
       .select(explode(filter(split(textCol, " "), t => t =!= "")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .cache()
     val total = vocab.agg(sum(col("c1"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
@@ -44,21 +48,24 @@ object StreamQualityGate {
   private def scored(docs: DataFrame, idCol: Column, textCol: Column, tsCol: String,
                      vocab: DataFrame, total: Long, scale: Long, maxRarityQ: Long,
                      keepBelow: Long): DataFrame =
+    // the id passes through UNCAST (a lossy cast("long") would null UUID
+    // ids and merge them into one group) and keeps the sibling operators'
+    // doc_id column name
     docs
-      .select(idCol.cast("long").as("id"), col(tsCol),
+      .select(idCol.as("doc_id"), col(tsCol),
         explode(filter(split(textCol, " "), t => t =!= "")).as("tok"))
       .join(vocab, Seq("tok"), "left")
-      .groupBy(col("id"), col(tsCol))
+      .groupBy(col("doc_id"), col(tsCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(least(floor(lit(scale) * (lit(total) + 1) / (coalesce(col("c1"), lit(0L)) + 1)),
           lit(maxRarityQ))).as("__rs"))
-      .select(col("id"), col(tsCol), col("n_tokens"),
+      .select(col("doc_id"), col(tsCol), col("n_tokens"),
         floor(col("__rs") / col("n_tokens")).cast("long").as("rarity_q"))
       .withColumn("kept", col("rarity_q") <= keepBelow)
 
-  /** Gate a STREAMING frame of (id, ts, text): emits (id, ts, n_tokens,
-    * rarity_q, kept) in append mode once the watermark passes each doc's
-    * event time. Token-less documents emit nothing (no evidence). */
+  /** Gate a STREAMING frame of (doc_id, ts, text): emits (doc_id, ts,
+    * n_tokens, rarity_q, kept) in append mode once the watermark passes
+    * each doc's event time. Token-less documents emit nothing. */
   def gateStream(docs: DataFrame, idCol: Column, textCol: Column,
                  tsCol: String, watermark: String,
                  vocab: DataFrame, total: Long,

@@ -97,13 +97,18 @@ class AudioMetaSpec extends SparkSpec {
     * there), truncated to `audioBytes`, optionally behind an ID3v2 tag
     * with a syncsafe size. */
   private def mp3(brIdx: Int, srIdx: Int, mono: Boolean, audioBytes: Int,
-                  id3Bytes: Int = -1): Array[Byte] = {
-    val h = Array(0xff.toByte, 0xfb.toByte, // sync + MPEG-1 + Layer III + no CRC
+                  id3Bytes: Int = -1, mpeg2: Boolean = false): Array[Byte] = {
+    // byte 2: sync cont (3) | version (2: 11=MPEG-1, 10=MPEG-2) | layer
+    // (01=III) | no CRC (1)
+    val h = Array(0xff.toByte, (if (mpeg2) 0xf3 else 0xfb).toByte,
       ((brIdx << 4) | (srIdx << 2)).toByte,
       (if (mono) 0xc0 else 0x00).toByte)
-    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
-    val rate = Array(44100, 48000, 32000)(srIdx)
-    val frameLen = 144000 * kbps / rate
+    val kbps =
+      if (mpeg2) Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+      else Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+    val rate = (if (mpeg2) Array(22050, 24000, 16000) else Array(44100, 48000, 32000))(srIdx)
+    // MPEG-2/2.5 Layer III frames carry 576 samples, not 1152
+    val frameLen = (if (mpeg2) 72000 else 144000) * kbps / rate
     val oneFrame = h ++ Array.fill[Byte](frameLen - 4)(0x55)
     val stream = Array.fill((audioBytes + frameLen - 1) / frameLen)(oneFrame)
       .flatten.take(audioBytes)
@@ -144,6 +149,16 @@ class AudioMetaSpec extends SparkSpec {
     assert(rows(5L) == null, "garbage at the CBR-predicted second-frame offset must reject")
     assert(rows(6L) != null && rows(6L).getString(0) == "mp3",
       "a prefix too short for two frames is accepted on the first header")
+  }
+
+  test("MPEG-2 Layer III uses the 576-sample frame length for corroboration") {
+    GraftExtensions.register(ss)
+    // 64 kbps (V2 idx 8), 22050 Hz (idx 0), stereo, 8000 bytes = 1.0 s
+    val v2 = mp3(brIdx = 8, srIdx = 0, mono = false, audioBytes = 8000, mpeg2 = true)
+    val m = Seq((1L, v2)).toDF("id", "bin")
+      .select(call_function("graft_audio_meta", col("bin")).as("m")).head.getStruct(0)
+    assert(m != null, "valid MPEG-2 stream must not be rejected by the MPEG-1 frame formula")
+    assert(m.getString(0) == "mp3" && m.getInt(2) == 22050 && m.getLong(5) == 1000L)
   }
 
   test("audioMeta helper and SQL surface agree; codegen path compiles") {

@@ -38,13 +38,13 @@ class StreamQualityGateSpec extends SparkSpec {
       mem.addData((99L, ts(30), "flush"))
       q.processAllAvailable()
 
-      val streamed = ss.table("qgate").filter(col("id") =!= 99L)
-        .select("id", "n_tokens", "rarity_q", "kept")
+      val streamed = ss.table("qgate").filter(col("doc_id") =!= 99L)
+        .select("doc_id", "n_tokens", "rarity_q", "kept")
         .as[(Long, Long, Long, Boolean)].collect().toSet
       val batch = StreamQualityGate.scoreBatch(
           arrivals.toDF("doc_id", "ts", "text"), col("doc_id"), col("text"), "ts",
           vocab, total, keepBelow = 85000L)
-        .select("id", "n_tokens", "rarity_q", "kept")
+        .select("doc_id", "n_tokens", "rarity_q", "kept")
         .as[(Long, Long, Long, Boolean)].collect().toSet
       assert(streamed == batch, s"stream $streamed != batch $batch")
 
