@@ -305,6 +305,11 @@ object AudioCodec {
       case 7 => 32
       case _ => bad()
     }
+    // the caller's 16-bit normalization shift is derived once from
+    // STREAMINFO; a frame declaring a different sample size would decode
+    // at frame bps yet be shifted by stream bits, mis-scaling its samples
+    // — reject such frames (truncates to the consistent prefix)
+    if (bps != streamBits) bad()
     br.readBits(8) // header CRC-8 (not verified)
     val nCh = if (asgn <= 7) asgn + 1 else 2
     if (nCh != streamCh || blockSize <= 0 || blockSize > 65536) bad()

@@ -95,7 +95,12 @@ object Bpe {
         rows.map { case (id, text) =>
           val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
             .flatMap { w =>
-              var syms = w.map(_.toString).toArray
+              // split on CODE POINTS, not UTF-16 chars: learnMerges segments
+              // with Spark's split("") (code-point aware), so encode must use
+              // the same initial alphabet or supplementary-plane text (emoji,
+              // rare CJK) yields lone surrogates that never match any merge.
+              var syms = w.codePoints().toArray
+                .map(cp => new String(Character.toChars(cp)))
               var m = 0
               while (m < mergeArr.length && syms.length > 1) {
                 val (l, r) = mergeArr(m)

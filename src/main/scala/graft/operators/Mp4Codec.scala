@@ -118,11 +118,14 @@ object Mp4Codec {
           }
         case "stsd" if inVideoTrak =>
           if (s + 16 <= e && be32(b, s.toInt + 4) > 0) t.codec = fourcc(b, s.toInt + 12)
+        // oversized sample tables cap to a MaxFrames PREFIX (sample tables
+        // are ordered, so a prefix is a valid truncation), matching the
+        // documented "sample counts cap at MaxFrames" contract — a 37-hour
+        // file yields its first 4M samples, not an empty track
         case "stsz" if inVideoTrak =>
           if (s + 12 <= e) {
             t.uniformSize = be32(b, s.toInt + 4)
-            val n = be32(b, s.toInt + 8)
-            if (n > MaxFrames) return
+            val n = math.min(be32(b, s.toInt + 8), MaxFrames.toLong)
             t.nSamples = n
             if (t.uniformSize == 0 && s + 12 + n * 4 <= e) {
               t.sizes = Array.tabulate(n.toInt)(i => be32(b, s.toInt + 12 + i * 4))
@@ -130,23 +133,23 @@ object Mp4Codec {
           }
         case "stco" | "co64" if inVideoTrak =>
           if (s + 8 <= e) {
-            val n = be32(b, s.toInt + 4)
+            val n = math.min(be32(b, s.toInt + 4), MaxFrames.toLong)
             val w = if (tpe == "stco") 4 else 8
-            if (n <= MaxFrames && s + 8 + n * w <= e)
+            if (s + 8 + n * w <= e)
               t.chunkOffsets = Array.tabulate(n.toInt)(i =>
                 if (w == 4) be32(b, s.toInt + 8 + i * 4) else be64(b, s.toInt + 8 + i * 8))
           }
         case "stsc" if inVideoTrak =>
           if (s + 8 <= e) {
-            val n = be32(b, s.toInt + 4)
-            if (n <= MaxFrames && s + 8 + n * 12 <= e)
+            val n = math.min(be32(b, s.toInt + 4), MaxFrames.toLong)
+            if (s + 8 + n * 12 <= e)
               t.stsc = Array.tabulate(n.toInt)(i =>
                 (be32(b, s.toInt + 8 + i * 12), be32(b, s.toInt + 8 + i * 12 + 4)))
           }
         case "stss" if inVideoTrak =>
           if (s + 8 <= e) {
-            val n = be32(b, s.toInt + 4)
-            if (n <= MaxFrames && s + 8 + n * 4 <= e)
+            val n = math.min(be32(b, s.toInt + 4), MaxFrames.toLong)
+            if (s + 8 + n * 4 <= e)
               t.syncs = Array.tabulate(n.toInt)(i => be32(b, s.toInt + 8 + i * 4))
           }
         case c if Containers(c) =>

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.HashingTF
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -71,11 +70,13 @@ object QualityClassifier {
     Model(lr.fit(weighted), numFeatures)
   }
 
-  /** Score a pool: (…, quality_p) with P(trusted | doc) in [0,1]. */
+  /** Score a pool: (…, quality_p) with P(trusted | doc) in [0,1].
+    * The positive-class probability extraction is `vector_to_array` +
+    * `element_at` — a built-in, codegen-visible projection, not a UDF. */
   def score(df: DataFrame, textCol: Column, m: Model): DataFrame = {
-    val probOf = udf((v: Vector) => v(1))
     m.model.transform(featurize(df, textCol, m.numFeatures))
-      .withColumn("quality_p", probOf(col("probability")))
+      .withColumn("quality_p",
+        element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
       .drop("features", "rawPrediction", "probability", "prediction")
   }
 

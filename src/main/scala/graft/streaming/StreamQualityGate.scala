@@ -57,7 +57,12 @@ object StreamQualityGate {
       .join(vocab, Seq("tok"), "left")
       .groupBy(col("doc_id"), col(tsCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(least(floor(lit(scale) * (lit(total) + 1) / (coalesce(col("c1"), lit(0L)) + 1)),
+        // the numerator goes through double BEFORE multiplying (the
+        // Dsir/Collocations discipline): a long scale·(total+1) product
+        // silently overflows once total exceeds ~9.2e14 tokens at the
+        // default scale — within the 100 TB envelope
+        sum(least(floor(lit(scale) * (lit(total).cast("double") + 1)
+          / (coalesce(col("c1"), lit(0L)) + 1)),
           lit(maxRarityQ))).as("__rs"))
       .select(col("doc_id"), col(tsCol), col("n_tokens"),
         floor(col("__rs") / col("n_tokens")).cast("long").as("rarity_q"))

@@ -51,6 +51,20 @@ class BpeSpec extends SparkSpec {
     assert(out(3L) == Seq.empty)
   }
 
+  test("train and encode agree on supplementary-plane text (surrogate pairs)") {
+    // 𝕏 (U+1D54F) and 😀 (U+1F600) are outside the BMP: Spark's split("")
+    // yields one symbol per CODE POINT, so encode must too — a UTF-16 char
+    // split would emit lone surrogates that never match any learned merge
+    val astral = Seq("𝕏😀 𝕏😀").toDF("text")
+    val merges = Bpe.learnMerges(astral, col("text"), numMerges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((0, "𝕏", "😀", 2L)), s"got $merges")
+    val ms = merges.map { case (_, l, r, _) => (l, r) }
+    val out = Bpe.encode(Seq((1L, "𝕏😀")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), ms).as[(Long, Seq[String])].head()._2
+    assert(out == Seq("𝕏😀"), s"got $out")
+  }
+
   test("encode of training words reproduces the final training segmentation") {
     val ms = Bpe.learnMerges(corpus, col("text"), numMerges = 5)
       .orderBy("rank").as[(Int, String, String, Long)].collect()

@@ -39,12 +39,12 @@ class FlacCodecSpec extends graft.SparkSpec {
     w.bits(0, 64); w.bits(0, 64)       // md5
   }
 
-  private def frameHeader(w: BitWriter, blockSize: Int, asgn: Int): Unit = {
+  private def frameHeader(w: BitWriter, blockSize: Int, asgn: Int, ssCode: Int = 0): Unit = {
     w.bits(0x3ffe, 14); w.bit(0); w.bit(0)
     w.bits(7, 4)  // block size: 16-bit field follows
     w.bits(0, 4)  // sample rate: from STREAMINFO
     w.bits(asgn, 4)
-    w.bits(0, 3)  // sample size: from STREAMINFO
+    w.bits(ssCode, 3)  // sample size: 0 = from STREAMINFO
     w.bit(0)
     w.bits(0, 8)  // frame number 0 (UTF-8 single byte)
     w.bits(blockSize - 1, 16)
@@ -151,6 +151,22 @@ class FlacCodecSpec extends graft.SparkSpec {
       assert(clip.isDefined, s"fixed order $order failed to decode")
       assert(clip.get.samples.map(_.toLong).toSeq == samples, s"fixed order $order mismatch")
     }
+  }
+
+  test("a frame declaring a bps different from STREAMINFO truncates, not mis-scales") {
+    // the 16-bit normalization shift comes from STREAMINFO once; a frame
+    // decoding at a different bps would be shifted wrongly, so the decoder
+    // rejects it and keeps the consistent prefix
+    val w = new BitWriter
+    streamInfo(w, 1, 8000, 16, 8)
+    frameHeader(w, 4, asgn = 0)
+    constantSub(w, 1000, 16)
+    endFrame(w)
+    frameHeader(w, 4, asgn = 0, ssCode = 1) // declares 8-bit against a 16-bit stream
+    constantSub(w, 50, 8)
+    endFrame(w)
+    val clip = AudioCodec.decode(w.bytes).get
+    assert(clip.samples.toSeq == Seq.fill(4)(1000.toShort), s"got ${clip.samples.toSeq}")
   }
 
   test("LPC subframe with quantized coefficients and shift") {

@@ -160,6 +160,25 @@ class Mp4CodecSpec extends SparkSpec {
     Mp4Codec.frames(cut)
   }
 
+  test("oversized sample tables cap to a MaxFrames prefix, not an empty track") {
+    // uniform stsz declaring MaxFrames+5 samples: the cap keeps the first
+    // MaxFrames (the documented contract), and frames() still yields the
+    // samples the chunk tables actually cover
+    val frames = Seq("XX", "YY", "ZZ")
+    val mdat = box("mdat", frames.mkString.getBytes("US-ASCII"))
+    val base = ftyp.length + 8
+    val stbl = Seq(stsd("avc1"),
+      stsz(Nil, uniform = 2, count = Mp4Codec.MaxFrames + 5),
+      stsc(Seq((1, 2), (2, 1))),
+      stco(Seq(base.toLong, base.toLong + 4)))
+    val b = cat(ftyp, mdat, box("moov", cat(mvhd(1000, 5000), trak("vide", 640, 360, stbl: _*))))
+    val info = Mp4Codec.videoInfo(b).get
+    assert(info.nFrames == Mp4Codec.MaxFrames.toLong, s"got ${info.nFrames}")
+    val fs = Mp4Codec.frames(b).get
+    assert(fs.map(f => new String(b.slice(f.offset.toInt, (f.offset + f.size).toInt))) ==
+      Seq("XX", "YY", "ZZ"))
+  }
+
   test("graft_video_meta SQL surface and helper agree; codegen path compiles") {
     import ss.implicits._
     val df = Seq((1L, sampleMp4()), (2L, "plain text".getBytes)).toDF("media_id", "media")
