@@ -20,11 +20,21 @@ import org.apache.spark.sql.SparkSession
   * chars as queries are added.
   *
   * Capture hygiene: ambient host load has produced 10-100x phantom outliers
-  * in past rounds (see BASELINE.md). /proc/loadavg is sampled BEFORE the
-  * run; past that point the bench's own local[32] work dominates the
-  * 1-minute loadavg, so an end sample self-triggers on every capture (seen
-  * in r08: hot:1 on a host at 0.04). Only the start sample decides `hot`;
-  * the end sample is still recorded in the local artifact for diagnostics.
+  * in past rounds (see BASELINE.md). The bench first WAITS for the host to
+  * go quiet (up to SPARK_GRAFT_QUIET_WAIT_SECS, default 300, poll 15 s) —
+  * two driver captures (r8, r9) were hot-flagged by transient co-tenant
+  * load that a grace window would have outlasted. /proc/loadavg is sampled
+  * BEFORE the run; past that point the bench's own local[32] work dominates
+  * the 1-minute loadavg, so an end sample self-triggers on every capture
+  * (seen in r08: hot:1 on a host at 0.04). Only the post-grace start sample
+  * decides `hot`; the end sample is still recorded in the local artifact
+  * for diagnostics. A hot capture writes BENCH_LOCAL_HOT.json, never
+  * overwriting the committed quiet artifact.
+  *
+  * Re-time protocol: SPARK_GRAFT_BENCH_ONLY=q72,q76 (short keys or full
+  * names) runs just those queries — the standalone re-time BASELINE.md's
+  * outlier adjudication calls for, without ad-hoc scala. Subset captures
+  * write BENCH_LOCAL_SUBSET.json.
   *
   * Error honesty: a query that throws in BOTH timed passes is excluded from
   * `queries` and `total` and listed in the always-present `"err"` array —
@@ -43,6 +53,51 @@ object Bench {
 
   /** `q07_segment_flag` -> `q07`; names without an underscore pass through. */
   def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  /** Self-defense against ambient host load: poll until the 1-minute
+    * loadavg drops below the hot threshold or `maxWaitSecs` elapses.
+    * Returns (finalLoad, secondsWaited). Two consecutive driver captures
+    * (r8, r9) were hot-flagged by transient co-tenant load and needed
+    * manual judge exoneration; waiting out the transient is cheaper than
+    * adjudicating a 10-100x phantom outlier after the fact. Injectable
+    * load/sleep so the spec can drive it without /proc or wall-clock. */
+  def waitForQuiet(maxWaitSecs: Int, pollSecs: Int,
+                   load: () => Double = loadAvg _,
+                   sleep: Int => Unit = s => Thread.sleep(s * 1000L)): (Double, Int) = {
+    var waited = 0
+    var l = load()
+    while (l > LoadHotThreshold && waited < maxWaitSecs) {
+      val step = math.min(pollSecs, maxWaitSecs - waited)
+      sleep(step)
+      waited += step
+      l = load()
+    }
+    (l, waited)
+  }
+
+  /** `SPARK_GRAFT_BENCH_ONLY` filter: comma-separated short keys (`q72`)
+    * or full names (`q72_bm25`), whitespace-tolerant, unknown keys
+    * ignored. None/blank → run everything. Makes BASELINE.md's
+    * single-query re-time adjudication protocol runnable by anyone
+    * without ad-hoc scala. */
+  def selectOnly(spec: Option[String], names: Seq[String]): Seq[String] =
+    spec.map(_.trim).filter(_.nonEmpty) match {
+      case None => names
+      case Some(s) =>
+        val wanted = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        names.filter(n => wanted.contains(n) || wanted.contains(shortKey(n)))
+    }
+
+  /** Local-artifact routing: a SUBSET re-time or a HOT capture must never
+    * overwrite the committed quiet full-suite artifact — r9's quiet
+    * BENCH_LOCAL.json was clobbered by the driver's hot run and only git
+    * history preserved the trustworthy numbers. */
+  def localArtifactPath(base: String, hot: Boolean, subset: Boolean): String = {
+    val suffix = if (subset) "_SUBSET" else if (hot) "_HOT" else ""
+    if (suffix.isEmpty) base
+    else if (base.endsWith(".json")) base.stripSuffix(".json") + suffix + ".json"
+    else base + suffix
+  }
 
   /** Render the driver-contract JSON line. Pure so the spec can bound its
     * length against the live query registry. Failed queries appear only in
@@ -73,22 +128,39 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val onlySpec = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val names = selectOnly(onlySpec, allNames)
+    val subset = names.size != allNames.size
+    if (names.isEmpty) {
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY='${onlySpec.getOrElse("")}' matches no query")
+      println(renderLine(Nil, sfDir, hot = false, Nil))
+      return
+    }
     val spark = GraftSession.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val loadStart = loadAvg()
+    // Wait out transient ambient load before sampling the start loadavg:
+    // the bench flags itself hot only if the host is STILL loaded after
+    // the grace window (default 5 min, poll 15 s; 0 disables).
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SECS", "300").toInt
+    val (loadStart, waited) = waitForQuiet(maxWait, 15)
+    if (waited > 0)
+      System.err.println(f"[bench] waited ${waited}s for ambient load to settle (now $loadStart%.2f)")
     if (loadStart > LoadHotThreshold)
-      System.err.println(f"[bench] WARNING ambient load $loadStart%.2f > $LoadHotThreshold at start; capture will be flagged hot")
+      System.err.println(f"[bench] WARNING ambient load $loadStart%.2f > $LoadHotThreshold after ${waited}s grace; capture will be flagged hot")
+
+    val queries = names.map(n => n -> SparkEntry.queries(n))
 
     // Warm every query once at the TARGET SF: whole-stage codegen compiles
     // per physical plan shape, and AQE picks different join strategies at
     // different data sizes — warming at a smaller SF compiles the wrong
     // shapes and the timed run still pays multi-second JIT. Steady state
     // means the exact plans have run once (JMH-style same-workload warmup).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
@@ -101,7 +173,7 @@ object Bench {
     // Each pass records (name, elapsed, succeeded). A query counts as timed
     // only on passes where it completed; crashing is not a timing.
     def timedPass(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
@@ -124,8 +196,11 @@ object Bench {
     val loadEnd = loadAvg()
     val hot = loadStart > LoadHotThreshold
 
-    // Full-name artifact for humans/judges (the driver line uses short keys).
-    val localPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL", "/root/repo/BENCH_LOCAL.json")
+    // Full-name artifact for humans/judges (the driver line uses short
+    // keys). Hot and subset captures route to sibling files so they can
+    // never clobber the committed quiet full-suite artifact.
+    val localBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL", "/root/repo/BENCH_LOCAL.json")
+    val localPath = localArtifactPath(localBase, hot, subset)
     try {
       val w = new java.io.PrintWriter(localPath)
       try w.println(renderFull(results, sfDir, loadStart, loadEnd, errs)) finally w.close()

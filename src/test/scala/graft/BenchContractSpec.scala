@@ -29,6 +29,41 @@ class BenchContractSpec extends AnyFunSuite {
     assert(hot.endsWith(""","err":[],"hot":1}"""))
   }
 
+  test("SPARK_GRAFT_BENCH_ONLY selects by short key or full name; blank runs all") {
+    val names = Seq("q01_agg", "q72_bm25", "q76_ivf_multiprobe")
+    assert(Bench.selectOnly(None, names) == names)
+    assert(Bench.selectOnly(Some("  "), names) == names)
+    assert(Bench.selectOnly(Some("q72,q76"), names) == Seq("q72_bm25", "q76_ivf_multiprobe"))
+    assert(Bench.selectOnly(Some(" q72_bm25 , q01 "), names) == Seq("q01_agg", "q72_bm25"))
+    assert(Bench.selectOnly(Some("q99,bogus"), names) == Nil)
+  }
+
+  test("hot and subset captures route away from the quiet local artifact") {
+    val base = "/root/repo/BENCH_LOCAL.json"
+    assert(Bench.localArtifactPath(base, hot = false, subset = false) == base)
+    assert(Bench.localArtifactPath(base, hot = true, subset = false) == "/root/repo/BENCH_LOCAL_HOT.json")
+    assert(Bench.localArtifactPath(base, hot = false, subset = true) == "/root/repo/BENCH_LOCAL_SUBSET.json")
+    // a hot SUBSET is still a subset — it must not claim the HOT name a
+    // full-suite capture would want to compare against
+    assert(Bench.localArtifactPath(base, hot = true, subset = true) == "/root/repo/BENCH_LOCAL_SUBSET.json")
+    assert(Bench.localArtifactPath("/x/custom", hot = true, subset = false) == "/x/custom_HOT")
+  }
+
+  test("waitForQuiet polls until the load drops and caps at the wait budget") {
+    // load settles on the 3rd sample: waits 2 polls, reports the quiet load
+    val samples = Iterator(9.0, 4.0, 0.4)
+    var slept = 0
+    val (l1, w1) = Bench.waitForQuiet(300, 15, () => samples.next(), s => slept += s)
+    assert(l1 == 0.4 && w1 == 30 && slept == 30)
+    // never settles: waits exactly the budget (13 -> polls 10 + 3), stays hot
+    var slept2 = 0
+    val (l2, w2) = Bench.waitForQuiet(13, 10, () => 8.0, s => slept2 += s)
+    assert(l2 == 8.0 && w2 == 13 && slept2 == 13)
+    // already quiet: no sleep at all
+    val (l3, w3) = Bench.waitForQuiet(300, 15, () => 0.2, _ => fail("must not sleep"))
+    assert(l3 == 0.2 && w3 == 0)
+  }
+
   test("failed queries surface in err, not in queries or total") {
     val res = Seq("q01_agg" -> 0.391)
     val line = Bench.renderLine(res, "/root/testdata/sf0.1", hot = false, errs = Seq("q04_blocklist", "q11_stream_window"))

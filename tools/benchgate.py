@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""2x bench gate: diff a BENCH_LOCAL.json capture against BASELINE.md's
+per-query pins and fail on quiet-capture regressions past the threshold.
+
+Usage: python3 tools/benchgate.py [BENCH_LOCAL.json] [BASELINE.md] [--ratio 2.0]
+
+Exit codes: 0 = pass, 1 = regression(s) or crashed queries, 2 = unusable
+inputs (missing/hot capture — a hot capture cannot adjudicate a gate; re-run
+quiet or use SPARK_GRAFT_BENCH_ONLY to re-time suspects).
+
+Protocol notes (BASELINE.md): a per-query number within the ratio is
+noise-compatible; queries in the capture's "err" array have no timing and
+always fail the gate; queries present in only one side are reported but do
+not fail (a new query has no pin yet — pin it at the next re-pin).
+"""
+import json
+import re
+import sys
+
+
+def parse_baseline(path):
+    pins = {}
+    row = re.compile(r"^\|\s*(q\w+)\s*\|\s*([0-9.]+)\s*\|")
+    with open(path) as f:
+        for line in f:
+            m = row.match(line)
+            if m:
+                pins[m.group(1)] = float(m.group(2))
+    return pins
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    bench_path = args[0] if len(args) > 0 else "BENCH_LOCAL.json"
+    base_path = args[1] if len(args) > 1 else "BASELINE.md"
+    ratio = 2.0
+    for a in argv:
+        if a.startswith("--ratio"):
+            ratio = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+
+    try:
+        with open(bench_path) as f:
+            cap = json.loads(f.read().strip())
+    except (OSError, ValueError) as e:
+        print(f"GATE UNUSABLE: cannot read {bench_path}: {e}")
+        return 2
+    pins = parse_baseline(base_path)
+    if not pins:
+        print(f"GATE UNUSABLE: no pins parsed from {base_path}")
+        return 2
+
+    load = cap.get("load", [None])[0]
+    if cap.get("hot") or (load is not None and load > 1.5):
+        print(f"GATE UNUSABLE: capture is hot (start load {load}) — "
+              "a loaded-host capture cannot adjudicate regressions; re-run quiet")
+        return 2
+
+    queries = cap.get("queries", {})
+    errs = cap.get("err", [])
+    failures = []
+    for q in errs:
+        failures.append(f"CRASH  {q}: in err array (no timing)")
+    for q, pin in sorted(pins.items()):
+        t = queries.get(q)
+        if t is None:
+            if not any(q.startswith(e) or e.startswith(q) for e in errs):
+                print(f"note   {q}: pinned {pin:.2f}s but absent from capture")
+            continue
+        r = t / pin if pin > 0 else float("inf")
+        if r > ratio:
+            failures.append(f"REGRESS {q}: {t:.2f}s vs pin {pin:.2f}s = {r:.2f}x (> {ratio}x)")
+    for q in sorted(set(queries) - set(pins)):
+        print(f"note   {q}: {queries[q]:.2f}s has no BASELINE.md pin yet")
+
+    total = sum(queries.values())
+    pinned_total = sum(pins[q] for q in pins if q in queries)
+    if failures:
+        print("\n".join(failures))
+        print(f"GATE FAIL: {len(failures)} issue(s); total {total:.1f}s vs pinned {pinned_total:.1f}s")
+        return 1
+    print(f"GATE PASS: {len([q for q in pins if q in queries])} pinned queries within "
+          f"{ratio}x; total {total:.1f}s vs pinned {pinned_total:.1f}s "
+          f"({total / pinned_total:.2f}x)" if pinned_total else "GATE PASS (no overlap)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
