@@ -254,6 +254,91 @@ object NearDup {
     out
   }
 
+  /** Winnowing-based candidate pairs: documents sharing at least one
+    * selected fingerprint ([[Winnowing.fingerprints]], the MOSS selection).
+    * The cheaper candidate generator for duplicate CLUSTERING than the
+    * every-shared-gram equality join: winnowing keeps ~2/(w+1) of the gram
+    * hashes, so the self-join key space (and the C(f,2) blowup per shared
+    * key) shrinks by the same factor, while the MOSS guarantee keeps
+    * recall structural — any shared token run of length ≥ w+k−1 still
+    * shares a selected fingerprint.
+    *
+    * @param maxFpFreq drop fingerprints selected by more than this many
+    *   documents before the self-join (the stop-gram cap transplanted to
+    *   fingerprint space: a boilerplate fingerprint in f docs costs f²
+    *   candidate rows; members of a dropped fingerprint can still pair via
+    *   their other fingerprints). 0 = off. */
+  /** @param minSharedFps emit a pair only when the documents share at
+    *   least this many selected fingerprints. 1 keeps the raw MOSS
+    *   guarantee; 2+ is the precision cut MOSS itself ranks by — a pair
+    *   that is a genuine near-dup at meaningful Jaccard shares many
+    *   selected windows, while a single shared fingerprint is usually one
+    *   boilerplate run. Cuts the verification fan-in by orders of
+    *   magnitude at a recall cost only for pairs whose entire overlap is
+    *   one run. */
+  def winnowCandidatePairs(df: DataFrame, idCol: Column, textCol: Column,
+                           k: Int, w: Int, maxFpFreq: Long = 0L,
+                           minSharedFps: Int = 1): DataFrame = {
+    // the fingerprint set is tiny by construction (~2/(w+1) of the gram
+    // hashes, deduped): materialize it ONCE — it feeds the hot-fp census
+    // and BOTH self-join sides, and left lazy each consumer would re-run
+    // the posexplode + window-min selection over the whole corpus
+    val fps = Winnowing.fingerprints(df, idCol, textCol, k, w).localCheckpoint(true)
+    val kept =
+      if (maxFpFreq <= 0L) fps
+      else {
+        val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxFpFreq).select(col("fp").as("__hot_fp"))
+        // the census reads the materialized fps, so the anti-join plans as
+        // one broadcast filter over it — no second winnowing pass
+        fps.join(hot, col("fp") === col("__hot_fp"), "left_anti")
+      }
+    val joined = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    if (minSharedFps <= 1) joined.distinct()
+    else joined.groupBy("id_a", "id_b").agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minSharedFps)
+      .select("id_a", "id_b")
+  }
+
+  /** Winnowing candidates verified with exact k-gram Jaccard ≥ threshold —
+    * the [[winnowCandidatePairs]] generator feeding the same verification
+    * the MinHash-LSH path uses: shingle ONLY the candidate documents
+    * (semi-join on the un-exploded corpus), intersect-count, arithmetic.
+    * Emits (id_a, id_b, jaccard), the [[DupClusters]] edge shape. */
+  def winnowJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                         k: Int, w: Int, threshold: Double,
+                         maxFpFreq: Long = 0L, minSharedFps: Int = 1,
+                         broadcastCandidateLimit: Long = 5000000L): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val candPersisted = winnowCandidatePairs(df, idCol, textCol, k, w, maxFpFreq, minSharedFps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hintable = candPersisted.count() <= broadcastCandidateLimit
+    val cand = if (hintable) broadcast(candPersisted) else candPersisted
+    // Shingle only docs appearing in a candidate pair; the per-doc gram
+    // count rides along so |A|/|B| need no separate sizes aggregation.
+    def candSide(pairIdCol: String): DataFrame = {
+      val idsUnhinted = candPersisted.select(col(pairIdCol).as("__cid")).distinct()
+      val ids = if (hintable) broadcast(idsUnhinted) else idsUnhinted
+      df.join(ids, idCol === col("__cid"), "left_semi")
+        .select(idCol.as("id"), call_function("graft_shingles", textCol, lit(k)).as("g"))
+        .where(col("id").isNotNull)
+        .select(col("id"), size(col("g")).cast("long").as("n"), explode(col("g")).as("gram"))
+    }
+    val verified = candSide("id_a").toDF("id_a", "na", "gram")
+      .join(cand, Seq("id_a"))
+      .join(candSide("id_b").toDF("id_b", "nb", "gram"), Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    val out = verified.localCheckpoint(true)
+    candPersisted.unpersist(false)
+    out
+  }
+
   /** SimHash-banded near-duplicate pairs: fingerprint with the native
     * `graft_simhash64` expression, split the 64-bit string into `bands`
     * equal substrings, take candidate pairs from exact band equality, verify

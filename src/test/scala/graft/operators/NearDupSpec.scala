@@ -28,6 +28,32 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0.5)))
   }
 
+  test("winnowCandidatePairs: MOSS recall guarantee, minSharedFps cut, hot-fp cap") {
+    // docs 1,2 share the 7-token run "c1 c2 c3 c4 c5 c6 c7" >= w+k-1 = 6
+    // tokens, so with k=3, w=4 they MUST share a selected fingerprint
+    val wd = Seq(
+      (1L, "a1 a2 c1 c2 c3 c4 c5 c6 c7 a3 a4"),
+      (2L, "b1 b2 c1 c2 c3 c4 c5 c6 c7 b3 b4"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text")
+    val cand = NearDup.winnowCandidatePairs(wd, col("doc_id"), col("text"), k = 3, w = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)), s"got $cand")
+    // a demanding minSharedFps drops the single-run pair
+    val strict = NearDup.winnowCandidatePairs(wd, col("doc_id"), col("text"), 3, 4,
+      minSharedFps = 100)
+    assert(strict.count() == 0)
+    // hot-fp cap 1: every shared fingerprint is in 2 docs > 1, pair vanishes
+    val capped = NearDup.winnowCandidatePairs(wd, col("doc_id"), col("text"), 3, 4,
+      maxFpFreq = 1L)
+    assert(capped.count() == 0)
+    // verified path agrees with the exact Jaccard on the candidate pair
+    val verified = NearDup.winnowJaccardPairs(wd, col("doc_id"), col("text"), 3, 4, 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val exact = NearDup.ngramJaccardPairs(wd, col("doc_id"), col("text"), 3, 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(verified == exact && verified.nonEmpty, s"winnow $verified vs exact $exact")
+  }
+
   test("ngramContainmentPairs catches a quote Jaccard dilutes") {
     val quote = Seq(
       (1L, "alpha beta gamma delta"),                                // 2 grams, both inside doc 2
