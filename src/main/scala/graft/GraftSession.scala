@@ -21,6 +21,13 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // TIMESTAMP(NANOS) parquet (produced by some writers; the events
+      // testdata has flip-flopped types across regenerations) reads as
+      // LongType instead of failing; Tables.events normalizes from
+      // whichever type loaded. Set ONCE here — a per-read conf mutation
+      // would silently change how unrelated nanos parquet in the same
+      // session reads.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized like the driver's harness. */

@@ -12,11 +12,13 @@ object Verify {
       if (args.length > 2) { val pats = args(2).split(","); n => pats.exists(n.contains) }
       else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // GraftSession (not a bare builder): the engine defaults carry the
+    // set-once nanosAsLong flag that lets legacy TIMESTAMP(NANOS) events
+    // files open — a bare session would crash every events query the next
+    // time the testdata generator flips the physical type.
+    val spark = GraftSession.builder("graft-verify")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
