@@ -8,8 +8,11 @@ package graft.operators
   * — no DSP library involved): [[flacPcm]] decodes CONSTANT, VERBATIM,
   * FIXED (orders 0-4) and LPC (orders 1-32) subframes with 4/5-bit Rice
   * partitions, escape partitions, wasted bits, and all four channel
-  * decorrelations. Only genuinely lossy codecs (MP3/AAC, video) need a
-  * decoder library and stay with [[Multimodal.decodeStub]].
+  * decorrelations. The telephony companding formats are integer table
+  * math from the public G.711 spec: mu-law (WAV format 7), A-law (format
+  * 6), and IMA/DVI ADPCM block coding (format 0x11) all decode to real
+  * samples. Only genuinely entropy-coded lossy codecs (MP3/AAC, video)
+  * need a decoder library and stay with [[Multimodal.decodeStub]].
   *
   * Samples normalize to the signed 16-bit range regardless of source depth
   * (8-bit unsigned WAV centers, 24/32-bit truncate their low bits), so
@@ -60,6 +63,7 @@ object AudioCodec {
   private def wav(b: Array[Byte]): Option[Clip] = {
     var i = 12
     var ch = -1; var rate = -1; var bits = -1; var fmtCode = -1
+    var blockAlign = -1; var samplesPerBlock = -1
     var dataOff = -1; var dataLen = -1L
     while (i + 8 <= b.length && (ch < 0 || dataOff < 0)) {
       val size = le32(b, i + 4)
@@ -69,7 +73,11 @@ object AudioCodec {
         fmtCode = le16(b, body)
         ch = le16(b, body + 2)
         rate = le32(b, body + 4).toInt
+        blockAlign = le16(b, body + 12)
         bits = le16(b, body + 14)
+        // extended fmt: cbSize (body+16), then wSamplesPerBlock for ADPCM
+        if (size >= 20 && body + 20 <= b.length && le16(b, body + 16) >= 2)
+          samplesPerBlock = le16(b, body + 18)
       } else if (tag(b, i, "data")) {
         dataOff = body
         dataLen = size
@@ -80,26 +88,160 @@ object AudioCodec {
       }
       i = body + math.min(size, b.length.toLong).toInt + (size.toInt & 1)
     }
-    if (fmtCode != 1 || ch <= 0 || rate <= 0 || dataOff < 0) return None
-    if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
-    val bytesPer = bits / 8
+    if (ch <= 0 || rate <= 0 || dataOff < 0) return None
     val avail = math.min(dataLen, (b.length - dataOff).toLong)
-    val frames = avail / (bytesPer.toLong * ch)
-    val n = frames * ch
-    if (n <= 0 || n > MaxSamples) return None
-    val out = new Array[Short](n.toInt)
-    var s = 0
-    while (s < out.length) {
-      val p = dataOff + s * bytesPer
-      out(s) = bits match {
-        case 8  => (((b(p) & 0xff) - 128) << 8).toShort // WAV 8-bit is unsigned
-        case 16 => le16(b, p).toShort
-        case 24 => (((b(p + 2) & 0xff) << 8) | (b(p + 1) & 0xff)).toShort
-        case 32 => le32(b, p).>>(16).toShort
-      }
-      s += 1
+    fmtCode match {
+      case 1 => // linear PCM: byte-order assembly
+        if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+        val bytesPer = bits / 8
+        val frames = avail / (bytesPer.toLong * ch)
+        val n = frames * ch
+        if (n <= 0 || n > MaxSamples) return None
+        val out = new Array[Short](n.toInt)
+        var s = 0
+        while (s < out.length) {
+          val p = dataOff + s * bytesPer
+          out(s) = bits match {
+            case 8  => (((b(p) & 0xff) - 128) << 8).toShort // WAV 8-bit is unsigned
+            case 16 => le16(b, p).toShort
+            case 24 => (((b(p + 2) & 0xff) << 8) | (b(p + 1) & 0xff)).toShort
+            case 32 => le32(b, p).>>(16).toShort
+          }
+          s += 1
+        }
+        Some(Clip(ch, rate, bits, out))
+      case 6 | 7 => // G.711 A-law / mu-law: one byte per sample, table expand
+        if (bits != 8) return None
+        val n = (avail / ch) * ch
+        if (n <= 0 || n > MaxSamples) return None
+        val out = new Array[Short](n.toInt)
+        var s = 0
+        while (s < out.length) {
+          val c = b(dataOff + s) & 0xff
+          out(s) = if (fmtCode == 7) ulawToLinear(c) else alawToLinear(c)
+          s += 1
+        }
+        Some(Clip(ch, rate, bits, out))
+      case 0x11 => // IMA ADPCM: 4-bit block-coded
+        imaAdpcm(b, dataOff, avail, ch, rate, blockAlign, samplesPerBlock)
+      case _ => None
     }
-    Some(Clip(ch, rate, bits, out))
+  }
+
+  /** G.711 mu-law expansion (the public decode rule the G.711 tables are
+    * generated from): invert, bias the mantissa by 0x84 (132), shift by
+    * the 3-bit exponent, restore sign. Max magnitude 32124. */
+  private[operators] def ulawToLinear(code: Int): Short = {
+    val u = ~code & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law expansion: toggle the even bits (0x55), then piecewise —
+    * segment 0 is linear (step 8, offset 8), higher segments double the
+    * step with an 0x108 base. Sign bit SET means positive in A-law. Max
+    * magnitude 32256. */
+  private[operators] def alawToLinear(code: Int): Short = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    t = seg match {
+      case 0 => t + 8
+      case 1 => t + 0x108
+      case s => (t + 0x108) << (s - 1)
+    }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  private val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767)
+  private val AdpcmIndex: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA/DVI ADPCM block decode: per block and channel a 4-byte header
+    * (int16 predictor, step index, reserved), then the channels' nibble
+    * data interleaved in 4-byte groups (low nibble first). A truncated
+    * final block decodes its whole 4-byte groups (prefix-read tolerance,
+    * like the PCM paths). */
+  private def imaAdpcm(b: Array[Byte], dataOff: Int, avail: Long, ch: Int,
+                       rate: Int, blockAlign: Int, samplesPerBlockHdr: Int): Option[Clip] = {
+    if (ch < 1 || ch > 2) return None
+    if (blockAlign < 4 * ch + 4 * ch || blockAlign % (4 * ch) != 0) return None
+    // standard derivation when the extended-fmt field is absent
+    val spb =
+      if (samplesPerBlockHdr > 0) samplesPerBlockHdr
+      else (blockAlign - 4 * ch) * 2 / ch + 1
+    val nibblesPerChanPerBlock = (blockAlign - 4 * ch) * 2 / ch
+    if (spb != nibblesPerChanPerBlock + 1) return None // inconsistent header
+    val nBlocks = avail / blockAlign
+    val lastPartial = (avail % blockAlign) >= (4 * ch + 4 * ch) // header + >=1 group
+    val totalBlocks = nBlocks + (if (lastPartial) 1 else 0)
+    if (totalBlocks <= 0 || totalBlocks * spb.toLong * ch > MaxSamples) return None
+
+    val out = new java.util.ArrayList[Array[Short]]()
+    var blk = 0L
+    while (blk < totalBlocks) {
+      val off = dataOff + blk * blockAlign
+      val blockBytes = math.min(blockAlign.toLong, avail - blk * blockAlign).toInt
+      val pred = new Array[Int](ch)
+      val idx = new Array[Int](ch)
+      var c = 0
+      while (c < ch) {
+        val h = (off + c * 4).toInt
+        pred(c) = (le16(b, h) << 16) >> 16 // sign-extend
+        idx(c) = math.max(0, math.min(88, b(h + 2) & 0xff))
+        c += 1
+      }
+      // header sample, then decoded nibbles
+      val dataBytes = blockBytes - 4 * ch
+      val groups = dataBytes / (4 * ch) // whole interleave groups only
+      val samplesThisBlock = 1 + groups * 8
+      val blockOut = new Array[Short](samplesThisBlock * ch)
+      c = 0
+      while (c < ch) { blockOut(c) = pred(c).toShort; c += 1 }
+      var g = 0
+      while (g < groups) {
+        c = 0
+        while (c < ch) {
+          val gOff = (off + 4 * ch + (g * ch + c) * 4).toInt
+          var k = 0
+          while (k < 8) {
+            val byte = b(gOff + k / 2) & 0xff
+            val nib = if ((k & 1) == 0) byte & 0x0f else (byte >> 4) & 0x0f
+            val step = AdpcmStep(idx(c))
+            var diff = step >> 3
+            if ((nib & 1) != 0) diff += step >> 2
+            if ((nib & 2) != 0) diff += step >> 1
+            if ((nib & 4) != 0) diff += step
+            pred(c) = math.max(-32768, math.min(32767,
+              if ((nib & 8) != 0) pred(c) - diff else pred(c) + diff))
+            idx(c) = math.max(0, math.min(88, idx(c) + AdpcmIndex(nib)))
+            blockOut((1 + g * 8 + k) * ch + c) = pred(c).toShort
+            k += 1
+          }
+          c += 1
+        }
+        g += 1
+      }
+      out.add(blockOut)
+      blk += 1
+    }
+    var total = 0
+    val it0 = out.iterator()
+    while (it0.hasNext) total += it0.next().length
+    if (total == 0) return None
+    val samples = new Array[Short](total)
+    var w = 0
+    val it = out.iterator()
+    while (it.hasNext) { val a = it.next(); System.arraycopy(a, 0, samples, w, a.length); w += a.length }
+    Some(Clip(ch, rate, 4, samples))
   }
 
   /** FORM walk: COMM carries the stream parameters (80-bit extended sample

@@ -35,7 +35,21 @@ class DecoderFuzzSpec extends AnyFunSuite {
       be32(20) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++ "isom".getBytes ++
         be32(16) ++ "moov".getBytes ++ be32(8) ++ "free".getBytes
     }
-    Seq("png" -> png, "wav" -> wav, "flac" -> flac, "mp4" -> mp4)
+    def compandedWav(fmtCode: Int, blockAlign: Int, data: Array[Byte], ext: Array[Byte]) = {
+      def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+      def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+      val fmtBody = le16(fmtCode) ++ le16(1) ++ le32(8000) ++ le32(8000 * blockAlign) ++
+        le16(blockAlign) ++ le16(if (fmtCode == 0x11) 4 else 8) ++ ext
+      "RIFF".getBytes ++ le32(4 + 8 + fmtBody.length + 8 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(fmtBody.length) ++ fmtBody ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    val ulaw = compandedWav(7, 1, Array(0xff, 0x80, 0x00, 0x7f).map(_.toByte), Array.empty)
+    val adpcm = compandedWav(0x11, 8,
+      Array(100, 0, 0, 0, 0x01, 0xF8, 0x24, 0x39).map(_.toByte),
+      Array(2, 0, 9, 0).map(_.toByte))
+    Seq("png" -> png, "wav" -> wav, "flac" -> flac, "mp4" -> mp4,
+      "ulaw" -> ulaw, "adpcm" -> adpcm)
   }
 
   private def drive(b: Array[Byte]): Unit = {
