@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * unfilter, no codec library), uncompressed 24-bit BMP ([[resizeBmp]] /
   * [[bmpPixels]]), JPEG and GIF (via the JDK's own `javax.imageio` —
   * standard-library, not a third-party codec; [[imageIoPixels]]), and
-  * WAV/AIFF PCM and FLAC audio (byte-order assembly and a pure-JVM FLAC
-  * decode via [[AudioCodec]] — lossless audio needs no codec library).
-  * Only formats that genuinely need a decoder LIBRARY
-  * (MP3/AAC, video codecs) fall back to the deterministic STUB
-  * (`decodeStub`), clearly labeled as such. Swapping in a real codec for
+  * WAV/AIFF PCM, G.711 companded, IMA ADPCM, and FLAC audio (byte-order
+  * assembly, integer companding tables, and a pure-JVM FLAC decode via
+  * [[AudioCodec]] — lossless/telephony audio needs no codec library), and
+  * MJPEG video ([[decodeVideoFrames]]: MP4 sample-table extraction via
+  * [[Mp4Codec]] composed with the JPEG raster decode — each MJPEG sample
+  * is a complete JPEG). Only formats that genuinely need a decoder
+  * LIBRARY (MP3/AAC, entropy-coded video like H.26x/AV1) fall back to the
+  * deterministic STUB (`decodeStub`), clearly labeled as such. Swapping in a real codec for
   * those means replacing only that function body; everything around it
   * (the `mapPartitions` batching, the schema contract) is
   * production-shaped.
@@ -389,6 +392,50 @@ object Multimodal {
             }
         }
       }.toDF("media_id", "frame_idx", "is_key", "frame")
+  }
+
+  /** Pixels of ONE extracted video sample. MJPEG tracks (codec 'jpeg' /
+    * 'mjpa' / 'MJPG') carry a complete JPEG image per sample, so the
+    * raster decoders apply directly — no video codec library involved.
+    * Entropy-coded codecs (H.26x, AV1) yield None here; their samples
+    * stay with the stub contract. */
+  def framePixels(b: Array[Byte]): Option[PngCodec.Image] =
+    PngCodec.decode(b).orElse(bmpPixels(b)).orElse(imageIoPixels(b))
+
+  final case class VideoFrameFeatures(media_id: Long, frame_idx: Int, is_key: Boolean,
+                                      decoded: Boolean, width: Int, height: Int,
+                                      features: Array[Float])
+
+  /** REAL end-to-end video frame decode for MJPEG containers: container-
+    * level sample selection ([[sampleVideoFrames]] semantics) composed
+    * with the per-sample raster decode ([[framePixels]]) and band-
+    * luminance features ([[rasterFeatures]]). One row per selected frame;
+    * `decoded=false` (empty features) marks samples of codecs that need a
+    * decoder library. The scale shape survives: selection is pure sample-
+    * table arithmetic, the expensive pixel decode runs only on selected
+    * frames, and everything is per-partition batched with constant memory
+    * per task. */
+  def decodeVideoFrames(df: DataFrame, every: Int = 1, keyframesOnly: Boolean = false,
+                        dim: Int = 16): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    implicit val enc = Encoders.product[VideoFrameFeatures]
+    df.select(col("media_id").cast("long"), col("media"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+          Mp4Codec.frames(bytes).toSeq.flatten
+            .filter(f => !keyframesOnly || f.isKey)
+            .zipWithIndex.collect { case (f, i) if i % every == 0 =>
+              val fb = java.util.Arrays.copyOfRange(bytes, f.offset.toInt, (f.offset + f.size).toInt)
+              framePixels(fb) match {
+                case Some(img) => VideoFrameFeatures(r.getLong(0), f.idx, f.isKey,
+                  decoded = true, img.width, img.height, rasterFeatures(img, dim))
+                case None => VideoFrameFeatures(r.getLong(0), f.idx, f.isKey,
+                  decoded = false, 0, 0, Array.emptyFloatArray)
+              }
+            }
+        }
+      }.toDF("media_id", "frame_idx", "is_key", "decoded", "width", "height", "features")
   }
 
   /** Frame/segment sampling: cut the payload into fixed-size chunks and

@@ -48,20 +48,46 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val adpcm = compandedWav(0x11, 8,
       Array(100, 0, 0, 0, 0x01, 0xF8, 0x24, 0x39).map(_.toByte),
       Array(2, 0, 9, 0).map(_.toByte))
+    val mjpeg = {
+      // MJPEG-in-MP4: one real JPEG sample behind minimal sample tables,
+      // so mutations hit the container walk AND the frame-pixel decode
+      def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      def bx(t: String, p: Array[Byte]) = be32(p.length + 8) ++ t.getBytes ++ p
+      def full(t: String, p: Array[Byte]) = bx(t, Array[Byte](0, 0, 0, 0) ++ p)
+      val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      val jpeg = out.toByteArray
+      val ftyp = bx("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+      val mdat = bx("mdat", jpeg)
+      val stbl = bx("stbl", full("stsd", be32(1) ++ be32(16) ++ "jpeg".getBytes ++ Array.fill[Byte](8)(0)) ++
+        full("stsz", be32(0) ++ be32(1) ++ be32(jpeg.length)) ++
+        full("stsc", be32(1) ++ be32(1) ++ be32(1) ++ be32(1)) ++
+        full("stco", be32(1) ++ be32(ftyp.length + 8)))
+      val hdlr = full("hdlr", be32(0) ++ "vide".getBytes ++ Array.fill[Byte](13)(0))
+      val moov = bx("moov", full("mvhd", be32(0) ++ be32(0) ++ be32(1000) ++ be32(1000) ++ be32(0x10000)) ++
+        bx("trak", bx("mdia", hdlr ++ bx("minf", stbl))))
+      ftyp ++ mdat ++ moov
+    }
     Seq("png" -> png, "wav" -> wav, "flac" -> flac, "mp4" -> mp4,
-      "ulaw" -> ulaw, "adpcm" -> adpcm)
+      "ulaw" -> ulaw, "adpcm" -> adpcm, "mjpeg" -> mjpeg)
   }
 
   private def drive(b: Array[Byte]): Unit = {
     PngCodec.decode(b)
     AudioCodec.decode(b)
     Mp4Codec.videoInfo(b)
-    Mp4Codec.frames(b)
     Multimodal.bmpPixels(b)
     Multimodal.decodeMedia(1L, b, 4)
     graft.plans.ImageMeta.compute(b)
     graft.plans.AudioMeta.compute(b)
     graft.plans.VideoMeta.compute(b)
+    // the MJPEG composition: every extracted sample range through the
+    // frame-pixel decode (frames() guarantees ranges lie inside b)
+    Mp4Codec.frames(b).toSeq.flatten.take(8).foreach { f =>
+      Multimodal.framePixels(
+        java.util.Arrays.copyOfRange(b, f.offset.toInt, (f.offset + f.size).toInt))
+    }
   }
 
   test("random buffers never throw in any decoder") {

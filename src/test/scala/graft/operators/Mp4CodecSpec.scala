@@ -194,6 +194,45 @@ class Mp4CodecSpec extends SparkSpec {
     assert(viaSql.head.getString(0) == "avc1")
   }
 
+  test("MJPEG container decodes to real per-frame pixels and band features") {
+    import ss.implicits._
+    // two real JPEG frames: one half-black/half-white (band mean ~0.5),
+    // one all-black (band mean ~0) — JPEG loss cannot blur those apart
+    def jpegOf(rgb: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, rgb(x))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out), "JDK lacks a jpg writer")
+      out.toByteArray
+    }
+    val half = jpegOf(x => if (x < 8) 0x000000 else 0xffffff)
+    val black = jpegOf(_ => 0x000000)
+    val mdat = box("mdat", cat(half, black))
+    val base = ftyp.length + 8
+    val stbl = Seq(
+      stsd("jpeg"), // the MJPEG-in-MP4 sample-description fourcc
+      stsz(Seq(half.length, black.length)),
+      stsc(Seq((1, 2))),
+      stco(Seq(base.toLong)))
+    val b = cat(ftyp, mdat, box("moov", cat(mvhd(1000, 2000), trak("vide", 16, 8, stbl: _*))))
+    assert(Mp4Codec.videoInfo(b).get.codec == "jpeg")
+
+    val df = Seq((7L, b), (8L, "not video".getBytes)).toDF("media_id", "media")
+    val rows = Multimodal.decodeVideoFrames(df, dim = 4).orderBy("media_id", "frame_idx").collect()
+    assert(rows.length == 2, "non-video rows contribute nothing")
+    assert(rows.forall(_.getAs[Boolean]("decoded")), "MJPEG samples must really decode")
+    assert(rows.forall(r => r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 8))
+    val f0 = rows(0).getAs[scala.collection.Seq[Float]]("features")
+    val f1 = rows(1).getAs[scala.collection.Seq[Float]]("features")
+    assert(f0.length == 4 && f0.forall(v => math.abs(v - 0.5f) < 0.02f), f0.mkString(","))
+    assert(f1.forall(_ < 0.02f), f1.mkString(","))
+    // an entropy-coded track (avc1 bitstream samples) is marked undecoded
+    val avc = sampleMp4()
+    val avcRows = Multimodal.decodeVideoFrames(Seq((9L, avc)).toDF("media_id", "media")).collect()
+    assert(avcRows.nonEmpty && avcRows.forall(r =>
+      !r.getAs[Boolean]("decoded") && r.getAs[scala.collection.Seq[Float]]("features").isEmpty))
+  }
+
   test("sampleVideoFrames extracts keyframes and every-Nth through the distributed stage") {
     import ss.implicits._
     val df = Seq((1L, sampleMp4()), (2L, "junk".getBytes)).toDF("media_id", "media")
