@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * needs every occurrence), window min per starting position, distinct
   * (doc, hash) at the end.
   *
-  * Scale shape: one narrow projection builds positional grams in-row
-  * (`transform(sequence)`), one hash-partition by doc + in-partition sort
-  * by position for the window min, one distinct. Window state is w rows;
-  * no joins, no driver work.
+  * Scale shape: selection runs entirely inside the native `graft_winnow`
+  * expression ([[graft.plans.WinnowFps]]) — a narrow codegen'd map, NO
+  * shuffle. The composed form (posexplode every positional gram hash +
+  * partitionBy(doc)/orderBy(pos) window min) shuffled an intermediate
+  * several times the corpus size; now only the selected fingerprints
+  * (~2/(w+1) of the gram hashes, deduped in-row) leave the document, and
+  * the one remaining exchange is the cross-row distinct on that small
+  * set.
   */
 object Winnowing {
 
@@ -33,29 +37,9 @@ object Winnowing {
   def fingerprints(df: DataFrame, idCol: Column, textCol: Column,
                    k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val toks = filter(split(textCol, " "), t => t =!= "")
-    // filter BEFORE building grams: sequence(0, n-k) with n < k descends
-    // into negatives; n >= k+w-1 also guarantees at least one full window.
-    // __n (the gram count) is DERIVED ARITHMETICALLY from the token count,
-    // never as size(<the transform>): CollapseProject inlines a projected
-    // expression into post-explode consumers, and size-of-transform would
-    // re-build the whole gram array once per exploded row (measured 15 s
-    // on 5000 docs vs ~1 s total for the arithmetic form).
-    val base = df.select(idCol.as("doc_id"), toks.as("__t"))
-      .where(size(col("__t")) >= k + w - 1)
-      .select(col("doc_id"), col("__t"), (size(col("__t")) - (k - 1)).as("__n"))
-    val grams = transform(
-      sequence(lit(0), size(col("__t")) - k),
-      i => concat_ws(" ", slice(col("__t"), i + lit(1), lit(k))))
-    val hashed = base
-      .select(col("doc_id"), col("__n"), posexplode(grams).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("__n"), col("pos"),
-        substring(md5(col("gram")), 1, 16).as("h"))
-    hashed
-      .withColumn("fp", min(col("h")).over(
-        Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.currentRow, w - 1)))
-      .where(col("pos") <= col("__n") - w) // full windows only
-      .select("doc_id", "fp").distinct()
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(idCol.as("doc_id"),
+        explode(call_function("graft_winnow", textCol, lit(k), lit(w))).as("fp"))
+      .distinct()
   }
 }

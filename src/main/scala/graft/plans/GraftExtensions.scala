@@ -63,6 +63,12 @@ object GraftExtensions {
         require(args.length == 1, "graft_nfc takes exactly one argument")
         NfcNormalize(args.head)
       }),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnow takes (text, k, w)")
+        WinnowFps(args.head, args(1), args(2))
+      }),
     (FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
       (args: Seq[Expression]) => {
