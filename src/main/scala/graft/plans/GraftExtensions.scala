@@ -104,6 +104,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_video_meta takes exactly one argument")
         VideoMeta(args.head)
+      }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler takes exactly two arguments")
+        JaroWinkler(args.head, args(1))
       }))
 
   /** Register the graft function set on an already-built session. */

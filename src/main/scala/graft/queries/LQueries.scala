@@ -63,6 +63,7 @@ object LQueries {
     "q93_winnow_fp" -> ((s, d) => q93(s, d)),
     "q94_collocations" -> ((s, d) => q94(s, d)),
     "q95_winnow_clusters" -> ((s, d) => q95(s, d)),
+    "q96_record_linkage" -> ((s, d) => q96(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -374,6 +375,17 @@ object LQueries {
       NearDup.winnowJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         k = 3, w = 4, threshold = 0.5, maxFpFreq = 50L, minSharedFps = 2))
 
+  /** L51: fuzzy record linkage — every customer-name pair within edit
+    * distance 1 via FastSS deletion-neighborhood blocking (exact under the
+    * Bocek et al. theorem; the oracle replays the same neighborhood join +
+    * levenshtein verify). The synthetic names differ in single digits, so
+    * distance-1 neighbors are the adjacent-id shapes a fat-finger dedup
+    * would catch on a real mailing list. maxVariantFreq=1000 exercises the
+    * degenerate-block cap (no block comes close on this corpus). */
+  def q96(s: SparkSession, d: String): DataFrame =
+    graft.operators.RecordLinkage.editDistancePairs(Tables.customer(s, d),
+      col("c_custkey"), col("c_name"), maxDist = 1, maxVariantFreq = 1000L)
+
   /** L43: training-sequence packing — concat-then-chunk per source at 512
     * tokens, integer math over the per-group prefix sum → exact oracle. */
   def q85(s: SparkSession, d: String): DataFrame = {
@@ -610,6 +622,19 @@ object LQueries {
         |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+    "q96_record_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |v AS (SELECT DISTINCT id, md5(variant) AS vh FROM (
+        |  SELECT id, unnest(list_prepend(s, list_transform(range(1, len(s) + 1),
+        |         i -> substr(s, 1, i - 1) || substr(s, i + 1, len(s))))) AS variant
+        |  FROM c) t),
+        |vk AS (SELECT id, vh FROM v
+        |       WHERE vh IN (SELECT vh FROM v GROUP BY vh HAVING count(*) <= 1000)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM vk a JOIN vk b ON a.vh = b.vh AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(sa.s, sb.s) AS INTEGER) AS dist
+        |FROM cand JOIN c sa ON sa.id = cand.id_a JOIN c sb ON sb.id = cand.id_b
+        |WHERE levenshtein(sa.s, sb.s) <= 1""".stripMargin,
     "q93_winnow_fp" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
         |           FROM documents),
