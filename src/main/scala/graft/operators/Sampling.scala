@@ -149,4 +149,45 @@ object Sampling {
         (expr(s"__last div ${capacity}L") - expr(s"__start div ${capacity}L") + 1)
           .as("n_seqs_spanned"))
   }
+
+  /** Priority sampling (Duffield, Lund, Thorup — JACM 2007): a weighted
+    * k-sample whose per-item estimates `max(w_i, τ)` give UNBIASED subset-
+    * sum estimates with near-optimal variance — the principled way to keep
+    * a k-row sketch of a 100 TB corpus that still answers "how many tokens
+    * does slice X hold" (uniform sampling misses heavy items; keep-top-k
+    * biases every subset sum).
+    *
+    * Each item gets priority `q_i = w_i / u_i` with `u_i` a deterministic
+    * md5-derived uniform in (0, 1]; the sample is the top k by priority and
+    * τ is the (k+1)-th priority. Engine-portable by construction: u comes
+    * from the first 8 md5 hex digits (the [[Profiler.tableFingerprint]]
+    * idiom), priority is ⌊w·2³²/(h+1)⌋ — one fixed IEEE double expression
+    * over exactly-representable integers, floored to BIGINT.
+    *
+    * Scale shape: one narrow priority projection, then global top-(k+1)
+    * through the bounded-heap [[graft.plans.TopKPerKey]] plan (AllTuples
+    * mode — map-side heaps, survivors-only exchange, no corpus sort); τ
+    * rides back as a broadcast 1-row aggregate over the k+1 survivors.
+    * When the corpus has ≤ k rows every row is kept and τ = 0, so the
+    * estimator degenerates to the exact weights — the paper's contract. */
+  def prioritySample(df: DataFrame, idCol: Column, weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val digits = (1 to 8).map(i =>
+      (instr(lit("0123456789abcdef"), substring(md5(idCol.cast("string")), i, 1)) - 1).cast("long"))
+    val h32 = digits.reduce((acc, d) => acc * 16L + d)
+    val base = df.select(idCol.as("id"), weightCol.cast("long").as("weight"),
+      floor(weightCol.cast("long") * lit(4294967296.0) / (h32 + lit(1L)).cast("double"))
+        .cast("long").as("priority_q"))
+    val top = TopK.topKPerKeyNative(base, Seq(),
+      Seq(col("priority_q").desc, col("id").asc), k + 1)
+    // rank the k+1 survivors (tiny) to split sample vs threshold row
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority_q").desc, col("id").asc)
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val tau = ranked.agg(
+      coalesce(max(when(col("__rn") === k + 1, col("priority_q"))), lit(0L)).as("tau_q"))
+    ranked.filter(col("__rn") <= k).drop("__rn")
+      .crossJoin(broadcast(tau))
+      .withColumn("est_q", greatest(col("weight"), col("tau_q")))
+  }
 }

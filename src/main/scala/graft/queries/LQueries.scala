@@ -64,6 +64,7 @@ object LQueries {
     "q94_collocations" -> ((s, d) => q94(s, d)),
     "q95_winnow_clusters" -> ((s, d) => q95(s, d)),
     "q96_record_linkage" -> ((s, d) => q96(s, d)),
+    "q98_priority_sample" -> ((s, d) => q98(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -386,6 +387,14 @@ object LQueries {
     graft.operators.RecordLinkage.editDistancePairs(Tables.customer(s, d),
       col("c_custkey"), col("c_name"), maxDist = 1, maxVariantFreq = 1000L)
 
+  /** L52: priority sampling — weighted 100-doc sample by n_chars with
+    * unbiased subset-sum estimates (Duffield-Lund-Thorup); md5-derived
+    * uniforms and one fixed IEEE division shape make the sample and τ
+    * threshold bit-identical in the oracle. */
+  def q98(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.prioritySample(Tables.documents(s, d),
+      col("doc_id"), col("n_chars"), k = 100)
+
   /** L43: training-sequence packing — concat-then-chunk per source at 512
     * tokens, integer math over the per-group prefix sum → exact oracle. */
   def q85(s: SparkSession, d: String): DataFrame = {
@@ -622,6 +631,26 @@ object LQueries {
         |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+    "q98_priority_sample" ->
+      """WITH b AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+        |             md5(CAST(doc_id AS VARCHAR)) AS hex FROM documents),
+        |v AS (SELECT id, weight,
+        |        CAST(floor(weight * 4294967296.0 / (CAST(
+        |            (instr('0123456789abcdef', substr(hex,1,1))-1)*268435456
+        |          + (instr('0123456789abcdef', substr(hex,2,1))-1)*16777216
+        |          + (instr('0123456789abcdef', substr(hex,3,1))-1)*1048576
+        |          + (instr('0123456789abcdef', substr(hex,4,1))-1)*65536
+        |          + (instr('0123456789abcdef', substr(hex,5,1))-1)*4096
+        |          + (instr('0123456789abcdef', substr(hex,6,1))-1)*256
+        |          + (instr('0123456789abcdef', substr(hex,7,1))-1)*16
+        |          + (instr('0123456789abcdef', substr(hex,8,1))-1) AS BIGINT) + 1)) AS BIGINT)
+        |          AS priority_q
+        |      FROM b),
+        |r AS (SELECT v.*, row_number() OVER (ORDER BY priority_q DESC, id ASC) AS rn FROM v),
+        |tau AS (SELECT coalesce(max(CASE WHEN rn = 101 THEN priority_q END), 0) AS tau_q FROM r)
+        |SELECT id, weight, priority_q, CAST(tau.tau_q AS BIGINT) AS tau_q,
+        |       CAST(greatest(weight, tau.tau_q) AS BIGINT) AS est_q
+        |FROM r CROSS JOIN tau WHERE rn <= 100""".stripMargin,
     "q96_record_linkage" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
         |v AS (SELECT DISTINCT id, md5(variant) AS vh FROM (

@@ -57,7 +57,30 @@ object RQueries {
     "q73_concentration" -> ((s, d) => q73(s, d)),
     "q70_melt" -> ((s, d) => q70(s, d)),
     "q71_pivot_wide" -> ((s, d) => q71(s, d)),
+    "q97_robust_outliers" -> ((s, d) => q97(s, d)),
+    "q99_attribution" -> ((s, d) => q99(s, d)),
   )
+
+  /** R52: robust per-group outlier flags — median/MAD over integer cents
+    * per event type, |v − med| > 3·MAD, all statistics doubled so the
+    * interpolated median's .5 stays exact BIGINT math cross-engine. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    graft.operators.Outliers.robustFlags(Tables.events(s, d),
+        col("event_id"), col("event_type"), round(col("value") * 100).cast("long"), k = 3)
+      .withColumnRenamed("id", "event_id").withColumnRenamed("grp", "event_type")
+
+  /** R53: marketing-touch attribution — each purchase credited to its
+    * in-window (3-day lookback) view/click touches via the one-sided banded
+    * range join; last/first touch as single struct-max aggregations. */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.operators.Attribution.touchPairs(Tables.events(s, d),
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long"),
+      conversionType = "purchase", touchTypes = Seq("view", "click"),
+      lookbackUs = 3L * 86400L * 1000000L)
+    graft.operators.Attribution.firstLastTouch(pairs)
+      .withColumnRenamed("user", "user_id")
+  }
 
   /** Laudo-style per-column value listing (SURVEY §2a R38): top-5 most
     * frequent values of each audited column, one unpivot pass + one
@@ -821,6 +844,43 @@ object RQueries {
         |FROM f LEFT JOIN dim d
         |  ON d.c_custkey = f.c_custkey AND d.valid_from <= f.probe_ts
         |     AND (d.valid_to IS NULL OR d.valid_to > f.probe_ts)""".stripMargin,
+    "q97_robust_outliers" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+        |      FROM b GROUP BY event_type),
+        |dv AS (SELECT b.event_id, b.event_type, b.cents, m.med2,
+        |              abs(2 * b.cents - m.med2) AS dev2
+        |       FROM b JOIN m USING (event_type)),
+        |md AS (SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |       FROM dv GROUP BY event_type)
+        |SELECT dv.event_id, dv.event_type, dv.cents, dv.med2, dv.dev2, md.mad4,
+        |       (2 * dv.dev2 > 3 * md.mad4) AS is_outlier
+        |FROM dv JOIN md USING (event_type)""".stripMargin,
+    "q99_attribution" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+        |             event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_id AS conv_id, user_id, us AS conv_us, cents
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS touch_id, user_id, us AS touch_us, event_type AS touch_type
+        |      FROM e WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT c.conv_id, c.user_id, c.conv_us, c.cents,
+        |             t.touch_id, t.touch_type, t.touch_us
+        |      FROM c JOIN t ON t.user_id = c.user_id
+        |       AND t.touch_us >= c.conv_us - 259200000000 AND t.touch_us <= c.conv_us),
+        |r AS (SELECT p.*,
+        |        row_number() OVER (PARTITION BY conv_id ORDER BY touch_us DESC, touch_id DESC) AS rl,
+        |        row_number() OVER (PARTITION BY conv_id ORDER BY touch_us ASC, touch_id ASC) AS rf
+        |      FROM p)
+        |SELECT conv_id, user_id, conv_us, cents, CAST(count(*) AS BIGINT) AS n_touches,
+        |       max(CASE WHEN rl = 1 THEN touch_id END) AS last_touch_id,
+        |       max(CASE WHEN rl = 1 THEN touch_type END) AS last_touch_type,
+        |       max(CASE WHEN rl = 1 THEN touch_us END) AS last_touch_us,
+        |       max(CASE WHEN rf = 1 THEN touch_id END) AS first_touch_id,
+        |       max(CASE WHEN rf = 1 THEN touch_type END) AS first_touch_type,
+        |       max(CASE WHEN rf = 1 THEN touch_us END) AS first_touch_us
+        |FROM r GROUP BY conv_id, user_id, conv_us, cents""".stripMargin,
     "q87_fingerprint" ->
       """WITH h AS (SELECT md5(concat_ws(chr(1),
         |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
