@@ -314,6 +314,22 @@ object NearDup {
     graft.plans.GraftExtensions.register(df.sparkSession)
     val candPersisted = winnowCandidatePairs(df, idCol, textCol, k, w, maxFpFreq, minSharedFps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = verifyJaccardCandidates(df, idCol, textCol, k, threshold,
+      candPersisted, broadcastCandidateLimit).localCheckpoint(true)
+    candPersisted.unpersist(false)
+    out
+  }
+
+  /** Verify (id_a, id_b) candidate pairs with exact k-gram Jaccard ≥
+    * threshold: shingle ONLY the candidate documents (semi-join on the
+    * un-exploded corpus), intersect-count, arithmetic. `candPersisted`
+    * must be materialized by the caller (it is consumed three times).
+    * Emits (id_a, id_b, jaccard), the [[DupClusters]] edge shape. */
+  private def verifyJaccardCandidates(df: DataFrame, idCol: Column, textCol: Column,
+                                      k: Int, threshold: Double,
+                                      candPersisted: DataFrame,
+                                      broadcastCandidateLimit: Long): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val hintable = candPersisted.count() <= broadcastCandidateLimit
     val cand = if (hintable) broadcast(candPersisted) else candPersisted
     // Shingle only docs appearing in a candidate pair; the per-doc gram
@@ -326,7 +342,7 @@ object NearDup {
         .where(col("id").isNotNull)
         .select(col("id"), size(col("g")).cast("long").as("n"), explode(col("g")).as("gram"))
     }
-    val verified = candSide("id_a").toDF("id_a", "na", "gram")
+    candSide("id_a").toDF("id_a", "na", "gram")
       .join(cand, Seq("id_a"))
       .join(candSide("id_b").toDF("id_b", "nb", "gram"), Seq("id_b", "gram"))
       .groupBy("id_a", "id_b", "na", "nb")
@@ -334,7 +350,49 @@ object NearDup {
       .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    val out = verified.localCheckpoint(true)
+  }
+
+  /** EXACT set-similarity join by prefix filtering (Bayardo/Chaudhuri
+    * All-Pairs, WWW'07 — the candidate core of PPJoin): order each doc's
+    * distinct k-grams by GLOBAL document frequency ascending (rarest
+    * first, gram-lexicographic tiebreak) and emit only the first
+    * `|x| − ⌈t·|x|⌉ + 1` grams as join keys. Theorem: J(A,B) ≥ t forces
+    * the two prefixes to share a gram, so candidates have PERFECT recall —
+    * unlike the `maxDocFreq` cap this loses nothing — while the join key
+    * space shrinks to the rare end of the gram distribution (the hot
+    * boilerplate grams sit at the end of the order and never become keys).
+    * The length filter `t·max(|A|,|B|) ≤ min(|A|,|B|)` prunes in-join.
+    * Exact Jaccard verification on candidates only; result EQUALS the
+    * uncapped [[ngramJaccardPairs]] baseline (oracle-provable).
+    *
+    * Scale shape: one gram-scale dfreq aggregation (map-side combined) +
+    * one doc-partitioned window for the prefix rank, then the equality
+    * self-join on PREFIX grams only. The df-ascending order is the
+    * published heuristic that makes prefix blocks small by construction —
+    * a gram's block size is bounded by its document frequency, and
+    * frequent grams are exactly the ones the prefix excludes. */
+  def prefixJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                         k: Int, threshold: Double,
+                         broadcastCandidateLimit: Long = 5000000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val grams = wordShingles(df, idCol, textCol, k)
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val wRank = Window.partitionBy("id").orderBy(col("__df").asc, col("gram").asc)
+    val wSize = Window.partitionBy("id")
+    val prefix = grams.join(dfreq, Seq("gram"))
+      .withColumn("__n", count(lit(1)).over(wSize))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col("id"), col("gram"), col("__n").as("n"))
+    val candPersisted = prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
+          greatest(col("a.n"), col("b.n")) * threshold <= least(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = verifyJaccardCandidates(df, idCol, textCol, k, threshold,
+      candPersisted, broadcastCandidateLimit).localCheckpoint(true)
     candPersisted.unpersist(false)
     out
   }

@@ -65,6 +65,7 @@ object LQueries {
     "q95_winnow_clusters" -> ((s, d) => q95(s, d)),
     "q96_record_linkage" -> ((s, d) => q96(s, d)),
     "q98_priority_sample" -> ((s, d) => q98(s, d)),
+    "q100_prefix_jaccard" -> ((s, d) => q100(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -79,6 +80,13 @@ object LQueries {
   /** L4: exact word-3-gram Jaccard pairs ≥ 0.5. */
   def q19(s: SparkSession, d: String): DataFrame =
     NearDup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      k = 3, threshold = 0.5)
+
+  /** L53: EXACT Jaccard pairs via prefix filtering (All-Pairs/PPJoin
+    * candidate core) — must equal q19's uncapped baseline bit-for-bit
+    * (perfect-recall candidates), so it shares q19's oracle text. */
+  def q100(s: SparkSession, d: String): DataFrame =
+    NearDup.prefixJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
       k = 3, threshold = 0.5)
 
   /** L5: brute-force cosine top-5 for sampled query vectors. */
@@ -893,6 +901,13 @@ object LQueries {
         |FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
         |WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.5""".stripMargin),
     "q19_ngram_jaccard" -> (grams +
+      """,
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+        |WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.5""".stripMargin),
+    "q100_prefix_jaccard" -> (grams +
       """,
         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
         |          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2)

@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     "q92_dsir_weights" -> ("same 1-row totals-broadcast shape as q91 (corpus/target gram " +
       "totals + vocabulary size crossed into the gram stream)"),
     "q94_collocations" -> ("same 1-row corpus-total broadcast as q53/q72/q91 crossed into " +
-      "the supported-pairs frame for the lift quotient"))
+      "the supported-pairs frame for the lift quotient"),
+    "q98_priority_sample" -> ("the 1-row τ-threshold aggregate broadcast-crossed into the " +
+      "k-row sample — single-row build side over a bounded (k-row) stream side"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
