@@ -46,6 +46,30 @@ object Prof {
       graft.operators.DupClusters.connectedComponents(
         NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 50L))
     }
+
+    // q100 prefix-filter stages (inline replica of prefixJaccardPairs)
+    val grams = NearDup.wordShingles(docs, col("doc_id"), col("text"), 3)
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    time("prefix_dfreq") { dfreq }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df").asc, col("gram").asc)
+    val wSize = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val prefixT = grams.join(dfreq, Seq("gram"))
+      .withColumn("__n", count(lit(1)).over(wSize))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= col("__n") - ceil(lit(0.5) * col("__n")) + 1)
+      .select(col("id"), col("gram"), col("__n").as("n"))
+    time("prefix_table") { prefixT }
+    time("prefix_candidates") {
+      val p = prefixT.withColumn("pos", col("n") * 0) // placeholder; full filter in operator
+      p.as("a").join(p.as("b"),
+          col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
+            greatest(col("a.n"), col("b.n")) * 0.5 <= least(col("a.n"), col("b.n")))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    }
+    time("q100_full") {
+      NearDup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+    }
     spark.stop()
   }
 }

@@ -372,10 +372,16 @@ object NearDup {
     * a gram's block size is bounded by its document frequency, and
     * frequent grams are exactly the ones the prefix excludes. */
   def prefixJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                         k: Int, threshold: Double,
-                         broadcastCandidateLimit: Long = 5000000L): DataFrame = {
+                         k: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    graft.plans.GraftExtensions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
+    // Epsilon-guarded ceil: a float product like 0.3·10 evaluates to
+    // 3.0000000000000004 and a bare ceil would round the EXACT integer up —
+    // shortening the prefix / raising the overlap bound and silently
+    // breaking the perfect-recall theorem. The epsilon only ever relaxes
+    // the bound (more candidates), never tightens it.
+    def safeCeil(c: Column): Column = ceil(c - lit(1e-7))
     val grams = wordShingles(df, idCol, textCol, k)
     val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
     val wRank = Window.partitionBy("id").orderBy(col("__df").asc, col("gram").asc)
@@ -383,18 +389,35 @@ object NearDup {
     val prefix = grams.join(dfreq, Seq("gram"))
       .withColumn("__n", count(lit(1)).over(wSize))
       .withColumn("__rn", row_number().over(wRank))
-      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col("id"), col("gram"), col("__n").as("n"))
-    val candPersisted = prefix.as("a").join(prefix.as("b"),
+      .filter(col("__rn") <= col("__n") - safeCeil(lit(threshold) * col("__n")) + 1)
+      .select(col("id"), col("gram"), col("__n").as("n"), col("__rn").as("pos"))
+    // positional filter (PPJoin): a pair's globally-smallest shared token at
+    // prefix positions (i, j) bounds the overlap by 1 + min(n_a−i, n_b−j);
+    // J ≥ t needs overlap ≥ ⌈t/(1+t)·(n_a+n_b)⌉, so candidates whose every
+    // shared prefix token fails the bound are provably below threshold —
+    // the filter runs in-join, before the distinct pays for the pair.
+    val alpha = safeCeil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
-          greatest(col("a.n"), col("b.n")) * threshold <= least(col("a.n"), col("b.n")))
+          greatest(col("a.n"), col("b.n")) * threshold <= least(col("a.n"), col("b.n")) &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + 1 >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = verifyJaccardCandidates(df, idCol, textCol, k, threshold,
-      candPersisted, broadcastCandidateLimit).localCheckpoint(true)
-    candPersisted.unpersist(false)
-    out
+    // In-row verification: candidates ≪ corpus, so join the candidate pairs
+    // against the per-doc gram ARRAY (the shingle expression itself — no
+    // aggregation) and intersect in-row. Two id-equality joins + one narrow
+    // projection replace the gram-scale semi-join/explode/re-join pipeline;
+    // nothing gram-sized shuffles after candidate generation.
+    val gsets = df.select(idCol.as("id"),
+      call_function("graft_shingles", textCol, lit(k)).as("g"))
+    cand
+      .join(gsets.select(col("id").as("id_a"), col("g").as("__ga")), Seq("id_a"))
+      .join(gsets.select(col("id").as("id_b"), col("g").as("__gb")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter") /
+        (size(col("__ga")).cast("long") + size(col("__gb")).cast("long") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** SimHash-banded near-duplicate pairs: fingerprint with the native
