@@ -86,6 +86,34 @@ object RecordLinkage {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Golden-record entity resolution: cluster the edit-distance pairs into
+    * entities (connected components — transitive closure is what makes
+    * "A≈B, B≈C ⇒ same entity" hold) and emit one row per entity with the
+    * canonical (survivor) record — the full dedup story a mailing shop
+    * runs before an export: block → verify → cluster → survive.
+    *
+    * Canonical pick: the member with the MINIMUM id (deterministic,
+    * engine-portable; swap the struct-min ordering for a completeness
+    * score to prefer richer records — [[Dedup.mostCompleteRowPerKey]]'s
+    * rule). Rows with no near-match are their own singleton entity.
+    *
+    * Output: (entity_id = min member id, n_members, canonical_value).
+    * Scale shape: pair generation is L51's bounded blocking, clustering is
+    * the O(log diameter) [[DupClusters]] loop over the (tiny) pair set,
+    * and the final labeling is ONE left join + one aggregation. */
+  def goldenRecords(df: DataFrame, idCol: Column, strCol: Column,
+                    maxDist: Int, maxVariantFreq: Long = 0L): DataFrame = {
+    val pairs = editDistancePairs(df, idCol, strCol, maxDist, maxVariantFreq)
+    val cc = DupClusters.connectedComponents(pairs)
+    val base = df.select(idCol.as("id"), strCol.as("s"))
+    base.join(cc, Seq("id"), "left")
+      .withColumn("__entity", coalesce(col("cluster_id"), col("id")))
+      .groupBy(col("__entity").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("id"), col("s"))).as("__canon"))
+      .select(col("entity_id"), col("n_members"), col("__canon.s").as("canonical_value"))
+  }
+
   /** Candidate pairs scored with the native Jaro-Winkler expression
     * (`plans.JaroWinkler`, basis points) instead of the boolean edit-
     * distance verify — the record-linkage scorer for match/possible/

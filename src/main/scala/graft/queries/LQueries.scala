@@ -66,6 +66,7 @@ object LQueries {
     "q96_record_linkage" -> ((s, d) => q96(s, d)),
     "q98_priority_sample" -> ((s, d) => q98(s, d)),
     "q100_prefix_jaccard" -> ((s, d) => q100(s, d)),
+    "q101_golden_records" -> ((s, d) => q101(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -88,6 +89,15 @@ object LQueries {
   def q100(s: SparkSession, d: String): DataFrame =
     NearDup.prefixJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
       k = 3, threshold = 0.5)
+
+  /** L51 composite (golden records): entity resolution over part names —
+    * edit-distance-1 pairs (exact-dup names + fat-finger variants) →
+    * connected components → min-id survivor per entity. The adjective+noun
+    * part names give a rich structure: many multi-member exact-name
+    * entities, singleton tails, and near-match bridges. */
+  def q101(s: SparkSession, d: String): DataFrame =
+    graft.operators.RecordLinkage.goldenRecords(Tables.part(s, d),
+      col("p_partkey"), col("p_name"), maxDist = 1, maxVariantFreq = 5000L)
 
   /** L5: brute-force cosine top-5 for sampled query vectors. */
   def q20(s: SparkSession, d: String): DataFrame =
@@ -659,6 +669,31 @@ object LQueries {
         |SELECT id, weight, priority_q, CAST(tau.tau_q AS BIGINT) AS tau_q,
         |       CAST(greatest(weight, tau.tau_q) AS BIGINT) AS est_q
         |FROM r CROSS JOIN tau WHERE rn <= 100""".stripMargin,
+    "q101_golden_records" ->
+      """WITH RECURSIVE c AS (SELECT p_partkey AS id, p_name AS s FROM part),
+        |v AS (SELECT DISTINCT id, md5(variant) AS vh FROM (
+        |  SELECT id, unnest(list_prepend(s, list_transform(range(1, len(s) + 1),
+        |         i -> substr(s, 1, i - 1) || substr(s, i + 1, len(s))))) AS variant
+        |  FROM c) t),
+        |vk AS (SELECT id, vh FROM v
+        |       WHERE vh IN (SELECT vh FROM v GROUP BY vh HAVING count(*) <= 5000)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM vk a JOIN vk b ON a.vh = b.vh AND a.id < b.id),
+        |pairs AS (SELECT cand.id_a, cand.id_b
+        |          FROM cand JOIN c sa ON sa.id = cand.id_a JOIN c sb ON sb.id = cand.id_b
+        |          WHERE levenshtein(sa.s, sb.s) <= 1),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |ent AS (SELECT c.id, c.s, coalesce(lab.cluster_id, c.id) AS entity
+        |        FROM c LEFT JOIN lab ON lab.id = c.id)
+        |SELECT CAST(entity AS BIGINT) AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |       arg_min(s, id) AS canonical_value
+        |FROM ent GROUP BY entity""".stripMargin,
     "q96_record_linkage" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
         |v AS (SELECT DISTINCT id, md5(variant) AS vh FROM (

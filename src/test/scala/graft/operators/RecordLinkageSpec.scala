@@ -73,6 +73,19 @@ class RecordLinkageSpec extends SparkSpec {
     assert(pairs(rows, d = 1, cap = 100L).size == 45)
   }
 
+  test("goldenRecords resolves transitive chains and keeps singletons") {
+    // a ≈ b ≈ c chain (a and c are distance 2 apart — only transitivity
+    // links them) plus an exact-dup pair and a singleton
+    val df = Seq(1L -> "anna", 2L -> "annd", 3L -> "abnd",
+      10L -> "solo", 20L -> "dup", 21L -> "dup").toDF("id", "s")
+    val out = RecordLinkage.goldenRecords(df, col("id"), col("s"), maxDist = 1)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map(
+      1L -> (3L, "anna"),   // chain entity: min id 1 canonical
+      10L -> (1L, "solo"),  // singleton
+      20L -> (2L, "dup")))  // exact-dup entity
+  }
+
   test("jaroWinklerPairs ranks candidates and filters by basis points") {
     val df = Seq(1L -> "martha", 2L -> "marhta", 3L -> "marthas").toDF("id", "s")
     val out = RecordLinkage.jaroWinklerPairs(df, col("id"), col("s"),
