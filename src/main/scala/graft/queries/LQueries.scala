@@ -67,6 +67,8 @@ object LQueries {
     "q98_priority_sample" -> ((s, d) => q98(s, d)),
     "q100_prefix_jaccard" -> ((s, d) => q100(s, d)),
     "q101_golden_records" -> ((s, d) => q101(s, d)),
+    "q102_pagerank" -> ((s, d) => q102(s, d)),
+    "q103_triangles" -> ((s, d) => q103(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -564,6 +566,70 @@ object LQueries {
       graft.functions.PiiScrub.emailCount(col("text")).as("n_emails"),
       graft.functions.PiiScrub.longDigitCount(col("text")).as("n_nums"))
 
+  /** L55: integer-exact PageRank (5 rounds, d=0.85, scale=1e6) over the
+    * part co-purchase graph — parts sharing an order become undirected
+    * edges. The web-graph quality-weight signal, reproduced bit-exact in
+    * SQL by unrolling the all-BIGINT iteration. */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    val und = graft.operators.Graph.coOccurrenceEdges(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+    graft.operators.Graph.pageRank(graft.operators.Graph.symmetrize(und), iterations = 5)
+      .select(col("node").as("part_key"), col("score").as("pr_score"))
+  }
+
+  /** L56: per-node triangle counts over the same co-purchase graph,
+    * degree-ordered wedge generation (Suri–Vassilvitskii bound). */
+  def q103(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.triangleCounts(
+        graft.operators.Graph.coOccurrenceEdges(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey"))
+      .select(col("node").as("part_key"), col("n_tri"))
+
+  /** Shared co-purchase edge CTE for the graph oracles: distinct
+    * (order, part) pairs → per-order part sets capped at 1000 (mirrors
+    * `Graph.coOccurrenceEdges` maxGroupSize) → distinct u<v edges. */
+  private val coEdges =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS gk, CAST(l_partkey AS BIGINT) AS item
+      |            FROM lineitem),
+      |gsz AS (SELECT gk FROM li GROUP BY gk HAVING count(*) BETWEEN 2 AND 1000),
+      |e0 AS (SELECT DISTINCT a.item AS u, b.item AS v
+      |       FROM li a JOIN li b ON a.gk = b.gk AND a.item < b.item
+      |       JOIN gsz ON gsz.gk = a.gk)""".stripMargin
+
+  /** One unrolled all-BIGINT PageRank round: i{k} from i{k-1}. */
+  private def prRound(k: Int): String =
+    s"""i$k AS (SELECT d.node,
+       |        CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS score
+       |        FROM deg d LEFT JOIN (
+       |          SELECT e.dst AS node, SUM(p.score // dg.deg) AS c
+       |          FROM i${k - 1} p
+       |          JOIN deg dg ON dg.node = p.node
+       |          JOIN e ON e.src = p.node
+       |          GROUP BY e.dst) s ON s.node = d.node)""".stripMargin
+
+  private val pagerankOracle =
+    coEdges + """,
+      |e AS (SELECT u AS src, v AS dst FROM e0
+      |      UNION ALL SELECT v AS src, u AS dst FROM e0),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+      |i0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM deg),
+      |""".stripMargin +
+      (1 to 5).map(prRound).mkString(",\n") +
+      "\nSELECT node AS part_key, score AS pr_score FROM i5"
+
+  private val trianglesOracle =
+    coEdges + """
+      |SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |  SELECT e1.u AS node FROM e0 e1
+      |    JOIN e0 e2 ON e2.u = e1.v JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+      |  UNION ALL
+      |  SELECT e1.v FROM e0 e1
+      |    JOIN e0 e2 ON e2.u = e1.v JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+      |  UNION ALL
+      |  SELECT e2.v FROM e0 e1
+      |    JOIN e0 e2 ON e2.u = e1.v JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+      |) n GROUP BY node""".stripMargin
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -595,6 +661,8 @@ object LQueries {
       |       FROM votes GROUP BY id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q102_pagerank" -> pagerankOracle,
+    "q103_triangles" -> trianglesOracle,
     "q94_collocations" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |           FROM documents),

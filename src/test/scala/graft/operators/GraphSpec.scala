@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import ss.implicits._
+
+  private def edges(ps: (Long, Long)*) = ps.toDF("u", "v")
+
+  test("coOccurrenceEdges emits distinct canonical pairs and caps group size") {
+    val df = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L), // dup (1,10) collapses
+      (2L, 20L),                                  // singleton group: no pairs
+      (3L, 30L), (3L, 31L)
+    ).toDF("gk", "item")
+    val e = Graph.coOccurrenceEdges(df, "gk", "item").as[(Long, Long)].collect().toSet
+    assert(e == Set((10L, 11L), (10L, 12L), (11L, 12L), (30L, 31L)))
+    val capped = Graph.coOccurrenceEdges(df, "gk", "item", maxGroupSize = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((30L, 31L)), "3-item group must be dropped whole at cap 2")
+  }
+
+  test("pageRank: any regular graph is an exact fixed point at integer scale") {
+    // Triangle (3-cycle): deg 2 everywhere. contrib = 1e6/2 per neighbor,
+    // received 1e6 -> 150000 + 85*1e6/100 = 1e6 again.
+    val und = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    val pr = Graph.pageRank(Graph.symmetrize(und), iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(pr == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("pageRank: star center dominates leaves with hand-computed round-1 values") {
+    val und = edges((0L, 1L), (0L, 2L), (0L, 3L))
+    val pr1 = Graph.pageRank(Graph.symmetrize(und), iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // center receives 3 * (1e6 div 1) = 3e6 -> 150000 + 85*3e6 div 100 = 2700000
+    // leaf receives 1e6 div 3 = 333333  -> 150000 + (85*333333) div 100 = 433333
+    assert(pr1(0L) == 2700000L)
+    assert(pr1(1L) == 433333L && pr1(2L) == 433333L && pr1(3L) == 433333L)
+    val pr5 = Graph.pageRank(Graph.symmetrize(und), iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(pr5(0L) > pr5(1L), "center must outrank leaves after convergence")
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles; squares give none") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val t = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val square = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(Graph.triangleCounts(square).isEmpty)
+  }
+
+  test("triangleCounts: triangle with pendant counts only the cycle nodes") {
+    val g = Graph.triangleCounts(edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)))
+      .as[(Long, Long)].collect().toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("pageRank conserves near-total mass on a regular graph and stays all-BIGINT") {
+    val und = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)) // 4-cycle, regular
+    val pr = Graph.pageRank(Graph.symmetrize(und), iterations = 3)
+    assert(pr.schema("score").dataType.typeName == "long")
+    val total = pr.agg(sum("score")).as[Long].head()
+    assert(total == 4L * 1000000L, "regular graph keeps exact total mass")
+  }
+}
