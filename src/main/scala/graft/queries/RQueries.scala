@@ -59,7 +59,22 @@ object RQueries {
     "q71_pivot_wide" -> ((s, d) => q71(s, d)),
     "q97_robust_outliers" -> ((s, d) => q97(s, d)),
     "q99_attribution" -> ((s, d) => q99(s, d)),
+    "q104_expectations" -> ((s, d) => q104(s, d)),
   )
+
+  /** R54: declarative data-quality expectation suite over `orders`,
+    * evaluated in one aggregation pass — includes a deliberately failing
+    * domain check (status 'P' exists) so false verdicts are exercised. */
+  def q104(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Expectations._
+    check(Tables.load(s, d, "orders"), Seq(
+      Complete("o_custkey"),
+      Distinctness("o_orderkey"),
+      InRangePct("o_totalprice", 1000.0, 400000.0, 750000L),
+      InSetPct("o_orderstatus", Seq("F", "O"), 1000000L),
+      MatchesPct("o_orderpriority", "^[1-5]-[A-Z ]+$", 1000000L),
+      MinRows(1000L)))
+  }
 
   /** R52: robust per-group outlier flags — median/MAD over integer cents
     * per event type, |v − med| > 3·MAD, all statistics doubled so the
@@ -857,6 +872,30 @@ object RQueries {
         |SELECT dv.event_id, dv.event_type, dv.cents, dv.med2, dv.dev2, md.mad4,
         |       (2 * dv.dev2 > 3 * md.mad4) AS is_outlier
         |FROM dv JOIN md USING (event_type)""".stripMargin,
+    "q104_expectations" ->
+      """WITH m AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(o_custkey) AS BIGINT) AS m_complete,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS m_distinct,
+        |    CAST(count(CASE WHEN o_totalprice BETWEEN 1000.0 AND 400000.0 THEN 1 END) AS BIGINT) AS m_range,
+        |    CAST(count(CASE WHEN o_orderstatus IN ('F','O') THEN 1 END) AS BIGINT) AS m_set,
+        |    CAST(count(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS BIGINT) AS m_re
+        |  FROM orders),
+        |v AS (
+        |  SELECT 'complete(o_custkey)' AS check_name,
+        |         CAST((1000000 * m_complete) // n AS BIGINT) AS metric_q,
+        |         CAST(1000000 AS BIGINT) AS threshold_q FROM m
+        |  UNION ALL SELECT 'distinct(o_orderkey)',
+        |         CAST((1000000 * m_distinct) // n AS BIGINT), CAST(1000000 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'in_range(o_totalprice)',
+        |         CAST((1000000 * m_range) // n AS BIGINT), CAST(750000 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'in_set(o_orderstatus)',
+        |         CAST((1000000 * m_set) // n AS BIGINT), CAST(1000000 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'matches(o_orderpriority)',
+        |         CAST((1000000 * m_re) // n AS BIGINT), CAST(1000000 AS BIGINT) FROM m
+        |  UNION ALL SELECT 'min_rows', n, CAST(1000 AS BIGINT) FROM m)
+        |SELECT check_name, metric_q, threshold_q,
+        |       metric_q >= threshold_q AS passed FROM v""".stripMargin,
     "q99_attribution" ->
       """WITH e AS (SELECT event_id, user_id,
         |             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
