@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar int8 embedding quantization + integer-exact quantized ANN — the
+  * standard memory-compression path for similarity search at corpus scale
+  * (4 bytes/dim float32 → 1 byte/dim code ⇒ 4× more vectors per executor,
+  * and the distance kernel becomes integer arithmetic).
+  *
+  * Two stages, mirroring the FAISS scalar-quantizer design:
+  *  1. per-dimension (min, max) over the corpus — ONE map-side-combinable
+  *     aggregation over `posexplode`d elements (d groups out per task, so
+  *     the shuffle is d·tasks rows, not N·d);
+  *  2. in-row encode `floor((v − mn) · 255 / (mx − mn))` clamped to
+  *     [0, 255] — the per-dim params are bounded driver metadata (d ≤ a
+  *     few thousand, same footprint class as k-means centroids) inlined
+  *     as array literals, so encoding is a narrow projection: no second
+  *     shuffle, no join.
+  *
+  * Determinism: min/max of floats involve no arithmetic; the encode
+  * expression is one fixed left-associated IEEE shape (exact float→double
+  * widening first), so codes are bit-identical across engines — and every
+  * DOWNSTREAM distance over codes is pure integer math, which is why
+  * [[quantizedTopK]] can be hash-oracle-checked while float ANN needs
+  * rounding guards.
+  */
+object Quantize {
+
+  /** Per-dimension corpus stats: (i, mn, mx), 0-based dim index. */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(expr(s"transform($vecCol, x -> cast(x as double))")).as(Seq("i", "val")))
+      .groupBy("i")
+      .agg(min("val").as("mn"), max("val").as("mx"))
+
+  /** (id, codes array<bigint> of [0,255]) — constant dims collapse to 0.
+    * Codes are BIGINT, not TINYINT, because every consumer immediately
+    * does arithmetic; the 1-byte layout is a storage-format concern
+    * ([[graft.sinks.LakeSink]] writes them as parquet INT32-dict pages
+    * either way). */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val st = dimStats(df, vecCol).orderBy("i").collect()
+    val mn = array(st.map(r => lit(r.getDouble(1))): _*)
+    val mx = array(st.map(r => lit(r.getDouble(2))): _*)
+    df.select(col(idCol), transform(
+      expr(s"transform($vecCol, x -> cast(x as double))"),
+      (x, i) => {
+        val lo = element_at(mn, i + 1)
+        val hi = element_at(mx, i + 1)
+        when(hi === lo, 0L).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor((x - lo) * lit(255.0) / (hi - lo)).cast("long"))))
+      }).as("codes"))
+  }
+
+  /** Brute-force top-k neighbors by INTEGER code dot product for rows
+    * matching `queryPred`: (qid, nid, dot, rank), self excluded, ties by
+    * ascending neighbor id. The quantized sibling of
+    * [[Similarity.cosineTopK]]: queries broadcast against the encoded
+    * corpus, the kernel is `Σ codeA·codeB` (≤ 255²·d per pair — long-safe
+    * to 10⁸ dims), and the C2 optimizer rule turns the rank filter into
+    * the bounded-heap native top-k, so no per-query sort materializes. */
+  def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int): DataFrame = {
+    val codes = scalarQuantize(df, idCol, vecCol)
+    val queries = codes.where(queryPred)
+      .select(col(idCol).as("qid"), col("codes").as("qcodes"))
+    val dots = codes.join(broadcast(queries), col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nid"),
+        aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
+    dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -69,6 +69,8 @@ object LQueries {
     "q101_golden_records" -> ((s, d) => q101(s, d)),
     "q102_pagerank" -> ((s, d) => q102(s, d)),
     "q103_triangles" -> ((s, d) => q103(s, d)),
+    "q105_quantize" -> ((s, d) => q105(s, d)),
+    "q106_quantized_ann" -> ((s, d) => q106(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -585,6 +587,61 @@ object LQueries {
           Tables.lineitem(s, d), "l_orderkey", "l_partkey"))
       .select(col("node").as("part_key"), col("n_tri"))
 
+  /** L57: scalar int8 quantization of the embedding corpus — per-vector
+    * code checksum/sum/max so the full code array is hash-pinned. */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    val codes = graft.operators.Quantize.scalarQuantize(
+      Tables.embeddings(s, d), "vec_id", "embedding")
+    codes.select(col("vec_id"),
+      aggregate(zip_with(col("codes"),
+          sequence(lit(1L), size(col("codes")).cast("long")), (c, i) => c * i),
+        lit(0L), (acc, v) => acc + v).as("code_checksum"),
+      aggregate(col("codes"), lit(0L), (acc, v) => acc + v).as("code_sum"),
+      array_max(col("codes")).as("code_max"))
+  }
+
+  /** L58: integer-exact quantized ANN — top-3 neighbors by int8-code dot
+    * product for every 100th vector. */
+  def q106(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantize.quantizedTopK(Tables.embeddings(s, d),
+      "vec_id", "embedding", col("vec_id") % 100 === 0, k = 3)
+      .select(col("qid"), col("nid"), col("dot"), col("rank").cast("long").as("rank"))
+
+  /** Shared quantization CTE for the int8 oracles, ending in
+    * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
+    * (float→double widening, one left-associated IEEE shape, floor,
+    * [0,255] clamp, constant dims → 0). */
+  private val int8Codes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT vec_id, unnest(v) AS val, unnest(range(len(v))) AS i FROM e),
+      |st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM x GROUP BY i),
+      |c AS (SELECT x.vec_id, x.i,
+      |        CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+      |             ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+      |                    CAST(floor((x.val - st.mn) * 255.0 / (st.mx - st.mn)) AS BIGINT))) END AS code
+      |      FROM x JOIN st USING (i))""".stripMargin
+
+  private val quantizeOracle =
+    int8Codes + """
+      |SELECT vec_id,
+      |       CAST(sum(code * (i + 1)) AS BIGINT) AS code_checksum,
+      |       CAST(sum(code) AS BIGINT) AS code_sum,
+      |       CAST(max(code) AS BIGINT) AS code_max
+      |FROM c GROUP BY vec_id""".stripMargin
+
+  private val quantizedAnnOracle =
+    int8Codes + """,
+      |d AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+      |             CAST(sum(q.code * n.code) AS BIGINT) AS dot
+      |      FROM c q JOIN c n ON q.i = n.i
+      |       AND q.vec_id % 100 = 0 AND q.vec_id <> n.vec_id
+      |      GROUP BY q.vec_id, n.vec_id),
+      |r AS (SELECT qid, nid, dot,
+      |             CAST(row_number() OVER (PARTITION BY qid
+      |                    ORDER BY dot DESC, nid ASC) AS BIGINT) AS rank
+      |      FROM d)
+      |SELECT qid, nid, dot, rank FROM r WHERE rank <= 3""".stripMargin
+
   /** Shared co-purchase edge CTE for the graph oracles: distinct
     * (order, part) pairs → per-order part sets capped at 1000 (mirrors
     * `Graph.coOccurrenceEdges` maxGroupSize) → distinct u<v edges. */
@@ -663,6 +720,8 @@ object LQueries {
   def oracles: Map[String, String] = Map(
     "q102_pagerank" -> pagerankOracle,
     "q103_triangles" -> trianglesOracle,
+    "q105_quantize" -> quantizeOracle,
+    "q106_quantized_ann" -> quantizedAnnOracle,
     "q94_collocations" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |           FROM documents),

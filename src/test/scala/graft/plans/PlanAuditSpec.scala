@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "q94_collocations" -> ("same 1-row corpus-total broadcast as q53/q72/q91 crossed into " +
       "the supported-pairs frame for the lift quotient"),
     "q98_priority_sample" -> ("the 1-row τ-threshold aggregate broadcast-crossed into the " +
-      "k-row sample — single-row build side over a bounded (k-row) stream side"))
+      "k-row sample — single-row build side over a bounded (k-row) stream side"),
+    "q106_quantized_ann" -> "tiny fixed query-vector set vs corpus (bounded side), same shape as q20")
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
