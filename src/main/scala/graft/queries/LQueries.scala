@@ -71,6 +71,7 @@ object LQueries {
     "q103_triangles" -> ((s, d) => q103(s, d)),
     "q105_quantize" -> ((s, d) => q105(s, d)),
     "q106_quantized_ann" -> ((s, d) => q106(s, d)),
+    "q107_global_rank" -> ((s, d) => q107(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -607,6 +608,15 @@ object LQueries {
       "vec_id", "embedding", col("vec_id") % 100 === 0, k = 3)
       .select(col("qid"), col("nid"), col("dot"), col("rank").cast("long").as("rank"))
 
+  /** L59: distributed exact global ordinal (curriculum ordering) — docs
+    * ranked longest-first with doc_id tiebreak, range-partitioned local
+    * ranks + broadcast prefix offsets, never a single-partition window. */
+  def q107(s: SparkSession, d: String): DataFrame =
+    graft.operators.GlobalRank.ordinal(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("n_chars"), col("ordinal"))
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -722,6 +732,10 @@ object LQueries {
     "q103_triangles" -> trianglesOracle,
     "q105_quantize" -> quantizeOracle,
     "q106_quantized_ann" -> quantizedAnnOracle,
+    "q107_global_rank" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS ordinal
+        |FROM documents""".stripMargin,
     "q94_collocations" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |           FROM documents),
