@@ -72,6 +72,7 @@ object LQueries {
     "q105_quantize" -> ((s, d) => q105(s, d)),
     "q106_quantized_ann" -> ((s, d) => q106(s, d)),
     "q107_global_rank" -> ((s, d) => q107(s, d)),
+    "q108_neg_sample" -> ((s, d) => q108(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -617,6 +618,11 @@ object LQueries {
         Seq(col("n_chars").desc, col("doc_id").asc))
       .select(col("doc_id"), col("n_chars"), col("ordinal"))
 
+  /** L60: deterministic negative sampling — 3 md5-seeded contrastive
+    * partners per document, reproducible across engines/partitionings. */
+  def q108(s: SparkSession, d: String): DataFrame =
+    graft.operators.Contrastive.negativeSample(Tables.documents(s, d), "doc_id", k = 3)
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -732,6 +738,28 @@ object LQueries {
     "q103_triangles" -> trianglesOracle,
     "q105_quantize" -> quantizeOracle,
     "q106_quantized_ann" -> quantizedAnnOracle,
+    "q108_neg_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS ord
+        |           FROM (SELECT DISTINCT doc_id FROM documents) x),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |a AS (SELECT doc_id, ord, CAST(unnest(range(1, 4)) AS BIGINT) AS j FROM d),
+        |h AS (SELECT doc_id, ord, j,
+        |             substr(md5(doc_id || ':' || j), 1, 8) AS hex FROM a),
+        |v AS (SELECT doc_id, ord, j, CAST(
+        |    (instr('0123456789abcdef', substr(hex,1,1))-1)*268435456
+        |  + (instr('0123456789abcdef', substr(hex,2,1))-1)*16777216
+        |  + (instr('0123456789abcdef', substr(hex,3,1))-1)*1048576
+        |  + (instr('0123456789abcdef', substr(hex,4,1))-1)*65536
+        |  + (instr('0123456789abcdef', substr(hex,5,1))-1)*4096
+        |  + (instr('0123456789abcdef', substr(hex,6,1))-1)*256
+        |  + (instr('0123456789abcdef', substr(hex,7,1))-1)*16
+        |  + (instr('0123456789abcdef', substr(hex,8,1))-1) AS BIGINT) AS hv FROM h),
+        |w AS (SELECT v.doc_id, v.j,
+        |             (v.ord + 1 + (v.hv % (nn.n - 1))) % nn.n AS neg_ord
+        |      FROM v, nn)
+        |SELECT w.doc_id, w.j, d2.doc_id AS neg_doc_id
+        |FROM w JOIN d d2 ON d2.ord = w.neg_ord""".stripMargin,
     "q107_global_rank" ->
       """SELECT doc_id, n_chars,
         |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS ordinal

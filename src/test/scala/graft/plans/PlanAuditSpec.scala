@@ -43,7 +43,9 @@ class PlanAuditSpec extends SparkSpec {
       "the supported-pairs frame for the lift quotient"),
     "q98_priority_sample" -> ("the 1-row τ-threshold aggregate broadcast-crossed into the " +
       "k-row sample — single-row build side over a bounded (k-row) stream side"),
-    "q106_quantized_ann" -> "tiny fixed query-vector set vs corpus (bounded side), same shape as q20")
+    "q106_quantized_ann" -> "tiny fixed query-vector set vs corpus (bounded side), same shape as q20",
+    "q108_neg_sample" -> ("the 1-row corpus-count aggregate broadcast-crossed into the ordinal " +
+      "frame for the modulus — same single-row build shape as q53/q72"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
