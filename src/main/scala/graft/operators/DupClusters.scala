@@ -47,8 +47,14 @@ object DupClusters {
     * exposed for round-complexity assertions in tests. */
   private[graft] def connectedComponentsWithRounds(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
     val BIG = Long.MaxValue
-    val sym = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    // Materialize the edge input ONCE before symmetrizing: both union
+    // branches reference `edges`, and without the cut the upstream pair-
+    // generation DAG (often the expensive near-dup candidate join) would
+    // execute twice just to build `sym`.
+    val e0 = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .localCheckpoint(true)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Seed with min(self, direct neighbors) — propagation round zero fused
     // into the init aggregation; diameter-1 components (plain duplicate

@@ -53,6 +53,10 @@ object Graph {
          |  p -> p.u <> p.v)""".stripMargin)).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
+      // Eagerly materialized: every consumer (symmetrize's two union
+      // branches, degree counts, the triangle closing probe) would
+      // otherwise re-run the aggregation + pair explosion per reference.
+      .localCheckpoint(true)
   }
 
   /** Both directions of an undirected (u, v) edge set. */
@@ -70,25 +74,37 @@ object Graph {
     * 10^4 at scale=1e6). */
   def pageRank(edges: DataFrame, iterations: Int = 5, scale: Long = 1000000L,
                dampNum: Long = 85, dampDenom: Long = 100): DataFrame = {
+    // Materialize the edge input ONCE: it feeds both the degree count and
+    // the contribution join (and a symmetrized input would otherwise run
+    // its upstream DAG once per union branch per consumer).
+    val e = edges.localCheckpoint(true)
     // Edges pre-joined with out-degree once: iterations pay one join + one
     // aggregation, never a degree recount. Persisted across rounds.
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, col("src") === col("node"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesDeg = e.join(deg, col("src") === col("node"))
       .select(col("src"), col("dst"), col("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (scale * (dampDenom - dampNum)) / dampDenom
-    var scores = deg.select(col("node"), lit(scale).as("score")).localCheckpoint(true)
+    // The round recurrence is shaped so `scores` is referenced exactly
+    // ONCE per round (the static `deg` frame, not last round's scores, is
+    // the left side of the receive join) — the lineage is LINEAR in the
+    // iteration count, so a FIXED small round count needs no per-round
+    // checkpoint barrier and the whole computation is one lazy DAG:
+    // Catalyst sees every round, AQE broadcasts the node-sized score
+    // frame into the edge join, and nothing materializes until the
+    // caller's action. (Unbounded convergence loops are different — see
+    // [[DupClusters]] for the checkpointed variant.)
+    var scores = deg.select(col("node"), lit(scale).as("score"))
     for (_ <- 1 to iterations) {
       val recv = scores.join(edgesDeg, col("node") === col("src"))
         .select(col("dst"), expr("score div deg").as("c"))
         .groupBy(col("dst").as("rnode"))
         .agg(sum(col("c")).as("csum"))
-      scores = scores.join(recv, col("node") === col("rnode"), "left")
+      scores = deg.join(recv, col("node") === col("rnode"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(csum, 0L)) div $dampDenom")).as("score"))
-        .localCheckpoint(true)
     }
-    edgesDeg.unpersist()
     scores
   }
 
@@ -101,7 +117,10 @@ object Graph {
     * (right for item graphs where nodes ≪ edges); pass false on
     * billion-node graphs and let AQE pick the join strategy. */
   def triangleCounts(und: DataFrame, broadcastDegrees: Boolean = true): DataFrame = {
+    // Materialized once: the undirected set feeds degree counting (twice,
+    // via symmetrize's union), edge direction, and the closing probe.
     val u = und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .localCheckpoint(true)
     val deg = symmetrize(u).groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // Direct each edge from its lower-(deg, id) endpoint. Rank packs into a
     // single struct comparison so the join condition stays codegen-simple.
@@ -110,26 +129,27 @@ object Graph {
       .join(dl.select(col("n").as("u2"), col("d").as("du")), col("u") === col("u2"))
       .join(dl.select(col("n").as("v2"), col("d").as("dv")), col("v") === col("v2"))
       .select(col("u"), col("v"), col("du"), col("dv"))
-    // Not persisted: `directed` feeds both wedge sides of one job, and its
-    // recompute is a scan + broadcast join (no shuffle) — caching would
-    // leak past the lazily-returned frame for no saved shuffle.
     val directed = withDeg.select(
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u")).otherwise(col("v")).as("lo"),
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v")).otherwise(col("u")).as("hi"),
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv")).otherwise(col("du")).as("dhi"))
-    // Wedges from a shared low corner; (deg, id)-ordered so each unordered
-    // out-neighbor pair appears once. Closing probe joins the undirected
-    // edge set on the canonical (min, max) id pair.
-    val a = directed.select(col("lo"), col("hi").as("b"), col("dhi").as("db"))
-    val b2 = directed.select(col("lo").as("lo2"), col("hi").as("c"), col("dhi").as("dc"))
-    val wedges = a.join(b2, col("lo") === col("lo2") &&
-        struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-      .select(col("lo"), col("b"), col("c"))
-    val tris = wedges.join(u,
-        least(col("b"), col("c")) === col("u") && greatest(col("b"), col("c")) === col("v"))
-      .select(col("lo"), col("b"), col("c"))
-    val out = tris.select(explode(array(col("lo"), col("b"), col("c"))).as("node"))
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v")).otherwise(col("u")).as("hi"))
+    // Edge-iterator with adjacency intersection (the sorted-adjacency
+    // classic): a triangle ranked a≺b≺c is found EXACTLY once, at its
+    // (a, b) edge, as c ∈ N⁺(a) ∩ N⁺(b) — so no wedge set (Σ C(d⁺,2)
+    // rows, 41M at sf0.1 here) ever materializes. Per directed edge the
+    // work is one in-row intersect of two out-neighbor arrays, each
+    // bounded ~O(√E) by the degree ordering. The node-keyed adjacency
+    // table is |E| longs total — broadcast under the same item-graph
+    // assumption as the degree table (flag off → AQE shuffle joins).
+    val adj = directed.groupBy(col("lo").as("n")).agg(collect_list(col("hi")).as("nbrs"))
+    val adjB = if (broadcastDegrees) broadcast(adj) else adj
+    // Inner joins: an edge whose `hi` endpoint has no out-neighbors closes
+    // no triangle, so it can drop out before the intersect.
+    val tris = directed
+      .join(adjB.select(col("n").as("n1"), col("nbrs").as("nb1")), col("lo") === col("n1"))
+      .join(adjB.select(col("n").as("n2"), col("nbrs").as("nb2")), col("hi") === col("n2"))
+      .select(col("lo"), col("hi"),
+        explode(array_intersect(col("nb1"), col("nb2"))).as("w"))
+    tris.select(explode(array(col("lo"), col("hi"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    out
   }
 }

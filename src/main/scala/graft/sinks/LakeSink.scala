@@ -28,6 +28,25 @@ object LakeSink {
   /** Read back with the partition columns restored to the schema. */
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** Dynamic partition overwrite: replace ONLY the partition directories
+    * present in `df`, leaving every other partition untouched — the
+    * incremental-lake maintenance primitive (reprocess one day/source and
+    * land it without rewriting, or racing against, the other 10k
+    * partitions). Spark's static overwrite mode would TRUNCATE the whole
+    * table root first — at 100 TB that turns a one-partition fix into a
+    * full-lake outage; the dynamic mode scopes the delete to partitions
+    * the job actually emits. The conf is set per-write via
+    * `DataFrameWriter.option`, not session-wide, so concurrent writers
+    * with different semantics don't interfere. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String],
+                          maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Sorted parquet write — the row-group-skipping layout. Sorting WITHIN
     * partitions (no global sort, no extra shuffle) makes each row group's
     * min/max footer statistics for `sortCol` narrow and disjoint, so a

@@ -26,6 +26,31 @@ class LakeSinkSpec extends SparkSpec {
       (1 to 1000).filter(_ % 4 == 2).map(_ * 1.5).sum)
   }
 
+  test("overwritePartitions replaces only the partitions the batch touches") {
+    val dir = Files.createTempDirectory("lake_dyn").toString
+    val day1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+                   (3L, "2024-01-02", "c")).toDF("id", "day", "v")
+    LakeSink.writePartitioned(day1, dir, Seq("day"))
+
+    // Reprocess ONLY 2024-01-02: the fix lands, 01-01 is untouched.
+    val fix = Seq((3L, "2024-01-02", "c-fixed"), (4L, "2024-01-02", "d"))
+      .toDF("id", "day", "v")
+    LakeSink.overwritePartitions(fix, dir, Seq("day"))
+
+    val after = LakeSink.read(ss, dir).select("id", "day", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(after == Set((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c-fixed"), (4L, "2024-01-02", "d")),
+      s"static overwrite would have dropped day 01-01: $after")
+  }
+
+  test("overwritePartitions on a fresh path behaves as a plain partitioned write") {
+    val dir = Files.createTempDirectory("lake_dyn0").toString + "/t"
+    val df = Seq((1L, "x", "a")).toDF("id", "k", "v")
+    LakeSink.overwritePartitions(df, dir, Seq("k"))
+    assert(LakeSink.read(ss, dir).count() == 1)
+  }
+
   test("writeSorted produces disjoint ordered row-group stats for the sort column") {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
