@@ -108,6 +108,33 @@ object Graph {
     scores
   }
 
+  /** Minimum hop distance from a seed set over DIRECTED edges, explored to
+    * `maxDepth` rounds — the label-propagation primitive behind crawl-depth
+    * analysis and TrustRank-style "distance from a trusted core" quality
+    * signals (seed-reachable pages within k hops are the trusted tier).
+    *
+    * All-integer (hop counts), so exact and hash-oracle-checkable against
+    * an unrolled SQL recurrence. Returns (node, dist) for nodes reachable
+    * within `maxDepth` hops (seeds at 0); unreachable nodes are absent.
+    *
+    * Each round is one join + one min-aggregation over the node-keyed
+    * frontier; rounds are cut with an eager `localCheckpoint` because the
+    * recurrence references the previous round twice (carry + push) — the
+    * [[DupClusters]] barrier pattern, cheap here since the frame is
+    * node-sized. */
+  def seedDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to maxDepth) {
+      val push = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(push).groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Per-node triangle participation counts over undirected edges (u < v).
     * Each edge is directed low→high by (degree, id) rank; wedges are pairs
     * of out-neighbors of a common low node, closed by probing the

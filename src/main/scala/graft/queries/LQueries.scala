@@ -73,6 +73,7 @@ object LQueries {
     "q106_quantized_ann" -> ((s, d) => q106(s, d)),
     "q107_global_rank" -> ((s, d) => q107(s, d)),
     "q108_neg_sample" -> ((s, d) => q108(s, d)),
+    "q109_bfs_depth" -> ((s, d) => q109(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -658,6 +659,18 @@ object LQueries {
       |      FROM d)
       |SELECT qid, nid, dot, rank FROM r WHERE rank <= 3""".stripMargin
 
+  /** L61: BFS seed distances — hop distance from every 100th part to the
+    * rest of the co-purchase graph, 3 rounds (TrustRank-style core
+    * distance). */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val und = graft.operators.Graph.coOccurrenceEdges(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+    val seeds = und.select(col("u").as("node")).union(und.select(col("v")))
+      .distinct().where(col("node") % 100 === 0)
+    graft.operators.Graph.seedDistances(
+      graft.operators.Graph.symmetrize(und), seeds, maxDepth = 3)
+  }
+
   /** Shared co-purchase edge CTE for the graph oracles: distinct
     * (order, part) pairs → per-order part sets capped at 1000 (mirrors
     * `Graph.coOccurrenceEdges` maxGroupSize) → distinct u<v edges. */
@@ -679,6 +692,25 @@ object LQueries {
        |          JOIN deg dg ON dg.node = p.node
        |          JOIN e ON e.src = p.node
        |          GROUP BY e.dst) s ON s.node = d.node)""".stripMargin
+
+  /** One unrolled BFS round: d{k} from d{k-1}. */
+  private def bfsRound(k: Int): String =
+    s"""d$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+       |  SELECT node, dist FROM d${k - 1}
+       |  UNION ALL
+       |  SELECT e.dst AS node, p.dist + 1 AS dist
+       |  FROM d${k - 1} p JOIN e ON e.src = p.node) x
+       |GROUP BY node)""".stripMargin
+
+  private val bfsOracle =
+    coEdges + """,
+      |e AS (SELECT u AS src, v AS dst FROM e0
+      |      UNION ALL SELECT v AS src, u AS dst FROM e0),
+      |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+      |       FROM e WHERE src % 100 = 0),
+      |""".stripMargin +
+      (1 to 3).map(bfsRound).mkString(",\n") +
+      "\nSELECT node, dist FROM d3"
 
   private val pagerankOracle =
     coEdges + """,
@@ -738,6 +770,7 @@ object LQueries {
     "q103_triangles" -> trianglesOracle,
     "q105_quantize" -> quantizeOracle,
     "q106_quantized_ann" -> quantizedAnnOracle,
+    "q109_bfs_depth" -> bfsOracle,
     "q108_neg_sample" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS ord

@@ -57,6 +57,26 @@ class GraphSpec extends SparkSpec {
     assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("seedDistances: hop labels on a path graph, capped at maxDepth, unreachable absent") {
+    // path 1-2-3-4-5, island 9-10; seed = {1}
+    val und = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    val seeds = Seq(1L).toDF("node")
+    val d3 = Graph.seedDistances(Graph.symmetrize(und), seeds, maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      "5 is 4 hops away and the island is unreachable — both absent")
+    val d1 = Graph.seedDistances(Graph.symmetrize(und), seeds, maxDepth = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("seedDistances: a node reachable from two seeds takes the minimum") {
+    val und = edges((1L, 5L), (2L, 5L), (5L, 6L))
+    val d = Graph.seedDistances(Graph.symmetrize(und), Seq(1L, 6L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d(5L) == 1L && d(6L) == 0L && d(1L) == 0L && d(2L) == 2L)
+  }
+
   test("pageRank conserves near-total mass on a regular graph and stays all-BIGINT") {
     val und = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)) // 4-cycle, regular
     val pr = Graph.pageRank(Graph.symmetrize(und), iterations = 3)
