@@ -60,7 +60,17 @@ object RQueries {
     "q97_robust_outliers" -> ((s, d) => q97(s, d)),
     "q99_attribution" -> ((s, d) => q99(s, d)),
     "q104_expectations" -> ((s, d) => q104(s, d)),
+    "q110_skyline" -> ((s, d) => q110(s, d)),
   )
+
+  /** R55: Pareto skyline of parts — biggest size for the least price
+    * (price negated to fold minimize into maximize-all semantics). */
+  def q110(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skyline.paretoFront(
+      Tables.load(s, d, "part").select(col("p_partkey"),
+        col("p_size").cast("long").as("sz"),
+        (-round(col("p_retailprice") * 100)).cast("long").as("neg_cents")),
+      Seq("sz", "neg_cents"))
 
   /** R54: declarative data-quality expectation suite over `orders`,
     * evaluated in one aggregation pass — includes a deliberately failing
@@ -872,6 +882,15 @@ object RQueries {
         |SELECT dv.event_id, dv.event_type, dv.cents, dv.med2, dv.dev2, md.mad4,
         |       (2 * dv.dev2 > 3 * md.mad4) AS is_outlier
         |FROM dv JOIN md USING (event_type)""".stripMargin,
+    "q110_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |             -CAST(round(p_retailprice * 100) AS BIGINT) AS neg_cents
+        |           FROM part)
+        |SELECT p_partkey, sz, neg_cents FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.sz >= a.sz AND b.neg_cents >= a.neg_cents
+        |    AND (b.sz > a.sz OR b.neg_cents > a.neg_cents))""".stripMargin,
     "q104_expectations" ->
       """WITH m AS (SELECT
         |    CAST(count(*) AS BIGINT) AS n,
