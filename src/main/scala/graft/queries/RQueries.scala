@@ -61,7 +61,21 @@ object RQueries {
     "q99_attribution" -> ((s, d) => q99(s, d)),
     "q104_expectations" -> ((s, d) => q104(s, d)),
     "q110_skyline" -> ((s, d) => q110(s, d)),
+    "q111_event_paths" -> ((s, d) => q111(s, d)),
+    "q112_gap_fill" -> ((s, d) => q112(s, d)),
   )
+
+  /** R56: frequent 3-step event-type paths across user streams. */
+  def q111(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.frequentPaths(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      k = 3, minSupport = 5L)
+
+  /** R57: per-type daily counts with calendar gaps zero-filled plus a
+    * running cumulative. */
+  def q112(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.fillDailyGaps(Tables.events(s, d),
+      col("event_type"), col("ts"))
 
   /** R55: Pareto skyline of parts — biggest size for the least price
     * (price negated to fold minimize into maximize-all semantics). */
@@ -882,6 +896,29 @@ object RQueries {
         |SELECT dv.event_id, dv.event_type, dv.cents, dv.med2, dv.dev2, md.mad4,
         |       (2 * dv.dev2 > 3 * md.mad4) AS is_outlier
         |FROM dv JOIN md USING (event_type)""".stripMargin,
+    "q111_event_paths" ->
+      """WITH s AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        |           FROM events GROUP BY user_id),
+        |g AS (SELECT unnest(list_transform(range(1, len(types) - 1), i ->
+        |        types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
+        |      FROM s WHERE len(types) >= 3)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY path HAVING count(*) >= 5""".stripMargin,
+    "q112_gap_fill" ->
+      """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+        |                 CAST(count(*) AS BIGINT) AS n0
+        |               FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM b),
+        |spine AS (SELECT g.grp, days.d
+        |          FROM (SELECT DISTINCT grp FROM daily) g, days),
+        |f AS (SELECT spine.grp, spine.d, COALESCE(daily.n0, 0) AS n
+        |      FROM spine LEFT JOIN daily
+        |        ON daily.grp = spine.grp AND daily.d = spine.d)
+        |SELECT grp, strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+        |       CAST(sum(n) OVER (PARTITION BY grp ORDER BY d) AS BIGINT) AS cum_n
+        |FROM f""".stripMargin,
     "q110_skyline" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
         |             -CAST(round(p_retailprice * 100) AS BIGINT) AS neg_cents

@@ -45,7 +45,9 @@ class PlanAuditSpec extends SparkSpec {
       "k-row sample — single-row build side over a bounded (k-row) stream side"),
     "q106_quantized_ann" -> "tiny fixed query-vector set vs corpus (bounded side), same shape as q20",
     "q108_neg_sample" -> ("the 1-row corpus-count aggregate broadcast-crossed into the ordinal " +
-      "frame for the modulus — same single-row build shape as q53/q72"))
+      "frame for the modulus — same single-row build shape as q53/q72"),
+    "q112_gap_fill" -> ("the day spine crossed with the group domain — BOTH sides bounded " +
+      "metadata (calendar days x event types), the group side broadcast"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
