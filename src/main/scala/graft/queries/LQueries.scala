@@ -74,6 +74,7 @@ object LQueries {
     "q107_global_rank" -> ((s, d) => q107(s, d)),
     "q108_neg_sample" -> ((s, d) => q108(s, d)),
     "q109_bfs_depth" -> ((s, d) => q109(s, d)),
+    "q113_dedup_eval" -> ((s, d) => q113(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -624,6 +625,14 @@ object LQueries {
   def q108(s: SparkSession, d: String): DataFrame =
     graft.operators.Contrastive.negativeSample(Tables.documents(s, d), "doc_id", k = 3)
 
+  /** L62: dedup-evaluation harness — precision/recall of the LSH near-dup
+    * pass (q52's shape) against the exact brute-force baseline (q29's
+    * shape) on the same embeddings. */
+  def q113(s: SparkSession, d: String): DataFrame =
+    graft.operators.DedupEval.pairSetMetrics(
+      approx = q52(s, d).select("id_a", "id_b"),
+      exact = q29(s, d).select("id_a", "id_b"))
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -764,6 +773,39 @@ object LQueries {
       |votes AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b),
       |fp AS (SELECT id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS fp
       |       FROM votes GROUP BY id)""".stripMargin
+
+  private val q29OracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       CAST(floor(list_dot_product(a.v, b.v)
+        |                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |                  * 10000) AS BIGINT) AS sim_q
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(floor(list_dot_product(a.v, b.v)
+        |                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |                 * 10000) AS BIGINT) >= 4000""".stripMargin
+
+  private val q52OracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (
+        |  SELECT j, list_transform(range(64), d ->
+        |    CASE WHEN strpos('0123456789abcdef',
+        |                     substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) <= 8
+        |         THEN 1.0 ELSE -1.0 END) AS p
+        |  FROM (SELECT unnest(range(12)) AS j) js),
+        |b AS (SELECT vec_id, CAST(j // 4 AS INT) AS tbl,
+        |             string_agg(CASE WHEN list_dot_product(v, p) >= 0 THEN '1' ELSE '0' END, ''
+        |                        ORDER BY j) AS bucket
+        |      FROM e CROSS JOIN planes GROUP BY vec_id, CAST(j // 4 AS INT)),
+        |eb AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, b.tbl, b.bucket
+        |       FROM e JOIN b ON e.vec_id = b.vec_id),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |w AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT c.id_a, c.id_b,
+        |       CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_q
+        |FROM cand c JOIN w x ON x.vec_id = c.id_a JOIN w y ON y.vec_id = c.id_b
+        |WHERE CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) >= 4000""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q102_pagerank" -> pagerankOracle,
@@ -1445,37 +1487,25 @@ object LQueries {
         |       CAST(tf * CAST(floor(10000.0 * n.n / df) AS BIGINT) AS BIGINT) AS score_q
         |FROM tfs JOIN dfreq USING (word) CROSS JOIN n
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY score_q DESC, word ASC) <= 5""".stripMargin,
-    "q52_cosine_neardup_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |planes AS (
-        |  SELECT j, list_transform(range(64), d ->
-        |    CASE WHEN strpos('0123456789abcdef',
-        |                     substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) <= 8
-        |         THEN 1.0 ELSE -1.0 END) AS p
-        |  FROM (SELECT unnest(range(12)) AS j) js),
-        |b AS (SELECT vec_id, CAST(j // 4 AS INT) AS tbl,
-        |             string_agg(CASE WHEN list_dot_product(v, p) >= 0 THEN '1' ELSE '0' END, ''
-        |                        ORDER BY j) AS bucket
-        |      FROM e CROSS JOIN planes GROUP BY vec_id, CAST(j // 4 AS INT)),
-        |eb AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, b.tbl, b.bucket
-        |       FROM e JOIN b ON e.vec_id = b.vec_id),
-        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |         FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |w AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-        |SELECT c.id_a, c.id_b,
-        |       CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_q
-        |FROM cand c JOIN w x ON x.vec_id = c.id_a JOIN w y ON y.vec_id = c.id_b
-        |WHERE CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) >= 4000""".stripMargin,
-    "q29_cosine_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       CAST(floor(list_dot_product(a.v, b.v)
-        |                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-        |                  * 10000) AS BIGINT) AS sim_q
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE CAST(floor(list_dot_product(a.v, b.v)
-        |                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-        |                 * 10000) AS BIGINT) >= 4000""".stripMargin,
+    "q52_cosine_neardup_lsh" -> q52OracleSql,
+    "q29_cosine_neardup" -> q29OracleSql,
+    "q113_dedup_eval" ->
+      (s"""WITH exact AS (SELECT id_a, id_b FROM ($q29OracleSql) xq),
+         |approx AS (SELECT id_a, id_b FROM ($q52OracleSql) yq),
+         |j AS (SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS ine,
+         |             CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END AS ina
+         |      FROM exact e FULL OUTER JOIN approx a
+         |        ON a.id_a = e.id_a AND a.id_b = e.id_b),
+         |m AS (SELECT CAST(sum(ine) AS BIGINT) AS n_exact,
+         |             CAST(sum(ina) AS BIGINT) AS n_approx,
+         |             CAST(sum(ine * ina) AS BIGINT) AS tp FROM j)
+         |SELECT n_exact, n_approx, tp,
+         |       n_approx - tp AS fp, n_exact - tp AS fn,
+         |       CAST(CASE WHEN n_approx = 0 THEN 0
+         |            ELSE (1000000 * tp) // n_approx END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN n_exact = 0 THEN 0
+         |            ELSE (1000000 * tp) // n_exact END AS BIGINT) AS recall_ppm
+         |FROM m""").stripMargin,
     "q55_quality_quantiles" -> {
       def hits(words: Seq[String]) = words.map(w =>
         s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)").mkString(" + ")
