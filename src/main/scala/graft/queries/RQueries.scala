@@ -63,7 +63,21 @@ object RQueries {
     "q110_skyline" -> ((s, d) => q110(s, d)),
     "q111_event_paths" -> ((s, d) => q111(s, d)),
     "q112_gap_fill" -> ((s, d) => q112(s, d)),
+    "q114_drift" -> ((s, d) => q114(s, d)),
   )
+
+  /** R58: distribution drift — L1 ppm distance between the even- and
+    * odd-event-id halves of each event type's value distribution
+    * (deterministic split standing in for reference-vs-current). */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def half(parity: Int) = graft.operators.Drift.binned(
+      ev.where(col("event_id") % 2 === parity),
+      col("event_type"), col("cents"), lo = 0L, hi = 100000L, bins = 20)
+    graft.operators.Drift.l1Drift(half(0), half(1))
+  }
 
   /** R56: frequent 3-step event-type paths across user streams. */
   def q111(s: SparkSession, d: String): DataFrame =
@@ -896,6 +910,30 @@ object RQueries {
         |SELECT dv.event_id, dv.event_type, dv.cents, dv.med2, dv.dev2, md.mad4,
         |       (2 * dv.dev2 > 3 * md.mad4) AS is_outlier
         |FROM dv JOIN md USING (event_type)""".stripMargin,
+    "q114_drift" ->
+      """WITH ev AS (SELECT event_type AS grp, event_id,
+        |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |binned AS (SELECT grp, event_id % 2 AS half,
+        |             least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT),
+        |               (cents * 20) // 100000)) AS bin
+        |           FROM ev),
+        |h AS (SELECT grp, half, bin, CAST(count(*) AS BIGINT) AS n
+        |      FROM binned GROUP BY grp, half, bin),
+        |t AS (SELECT grp, half, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM h GROUP BY grp, half),
+        |p AS (SELECT h.grp, h.half, h.bin, h.n,
+        |             CAST((1000000 * h.n) // t.tot AS BIGINT) AS pp
+        |      FROM h JOIN t ON t.grp = h.grp AND t.half = h.half),
+        |j AS (SELECT COALESCE(r.grp, c.grp) AS grp,
+        |             COALESCE(r.n, 0) AS n_r, COALESCE(c.n, 0) AS n_c,
+        |             abs(COALESCE(r.pp, 0) - COALESCE(c.pp, 0)) AS d
+        |      FROM (SELECT * FROM p WHERE half = 0) r
+        |      FULL OUTER JOIN (SELECT * FROM p WHERE half = 1) c
+        |        ON c.grp = r.grp AND c.bin = r.bin)
+        |SELECT grp, CAST(sum(n_r) AS BIGINT) AS n_ref,
+        |       CAST(sum(n_c) AS BIGINT) AS n_cur,
+        |       CAST(sum(d) AS BIGINT) AS l1_ppm
+        |FROM j GROUP BY grp""".stripMargin,
     "q111_event_paths" ->
       """WITH s AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
         |           FROM events GROUP BY user_id),
