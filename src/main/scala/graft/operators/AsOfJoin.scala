@@ -98,4 +98,56 @@ object AsOfJoin {
         .select(col("__l.*"), col("__asof"))
     }
   }
+
+  /** Time-weighted LINEAR interpolation of a point series at probe
+    * timestamps — the step past as-of's "nearest value" semantics for
+    * continuous quantities (balances, sensor readings, rates).
+    *
+    * Per (key, probe t): value between the bracketing points is
+    * `(prev_v·(next_t − t) + next_v·(t − prev_t)) div (next_t − prev_t)`
+    * — the weighted-sum form, NOT `prev + Δv·…`, because Δv can be
+    * negative and truncating (Spark `div`) vs flooring (other engines)
+    * integer division diverge on negative numerators; with NON-NEGATIVE
+    * values the weighted numerator stays ≥ 0 and the arithmetic is
+    * engine-exact. One-sided probes hold the single neighbor's value;
+    * unbracketed (no points for the key) yield null.
+    *
+    * `ts` and `value` must be integral (pass epoch seconds / cents):
+    * overflow envelope |v|·|Δt| < 2⁶³. Same union + two-directional
+    * window-scan shape as [[asOf]] — one shuffle, two per-partition
+    * sorts, no join. Output: probe columns + prev_t/prev_v/next_t/
+    * next_v/interp. */
+  def interpolate(probes: DataFrame, pKey: Column, pTs: Column,
+                  points: DataFrame, ptKey: Column, ptTs: Column,
+                  ptVal: Column): DataFrame = {
+    val lStruct = struct(probes.columns.map(probes(_)): _*)
+    val lType = probes.select(lStruct.as("l")).schema.head.dataType
+    val l2 = probes.select(pKey.as("__k"), pTs.cast("long").as("__t"),
+      lit(0).as("__r"), lStruct.as("__l"), lit(null).cast("long").as("__v"))
+    val r2 = points.select(ptKey.as("__k"), ptTs.cast("long").as("__t"),
+      lit(1).as("__r"), lit(null).cast(lType).as("__l"), ptVal.cast("long").as("__v"))
+    val union = l2.unionByName(r2)
+    // __v as final sort key: two points sharing (key, ts) would otherwise
+    // resolve "last" by engine-dependent sort stability; with the value in
+    // the order, ties are indistinguishable and the scan is total-ordered.
+    def win(backward: Boolean) = Window.partitionBy(col("__k"))
+      .orderBy(if (backward) col("__t").asc else col("__t").desc, col("__r").desc,
+        col("__v").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def scan(df: DataFrame, backward: Boolean, sfx: String): DataFrame =
+      df.withColumn("__v" + sfx, last(col("__v"), ignoreNulls = true).over(win(backward)))
+        .withColumn("__t" + sfx,
+          last(when(col("__r") === 1, col("__t")), ignoreNulls = true).over(win(backward)))
+    val both = scan(scan(union, backward = true, "_b"), backward = false, "_f")
+      .filter(col("__r") === 0)
+    val interp =
+      when(col("__t_b").isNotNull && col("__t_f").isNotNull && col("__t_f") =!= col("__t_b"),
+        expr("(__v_b * (__t_f - __t) + __v_f * (__t - __t_b)) div (__t_f - __t_b)"))
+        .when(col("__t_b").isNotNull, col("__v_b"))
+        .when(col("__t_f").isNotNull, col("__v_f"))
+    both.select(col("__l.*"), col("__t").as("t"),
+      col("__t_b").as("prev_t"), col("__v_b").as("prev_v"),
+      col("__t_f").as("next_t"), col("__v_f").as("next_v"),
+      interp.as("interp"))
+  }
 }

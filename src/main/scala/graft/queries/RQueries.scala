@@ -64,7 +64,23 @@ object RQueries {
     "q111_event_paths" -> ((s, d) => q111(s, d)),
     "q112_gap_fill" -> ((s, d) => q112(s, d)),
     "q114_drift" -> ((s, d) => q114(s, d)),
+    "q115_interpolate" -> ((s, d) => q115(s, d)),
   )
+
+  /** R59: linear interpolation of each user's purchase-value series at
+    * their view timestamps (all-integer micros/cents arithmetic). */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val probes = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+    val points = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("puid"), unix_micros(col("ts")).as("qt"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.operators.AsOfJoin.interpolate(probes, col("user_id"), col("pt"),
+        points, col("puid"), col("qt"), col("cents"))
+      .select("event_id", "user_id", "t", "prev_t", "prev_v",
+        "next_t", "next_v", "interp")
+  }
 
   /** R58: distribution drift — L1 ppm distance between the even- and
     * odd-event-id halves of each event type's value distribution
@@ -910,6 +926,39 @@ object RQueries {
         |SELECT dv.event_id, dv.event_type, dv.cents, dv.med2, dv.dev2, md.mad4,
         |       (2 * dv.dev2 > 3 * md.mad4) AS is_outlier
         |FROM dv JOIN md USING (event_type)""".stripMargin,
+    "q115_interpolate" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+        |             event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |u AS (SELECT user_id AS k, us AS t, 0 AS r, CAST(NULL AS BIGINT) AS v,
+        |             event_id AS eid
+        |      FROM e WHERE event_type = 'view'
+        |      UNION ALL
+        |      SELECT user_id, us, 1, cents, NULL FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT *,
+        |        last_value(v IGNORE NULLS) OVER
+        |          (PARTITION BY k ORDER BY t ASC, r DESC, v ASC NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vb,
+        |        last_value(CASE WHEN r = 1 THEN t END IGNORE NULLS) OVER
+        |          (PARTITION BY k ORDER BY t ASC, r DESC, v ASC NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tb
+        |      FROM u),
+        |f AS (SELECT *,
+        |        last_value(v IGNORE NULLS) OVER
+        |          (PARTITION BY k ORDER BY t DESC, r DESC, v ASC NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf,
+        |        last_value(CASE WHEN r = 1 THEN t END IGNORE NULLS) OVER
+        |          (PARTITION BY k ORDER BY t DESC, r DESC, v ASC NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tf
+        |      FROM b)
+        |SELECT eid AS event_id, k AS user_id, t, tb AS prev_t, vb AS prev_v,
+        |       tf AS next_t, vf AS next_v,
+        |       CASE WHEN tb IS NOT NULL AND tf IS NOT NULL AND tf <> tb
+        |            THEN (vb * (tf - t) + vf * (t - tb)) // (tf - tb)
+        |            WHEN tb IS NOT NULL THEN vb
+        |            WHEN tf IS NOT NULL THEN vf END AS interp
+        |FROM f WHERE r = 0""".stripMargin,
     "q114_drift" ->
       """WITH ev AS (SELECT event_type AS grp, event_id,
         |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 class AsOfJoinSpec extends SparkSpec {
   import ss.implicits._
 
+  test("interpolate: weighted value between brackets, holds at edges, null when no points") {
+    val probes = Seq((1L, "k", 10L), (2L, "k", 35L), (3L, "k", 0L), (4L, "k", 99L),
+                     (5L, "z", 50L)).toDF("id", "key", "pt")
+    val points = Seq(("k", 10L, 100L), ("k", 30L, 300L), ("k", 40L, 200L))
+      .toDF("key", "qt", "v")
+    val out = AsOfJoin.interpolate(probes, col("key"), col("pt"),
+        points, col("key"), col("qt"), col("v"))
+      .select("id", "interp").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(100L), "probe exactly on a point takes its value")
+    // t=35 between (30,300) and (40,200): (300*5 + 200*5) div 10 = 250
+    assert(out(2L) == Some(250L))
+    assert(out(3L) == Some(100L), "before the first point holds forward")
+    assert(out(4L) == Some(200L), "after the last point holds backward")
+    assert(out(5L) == None, "keys with no points interpolate to null")
+  }
+
+  test("interpolate is exact integer math on asymmetric gaps") {
+    val probes = Seq((1L, "k", 13L)).toDF("id", "key", "pt")
+    val points = Seq(("k", 10L, 0L), ("k", 20L, 1000L)).toDF("key", "qt", "v")
+    val r = AsOfJoin.interpolate(probes, col("key"), col("pt"),
+        points, col("key"), col("qt"), col("v"))
+      .select("interp").collect().head.getLong(0)
+    assert(r == 300L, s"(0*7 + 1000*3) div 10 = 300, got $r")
+  }
+
   test("asOf picks the latest right row at or before each left ts, per key") {
     val quotes = Seq( // key, ts, price
       ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
