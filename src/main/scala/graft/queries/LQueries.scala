@@ -75,6 +75,7 @@ object LQueries {
     "q108_neg_sample" -> ((s, d) => q108(s, d)),
     "q109_bfs_depth" -> ((s, d) => q109(s, d)),
     "q113_dedup_eval" -> ((s, d) => q113(s, d)),
+    "q118_kmv_distinct" -> ((s, d) => q118(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -632,6 +633,14 @@ object LQueries {
     graft.operators.DedupEval.pairSetMetrics(
       approx = q52(s, d).select("id_a", "id_b"),
       exact = q29(s, d).select("id_a", "id_b"))
+
+  /** L63: KMV distinct sketch — per event type, estimate the number of
+    * distinct value-cents from the 256 smallest portable hashes. Group
+    * cardinality ~1800 ≫ k, so the estimator branch (not the exact
+    * small-group branch) is what the oracle checks. */
+  def q118(s: SparkSession, d: String): DataFrame =
+    graft.operators.DistinctSketch.groupDistinct(Tables.events(s, d),
+      col("event_type"), round(col("value") * 100).cast("long"), k = 256)
 
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
@@ -1489,6 +1498,31 @@ object LQueries {
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY score_q DESC, word ASC) <= 5""".stripMargin,
     "q52_cosine_neardup_lsh" -> q52OracleSql,
     "q29_cosine_neardup" -> q29OracleSql,
+    "q118_kmv_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type AS grp,
+        |             md5(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS hex
+        |           FROM events),
+        |v AS (SELECT DISTINCT grp, CAST(
+        |    (instr('0123456789abcdef', substr(hex,1,1))-1)*17592186044416
+        |  + (instr('0123456789abcdef', substr(hex,2,1))-1)*1099511627776
+        |  + (instr('0123456789abcdef', substr(hex,3,1))-1)*68719476736
+        |  + (instr('0123456789abcdef', substr(hex,4,1))-1)*4294967296
+        |  + (instr('0123456789abcdef', substr(hex,5,1))-1)*268435456
+        |  + (instr('0123456789abcdef', substr(hex,6,1))-1)*16777216
+        |  + (instr('0123456789abcdef', substr(hex,7,1))-1)*1048576
+        |  + (instr('0123456789abcdef', substr(hex,8,1))-1)*65536
+        |  + (instr('0123456789abcdef', substr(hex,9,1))-1)*4096
+        |  + (instr('0123456789abcdef', substr(hex,10,1))-1)*256
+        |  + (instr('0123456789abcdef', substr(hex,11,1))-1)*16
+        |  + (instr('0123456789abcdef', substr(hex,12,1))-1) AS BIGINT) AS h
+        |  FROM d),
+        |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM v),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept, CAST(max(h) AS BIGINT) AS kth
+        |      FROM rk WHERE rn <= 256 GROUP BY grp)
+        |SELECT grp, n_kept, kth,
+        |       CAST(CASE WHEN n_kept < 256 THEN n_kept
+        |            ELSE (255 * 281474976710656) // greatest(kth, 1) END AS BIGINT) AS est_distinct
+        |FROM s""".stripMargin,
     "q113_dedup_eval" ->
       (s"""WITH exact AS (SELECT id_a, id_b FROM ($q29OracleSql) xq),
          |approx AS (SELECT id_a, id_b FROM ($q52OracleSql) yq),

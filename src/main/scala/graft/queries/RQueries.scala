@@ -65,7 +65,27 @@ object RQueries {
     "q112_gap_fill" -> ((s, d) => q112(s, d)),
     "q114_drift" -> ((s, d) => q114(s, d)),
     "q115_interpolate" -> ((s, d) => q115(s, d)),
+    "q116_kanon" -> ((s, d) => q116(s, d)),
+    "q117_join_size" -> ((s, d) => q117(s, d)),
   )
+
+  /** R60: privacy-aware release of per-(type, day) event value sums —
+    * each user contributes at most 3 rows per cell (kept by event_id
+    * order), cells with fewer than 5 distinct users suppressed. */
+  def q116(s: SparkSession, d: String): DataFrame =
+    Privacy.releaseAggregates(Tables.events(s, d),
+      groupCols = Seq(col("event_type").as("grp"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day")),
+      entityCol = col("user_id"), tieCol = col("event_id"),
+      valueCol = round(col("value") * 100).cast("long"),
+      maxPerEntity = 3, kEntities = 5)
+      .withColumnRenamed("sum_v", "sum_cents")
+
+  /** R61: cardinality forecast for events ⋈ orders on user/cust key —
+    * per-key pair counts, computed without executing the join. */
+  def q117(s: SparkSession, d: String): DataFrame =
+    JoinStats.keyStats(Tables.events(s, d), col("user_id"),
+      Tables.load(s, d, "orders"), col("o_custkey"))
 
   /** R59: linear interpolation of each user's purchase-value series at
     * their view timestamps (all-integer micros/cents arithmetic). */
@@ -959,6 +979,25 @@ object RQueries {
         |            WHEN tb IS NOT NULL THEN vb
         |            WHEN tf IS NOT NULL THEN vf END AS interp
         |FROM f WHERE r = 0""".stripMargin,
+    "q116_kanon" ->
+      """WITH e AS (SELECT event_type AS grp, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |             user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY grp, day, user_id ORDER BY event_id) AS rn FROM e),
+        |pe AS (SELECT grp, day, user_id, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(cents) AS BIGINT) AS s
+        |       FROM r WHERE rn <= 3 GROUP BY grp, day, user_id)
+        |SELECT grp, day, CAST(count(*) AS BIGINT) AS n_entities,
+        |       CAST(sum(n) AS BIGINT) AS n_rows, CAST(sum(s) AS BIGINT) AS sum_cents
+        |FROM pe GROUP BY grp, day HAVING count(*) >= 5""".stripMargin,
+    "q117_join_size" ->
+      """WITH l AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_left
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_right
+        |      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+        |SELECT l.k, l.n_left, r.n_right, CAST(l.n_left * r.n_right AS BIGINT) AS n_pairs
+        |FROM l JOIN r ON r.k = l.k""".stripMargin,
     "q114_drift" ->
       """WITH ev AS (SELECT event_type AS grp, event_id,
         |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -47,7 +47,10 @@ class PlanAuditSpec extends SparkSpec {
     "q108_neg_sample" -> ("the 1-row corpus-count aggregate broadcast-crossed into the ordinal " +
       "frame for the modulus — same single-row build shape as q53/q72"),
     "q112_gap_fill" -> ("the day spine crossed with the group domain — BOTH sides bounded " +
-      "metadata (calendar days x event types), the group side broadcast"))
+      "metadata (calendar days x event types), the group side broadcast"),
+    "q113_dedup_eval" -> ("embeds q29's deliberate all-pairs EXACT baseline as the ground " +
+      "truth it measures the LSH pass against — the harness is exactly as expensive as the " +
+      "exact baseline it evaluates, by definition"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
