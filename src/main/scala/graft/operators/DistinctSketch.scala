@@ -78,9 +78,15 @@ object DistinctSketch {
     * (ga, gb, n_union_kept, n_both, jaccard_ppm) for ga < gb.
     *
     * All inputs here are k-row-per-group sketch tables — group² × k
-    * rows of metadata, never data-scale. */
-  def pairwiseJaccard(sketch: DataFrame, k: Int): DataFrame = {
+    * rows of metadata, never data-scale. The sketch is referenced five
+    * times below (pair spine, two union sides, two membership probes);
+    * without materialization each reference re-runs the upstream
+    * sketch-building scan (observed: q119's shingle explode planned
+    * 4×), so the k-row table is `localCheckpoint`ed once, eagerly —
+    * the [[DupClusters]] convention for many-consumer tiny frames. */
+  def pairwiseJaccard(sketchPlan: DataFrame, k: Int): DataFrame = {
     require(k > 1, s"k must be > 1, got $k")
+    val sketch = sketchPlan.localCheckpoint(true)
     val groups = sketch.select(col("grp")).distinct()
     val pairs = groups.select(col("grp").as("ga"))
       .join(groups.select(col("grp").as("gb")), col("ga") < col("gb"))

@@ -76,6 +76,7 @@ object LQueries {
     "q109_bfs_depth" -> ((s, d) => q109(s, d)),
     "q113_dedup_eval" -> ((s, d) => q113(s, d)),
     "q118_kmv_distinct" -> ((s, d) => q118(s, d)),
+    "q119_source_overlap" -> ((s, d) => q119(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -641,6 +642,17 @@ object LQueries {
   def q118(s: SparkSession, d: String): DataFrame =
     graft.operators.DistinctSketch.groupDistinct(Tables.events(s, d),
       col("event_type"), round(col("value") * 100).cast("long"), k = 256)
+
+  /** L64: cross-source contamination matrix — Jaccard overlap of every
+    * source pair's 3-word-shingle vocabulary, read entirely off KMV
+    * sketches (k=128 rows per source, never a shingle-level join). */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val shingled = graft.operators.NearDup.wordShingles(
+      Tables.documents(s, d), col("source"), col("text"), k = 3)
+    graft.operators.DistinctSketch.pairwiseJaccard(
+      graft.operators.DistinctSketch.kmvSketch(shingled, col("id"), col("gram"), k = 128),
+      k = 128)
+  }
 
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
@@ -1498,6 +1510,47 @@ object LQueries {
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY score_q DESC, word ASC) <= 5""".stripMargin,
     "q52_cosine_neardup_lsh" -> q52OracleSql,
     "q29_cosine_neardup" -> q29OracleSql,
+    "q119_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source AS grp, gram FROM (
+        |  SELECT source,
+        |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM t WHERE len(w) >= 3) raw),
+        |h0 AS (SELECT grp, md5(gram) AS hex FROM g),
+        |v AS (SELECT DISTINCT grp, CAST(
+        |    (instr('0123456789abcdef', substr(hex,1,1))-1)*17592186044416
+        |  + (instr('0123456789abcdef', substr(hex,2,1))-1)*1099511627776
+        |  + (instr('0123456789abcdef', substr(hex,3,1))-1)*68719476736
+        |  + (instr('0123456789abcdef', substr(hex,4,1))-1)*4294967296
+        |  + (instr('0123456789abcdef', substr(hex,5,1))-1)*268435456
+        |  + (instr('0123456789abcdef', substr(hex,6,1))-1)*16777216
+        |  + (instr('0123456789abcdef', substr(hex,7,1))-1)*1048576
+        |  + (instr('0123456789abcdef', substr(hex,8,1))-1)*65536
+        |  + (instr('0123456789abcdef', substr(hex,9,1))-1)*4096
+        |  + (instr('0123456789abcdef', substr(hex,10,1))-1)*256
+        |  + (instr('0123456789abcdef', substr(hex,11,1))-1)*16
+        |  + (instr('0123456789abcdef', substr(hex,12,1))-1) AS BIGINT) AS h
+        |  FROM h0),
+        |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM v),
+        |kept AS (SELECT grp, h FROM rk WHERE rn <= 128),
+        |gs AS (SELECT DISTINCT grp FROM kept),
+        |pr AS (SELECT a.grp AS ga, b.grp AS gb FROM gs a JOIN gs b ON a.grp < b.grp),
+        |u AS (SELECT DISTINCT ga, gb, h FROM (
+        |  SELECT pr.ga, pr.gb, k.h FROM pr JOIN kept k ON k.grp = pr.ga
+        |  UNION ALL
+        |  SELECT pr.ga, pr.gb, k.h FROM pr JOIN kept k ON k.grp = pr.gb) z),
+        |ur AS (SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM u),
+        |bk AS (SELECT ga, gb, h FROM ur WHERE rn <= 128),
+        |fl AS (SELECT bk.ga, bk.gb,
+        |         CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |         CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |       FROM bk
+        |       LEFT JOIN kept ka ON ka.grp = bk.ga AND ka.h = bk.h
+        |       LEFT JOIN kept kb ON kb.grp = bk.gb AND kb.h = bk.h)
+        |SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union_kept,
+        |       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+        |       CAST((1000000 * sum(in_a * in_b)) // count(*) AS BIGINT) AS jaccard_ppm
+        |FROM fl GROUP BY ga, gb""".stripMargin,
     "q118_kmv_distinct" ->
       """WITH d AS (SELECT DISTINCT event_type AS grp,
         |             md5(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS hex

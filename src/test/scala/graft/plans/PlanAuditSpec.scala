@@ -50,7 +50,10 @@ class PlanAuditSpec extends SparkSpec {
       "metadata (calendar days x event types), the group side broadcast"),
     "q113_dedup_eval" -> ("embeds q29's deliberate all-pairs EXACT baseline as the ground " +
       "truth it measures the LSH pass against — the harness is exactly as expensive as the " +
-      "exact baseline it evaluates, by definition"))
+      "exact baseline it evaluates, by definition"),
+    "q119_source_overlap" -> ("pairwiseJaccard's source-pair spine crosses the bounded " +
+      "group domain with itself (ga < gb) — both sides are sketch METADATA (distinct " +
+      "groups), and everything downstream is k-row-per-group sketch tables"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
