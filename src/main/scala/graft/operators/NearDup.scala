@@ -158,8 +158,10 @@ object NearDup {
     *   other bands. Default ∞ adds NO extra plan steps; at 100 TB set it
     *   to a few thousand (exact-dup clusters that big belong to L1 exact
     *   dedup, which should run first anyway). */
-  def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
-                    maxBucketSize: Long = Long.MaxValue): DataFrame = {
+  /** (id, n_grams, band, bucket) band-key rows for a [[minHashSignatures]]
+    * table — the LSH bucketing shared by the self-join candidate path and
+    * [[IncrementalDedup]]'s new-vs-store probe. */
+  private[operators] def bandedKeys(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
     val numHashes = signatures.columns.count(_.startsWith("mh_"))
     val bands = numHashes / rowsPerBand
     val bandStructs = (0 until bands).map { j =>
@@ -170,9 +172,14 @@ object NearDup {
         }: _*))
       struct(lit(j).as("band"), key.as("bucket"))
     }
-    val bandedAll = signatures
+    signatures
       .select(col("id"), col("n_grams"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("n_grams"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
+                    maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val bandedAll = bandedKeys(signatures, rowsPerBand)
     val banded =
       if (maxBucketSize == Long.MaxValue) bandedAll
       else {
