@@ -72,6 +72,44 @@ object Expectations {
     case MinRows(_)                   => count(lit(1))
   }
 
+  /** Row-level predicate for checks that are row-expressible; None for
+    * inherently table-level checks (Distinctness, MinRows). */
+  private def rowPredicate(c: Check): Option[Column] = c match {
+    case Complete(col0, _)           => Some(col(col0).isNotNull)
+    case InRangePct(col0, lo, hi, _) => Some(col(col0).between(lo, hi))
+    case InSetPct(col0, vs, _)       => Some(col(col0).isin(vs: _*))
+    case MatchesPct(col0, re, _)     => Some(col(col0).rlike(re))
+    case _: Distinctness | _: MinRows => None
+  }
+
+  /** Row-level violation tagging (R62): adds `outCol` = the names of the
+    * checks THIS row fails (suite order; null predicate = fail, matching
+    * the aggregate counters). Ratio thresholds don't apply here — they
+    * gate table-level release; quarantine routes every failing row.
+    * Table-level checks (Distinctness/MinRows) have no row form and are
+    * rejected loudly rather than silently skipped. One narrow projection,
+    * no shuffle. */
+  def rowViolations(df: DataFrame, checks: Seq[Check], outCol: String = "violations"): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val preds = checks.map(c => c -> rowPredicate(c))
+    val tableLevel = preds.collect { case (c, None) => c.name }
+    require(tableLevel.isEmpty,
+      s"checks without a row-level form (evaluate via check()): ${tableLevel.mkString(", ")}")
+    val tags = preds.collect { case (c, Some(p)) =>
+      when(!coalesce(p, lit(false)), lit(c.name))
+    }
+    df.withColumn(outCol, filter(array(tags: _*), t => t.isNotNull))
+  }
+
+  /** Quarantine routing: (valid rows — original schema, quarantined rows
+    * + the `violations` tag column). The reference's status-filter
+    * side-output shape (R14) generalized to the whole check algebra. */
+  def quarantine(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    val tagged = rowViolations(df, checks)
+    (tagged.where(size(col("violations")) === 0).drop("violations"),
+      tagged.where(size(col("violations")) > 0))
+  }
+
   /** Evaluate the suite: returns one row per check —
     * (check_name, metric_q, threshold_q, passed) — in suite order. */
   def check(df: DataFrame, checks: Seq[Check]): DataFrame = {

@@ -67,7 +67,24 @@ object RQueries {
     "q115_interpolate" -> ((s, d) => q115(s, d)),
     "q116_kanon" -> ((s, d) => q116(s, d)),
     "q117_join_size" -> ((s, d) => q117(s, d)),
+    "q120_quarantine" -> ((s, d) => q120(s, d)),
   )
+
+  /** R62: row-level quarantine routing — every `orders` row failing any
+    * row-expressible check from q104's suite, tagged with WHICH checks it
+    * failed (the side-output a release reviewer actually reads). */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Expectations._
+    rowViolations(Tables.load(s, d, "orders"), Seq(
+      Complete("o_custkey"),
+      InRangePct("o_totalprice", 1000.0, 400000.0, 750000L),
+      InSetPct("o_orderstatus", Seq("F", "O"), 1000000L),
+      MatchesPct("o_orderpriority", "^[1-5]-[A-Z ]+$", 1000000L)))
+      .where(size(col("violations")) > 0)
+      .select(col("o_orderkey"),
+        array_join(col("violations"), ",").as("violations_csv"),
+        size(col("violations")).cast("long").as("n_violations"))
+  }
 
   /** R60: privacy-aware release of per-(type, day) event value sums —
     * each user contributes at most 3 rows per cell (kept by event_id
@@ -979,6 +996,24 @@ object RQueries {
         |            WHEN tb IS NOT NULL THEN vb
         |            WHEN tf IS NOT NULL THEN vf END AS interp
         |FROM f WHERE r = 0""".stripMargin,
+    "q120_quarantine" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  concat_ws(',',
+        |    CASE WHEN o_custkey IS NULL THEN 'complete(o_custkey)' END,
+        |    CASE WHEN NOT COALESCE(o_totalprice BETWEEN 1000.0 AND 400000.0, FALSE)
+        |         THEN 'in_range(o_totalprice)' END,
+        |    CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O'), FALSE)
+        |         THEN 'in_set(o_orderstatus)' END,
+        |    CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'), FALSE)
+        |         THEN 'matches(o_orderpriority)' END) AS violations_csv,
+        |  (CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN NOT COALESCE(o_totalprice BETWEEN 1000.0 AND 400000.0, FALSE) THEN 1 ELSE 0 END
+        |   + CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O'), FALSE) THEN 1 ELSE 0 END
+        |   + CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'), FALSE) THEN 1 ELSE 0 END
+        |  ) AS nv
+        |  FROM orders)
+        |SELECT o_orderkey, violations_csv, CAST(nv AS BIGINT) AS n_violations
+        |FROM t WHERE nv > 0""".stripMargin,
     "q116_kanon" ->
       """WITH e AS (SELECT event_type AS grp, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |             user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents

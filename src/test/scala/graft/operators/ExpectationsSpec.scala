@@ -42,6 +42,42 @@ class ExpectationsSpec extends SparkSpec {
     assert(out("min_rows") == ((0L, false)))
   }
 
+  test("rowViolations tags each row with exactly the checks it fails, in suite order") {
+    val rules = Seq(Complete("email", 1L), InRangePct("amount", 0.0, 100.0, 1L),
+      InSetPct("status", Seq("OK"), 1L))
+    val out = rowViolations(df, rules)
+      .select(col("id"), array_join(col("violations"), ",").as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "" && out(2L) == "")
+    assert(out(3L) == "complete(email),in_set(status)") // null email fails complete
+    assert(out(4L) == "in_range(amount)")
+  }
+
+  test("null predicate inputs fail row checks, matching the aggregate counters") {
+    val rules = Seq(InRangePct("amount", 0.0, 100.0, 1L))
+    val withNull = df.withColumn("amount",
+      when(col("id") === 1L, lit(null).cast("double")).otherwise(col("amount")))
+    val out = rowViolations(withNull, rules)
+      .select(col("id"), size(col("violations")).as("n")).as[(Long, Int)].collect().toMap
+    assert(out(1L) == 1 && out(2L) == 0 && out(4L) == 1)
+  }
+
+  test("quarantine splits valid (original schema) from tagged violators") {
+    val rules = Seq(Complete("email", 1L), InSetPct("status", Seq("OK"), 1L))
+    val (valid, bad) = quarantine(df, rules)
+    assert(valid.columns.toSeq == df.columns.toSeq)
+    assert(valid.select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    assert(bad.select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(bad.columns.contains("violations"))
+  }
+
+  test("table-level checks are rejected loudly from the row form") {
+    val e = intercept[IllegalArgumentException] {
+      rowViolations(df, Seq(Complete("email", 1L), Distinctness("id"), MinRows(1L)))
+    }
+    assert(e.getMessage.contains("distinct(id)") && e.getMessage.contains("min_rows"))
+  }
+
   test("whole suite is one aggregate scan (single Aggregate pair in the plan)") {
     val plan = check(df, Seq(Complete("email"), InRangePct("amount", 0, 100, 1L),
       MatchesPct("status", "^O", 1L), MinRows(1L)))
