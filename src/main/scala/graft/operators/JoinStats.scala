@@ -70,7 +70,8 @@ object JoinStats {
       .agg(coalesce(sum("n_pairs"), lit(0L)).as("sampled_pairs"),
         count(lit(1)).as("sampled_keys"))
       .select(col("sampled_pairs"), col("sampled_keys"),
-        (col("sampled_pairs") * 256L / buckets).cast("long").as("est_total_pairs"),
-        (col("sampled_keys") * 256L / buckets).cast("long").as("est_total_keys"))
+        // integer div, not Column./ (double division would round past 2^53)
+        expr(s"CAST((sampled_pairs * 256) div $buckets AS BIGINT)").as("est_total_pairs"),
+        expr(s"CAST((sampled_keys * 256) div $buckets AS BIGINT)").as("est_total_keys"))
   }
 }
