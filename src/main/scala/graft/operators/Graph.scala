@@ -117,20 +117,31 @@ object Graph {
     * an unrolled SQL recurrence. Returns (node, dist) for nodes reachable
     * within `maxDepth` hops (seeds at 0); unreachable nodes are absent.
     *
-    * Each round is one join + one min-aggregation over the node-keyed
-    * frontier; rounds are cut with an eager `localCheckpoint` because the
-    * recurrence references the previous round twice (carry + push) — the
-    * [[DupClusters]] barrier pattern, cheap here since the frame is
-    * node-sized. */
+    * Frontier-based expansion (the textbook BFS invariant made
+    * distributed): a BFS label is FINAL the round it is assigned, so only
+    * the nodes labeled LAST round push — re-pushing from the whole
+    * labeled set (the naive recurrence) re-derives every already-known
+    * distance each round, and its edge join grows with the labeled set
+    * instead of shrinking with the frontier. Rounds then need no
+    * min-aggregation at all: new labels are disjoint from old by the
+    * anti-join, so the distance table grows by pure union. An exhausted
+    * frontier short-circuits remaining rounds (cheap — the frontier is
+    * already materialized by the round's checkpoint cut). */
   def seedDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.localCheckpoint(true)
     var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
-    for (_ <- 1 to maxDepth) {
-      val push = dist.join(e, col("node") === col("src"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.union(push).groupBy("node").agg(min("dist").as("dist"))
+    var frontier = dist
+    var r = 1
+    while (r <= maxDepth && !frontier.isEmpty) {
+      val newNodes = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
         .localCheckpoint(true)
+      dist = dist.union(newNodes).localCheckpoint(true)
+      frontier = newNodes
+      r += 1
     }
     dist
   }
