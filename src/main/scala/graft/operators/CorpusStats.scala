@@ -234,4 +234,37 @@ object CorpusStats {
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk_text")
   }
+
+  /** Per-group vocabulary-health diagnostics (L66): the corpus-report
+    * numbers that tell you a source went wrong BEFORE training on it —
+    * type-token ratio (low = repetitive boilerplate), hapax share (high =
+    * OCR noise / gibberish inflating the vocabulary), and head-mass
+    * concentration (the token share of the `topN` most frequent words;
+    * high = templated text). All ppm integer division, engine-exact.
+    *
+    * Shape: one token explode into a (group, word)-keyed count (map-side
+    * combined — the shuffle carries word counts, not tokens), then the
+    * word-count table feeds both the stats rollup and the [[TopK]]
+    * bounded-heap head mass. It is materialized once (eager
+    * localCheckpoint) because both consumers would otherwise re-run the
+    * corpus-scale explode; the table itself is vocabulary-sized. */
+  def vocabStats(df: DataFrame, groupCol: Column, textCol: Column, topN: Int = 10): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val wc = df.select(groupCol.as("grp"),
+        explode(split(lower(textCol), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("grp", "word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val stats = wc.groupBy("grp").agg(
+      sum("n").as("n_tokens"), count(lit(1)).as("n_types"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val headMass = TopK.topKPerKeyNative(wc,
+        Seq(col("grp")), Seq(col("n").desc, col("word").asc), topN)
+      .groupBy("grp").agg(sum("n").as("top_mass"))
+    stats.join(headMass, Seq("grp"))
+      .select(col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("CAST((1000000 * n_types) div n_tokens AS BIGINT)").as("ttr_ppm"),
+        expr("CAST((1000000 * n_hapax) div n_types AS BIGINT)").as("hapax_ppm"),
+        expr("CAST((1000000 * top_mass) div n_tokens AS BIGINT)").as("top_mass_ppm"))
+  }
 }

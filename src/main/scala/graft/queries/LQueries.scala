@@ -77,6 +77,7 @@ object LQueries {
     "q113_dedup_eval" -> ((s, d) => q113(s, d)),
     "q118_kmv_distinct" -> ((s, d) => q118(s, d)),
     "q119_source_overlap" -> ((s, d) => q119(s, d)),
+    "q121_vocab_stats" -> ((s, d) => q121(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -653,6 +654,12 @@ object LQueries {
       graft.operators.DistinctSketch.kmvSketch(shingled, col("id"), col("gram"), k = 128),
       k = 128)
   }
+
+  /** L66: per-source vocabulary-health report — type-token ratio, hapax
+    * share, top-10 head-mass concentration. */
+  def q121(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusStats.vocabStats(Tables.documents(s, d),
+      col("source"), col("text"), topN = 10)
 
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
@@ -1510,6 +1517,24 @@ object LQueries {
         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY score_q DESC, word ASC) <= 5""".stripMargin,
     "q52_cosine_neardup_lsh" -> q52OracleSql,
     "q29_cosine_neardup" -> q29OracleSql,
+    "q121_vocab_stats" ->
+      """WITH tok AS (SELECT source AS grp, unnest(string_split(lower(text), ' ')) AS word
+        |             FROM documents),
+        |t2 AS (SELECT grp, word FROM tok WHERE word <> ''),
+        |wc AS (SELECT grp, word, CAST(count(*) AS BIGINT) AS n FROM t2 GROUP BY grp, word),
+        |st AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |              CAST(count(*) AS BIGINT) AS n_types,
+        |              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |       FROM wc GROUP BY grp),
+        |tp AS (SELECT grp, CAST(sum(n) AS BIGINT) AS top_mass FROM (
+        |         SELECT grp, n, row_number() OVER
+        |           (PARTITION BY grp ORDER BY n DESC, word ASC) AS rn FROM wc) z
+        |       WHERE rn <= 10 GROUP BY grp)
+        |SELECT st.grp, st.n_tokens, st.n_types, st.n_hapax,
+        |  CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
+        |  CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_ppm,
+        |  CAST((1000000 * top_mass) // n_tokens AS BIGINT) AS top_mass_ppm
+        |FROM st JOIN tp ON tp.grp = st.grp""".stripMargin,
     "q119_source_overlap" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT source AS grp, gram FROM (
