@@ -97,6 +97,32 @@ object Profiler {
     * `fp_xor` (bitwise — catches value permutations sum is blind to).
     * Cast floating-point columns to a fixed decimal scale first: raw
     * float→string rendering is not engine-portable. */
+  /** Functional-dependency profiling (R63): does `lhs → rhs` hold — is
+    * each lhs value paired with at most one (non-null) rhs value? The
+    * key/dependency-discovery check a schema reviewer runs before
+    * trusting a join key or an SCD compare column (deequ's
+    * "uniqueness/consistency" family). Null rhs values witness nothing
+    * (SQL `count(distinct)` semantics); a null LHS is a value like any
+    * other.
+    *
+    * Shape per dependency: two-level aggregation — (lhs, rhs) distinct
+    * counts with map-side combine, then an lhs-keyed rollup — never a
+    * `count(distinct)` expand over raw rows; output is one row per
+    * checked dependency. */
+  def fdProfile(df: DataFrame, deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "deps must be non-empty")
+    deps.map { case (lhs, rhs) =>
+      df.where(col(rhs).isNotNull)
+        .groupBy(col(lhs).as("__l"), col(rhs).as("__r")).agg(count(lit(1)).as("__c"))
+        .groupBy("__l").agg(count(lit(1)).as("__nr"))
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("__nr") > 1, 1L).otherwise(0L)), lit(0L)).as("n_violating"))
+        .select(lit(lhs).as("lhs_col"), lit(rhs).as("rhs_col"),
+          col("n_keys"), col("n_violating"),
+          (col("n_violating") === 0).as("fd_holds"))
+    }.reduce(_ unionByName _)
+  }
+
   def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     val canon = concat_ws("\u0001",

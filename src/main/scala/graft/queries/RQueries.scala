@@ -68,7 +68,16 @@ object RQueries {
     "q116_kanon" -> ((s, d) => q116(s, d)),
     "q117_join_size" -> ((s, d) => q117(s, d)),
     "q120_quarantine" -> ((s, d) => q120(s, d)),
+    "q122_fd_profile" -> ((s, d) => q122(s, d)),
   )
+
+  /** R63: functional-dependency discovery over `orders` — one holding
+    * dependency (orderkey is a key) and two violated ones. */
+  def q122(s: SparkSession, d: String): DataFrame =
+    Profiler.fdProfile(Tables.load(s, d, "orders"), Seq(
+      "o_orderkey" -> "o_custkey",
+      "o_custkey" -> "o_orderstatus",
+      "o_orderpriority" -> "o_orderstatus"))
 
   /** R62: row-level quarantine routing — every `orders` row failing any
     * row-expressible check from q104's suite, tagged with WHICH checks it
@@ -996,6 +1005,23 @@ object RQueries {
         |            WHEN tb IS NOT NULL THEN vb
         |            WHEN tf IS NOT NULL THEN vf END AS interp
         |FROM f WHERE r = 0""".stripMargin,
+    "q122_fd_profile" ->
+      """WITH fd AS (
+        |  SELECT 'o_orderkey' AS lhs_col, 'o_custkey' AS rhs_col, o_orderkey AS l,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nr
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_orderkey
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'o_orderstatus', o_custkey,
+        |         CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', 'o_orderstatus', hash(o_orderpriority),
+        |         CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderpriority)
+        |SELECT lhs_col, rhs_col, CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |       sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+        |FROM fd GROUP BY lhs_col, rhs_col""".stripMargin,
     "q120_quarantine" ->
       """WITH t AS (SELECT o_orderkey,
         |  concat_ws(',',
