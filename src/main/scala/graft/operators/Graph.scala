@@ -190,4 +190,51 @@ object Graph {
     tris.select(explode(array(col("lo"), col("hi"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** k-core decomposition by synchronous peeling, `rounds` fixed rounds:
+    * each round drops every edge with an endpoint of current degree < k
+    * (all deletions in a round are simultaneous — deterministic, no
+    * peel-order dependence). Returns (node, deg) for the endpoints of the
+    * surviving edge set with their within-core degree. With `rounds` at
+    * the fixpoint (reached in ≤ a few rounds on real graphs; assert with
+    * [[kCoreConverged]]) this IS the k-core: the maximal subgraph where
+    * every node has ≥ k neighbors inside it.
+    *
+    * Why fixed rounds instead of loop-until-stable: the round count is
+    * part of the operator's contract, which makes a 5-round run
+    * hash-comparable against an engine-independent oracle (same trick as
+    * [[pageRank]]); convergence is then a separate, checkable claim.
+    *
+    * Scale shape per round: one map-side-combinable degree count + two
+    * equi-joins of the edge set against the (node-sized, shrinking)
+    * survivor set — no per-node iteration state, lineage is linear in
+    * `rounds`, and each round is checkpointed so the DAG never re-derives
+    * earlier rounds through the double edge reference. */
+  def kCorePeel(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k >= 1, rounds >= 1")
+    var edges = und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).where(col("deg") >= k).select("node")
+      edges = edges
+        .join(keep.select(col("node").as("u")), "u")
+        .join(keep.select(col("node").as("v")), "v")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    degrees(edges)
+  }
+
+  /** True when one more peel round changes nothing — i.e. `rounds` already
+    * reached the k-core fixpoint on this graph. */
+  def kCoreConverged(und: DataFrame, k: Int, rounds: Int): Boolean = {
+    val a = kCorePeel(und, k, rounds)
+    val b = kCorePeel(und, k, rounds + 1)
+    a.unionByName(b).distinct().count() == a.count() && a.count() == b.count()
+  }
+
+  /** Undirected degree per endpoint node of (u, v) edges. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node")).unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
 }

@@ -78,6 +78,8 @@ object LQueries {
     "q118_kmv_distinct" -> ((s, d) => q118(s, d)),
     "q119_source_overlap" -> ((s, d) => q119(s, d)),
     "q121_vocab_stats" -> ((s, d) => q121(s, d)),
+    "q125_quantile_sketch" -> ((s, d) => q125(s, d)),
+    "q126_kcore" -> ((s, d) => q126(s, d)),
   )
 
   /** L1: exact dedup via content hash. */
@@ -661,6 +663,27 @@ object LQueries {
     graft.operators.CorpusStats.vocabStats(Tables.documents(s, d),
       col("source"), col("text"), topN = 10)
 
+  /** L67: mergeable log2-histogram quantile sketch — per-language
+    * p50/p90/p99 of document char length, read off a ≤64-bucket
+    * power-of-two histogram (bucket = length(bin(x)), bit-reproducible
+    * across engines). */
+  def q125(s: SparkSession, d: String): DataFrame =
+    graft.operators.QuantileSketch.groupQuantiles(Tables.documents(s, d),
+      col("lang"), length(col("text")), Seq(50, 90, 99))
+      .select(col("grp").as("lang"), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+
+  /** L68: k-core of the co-purchase graph — 5 synchronous peel rounds at
+    * k=80 (the fixpoint at sf0.01: a 143-node cascade over 5 rounds; the
+    * GraphSpec asserts peel-vs-fixpoint on a crafted graph), surviving
+    * nodes with their within-core degree. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    val und = graft.operators.Graph.coOccurrenceEdges(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+    graft.operators.Graph.kCorePeel(und, k = 80, rounds = 5)
+      .select(col("node").as("part_key"), col("deg"))
+  }
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -772,6 +795,31 @@ object LQueries {
       |    JOIN e0 e2 ON e2.u = e1.v JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
       |) n GROUP BY node""".stripMargin
 
+  /** Unrolled synchronous k-core peel (mirrors `Graph.kCorePeel`): round r
+    * computes degrees over e(r-1) and keeps edges whose BOTH endpoints
+    * have degree ≥ k; the final select reads degrees off e(rounds).
+    * Every round CTE is MATERIALIZED: each e(r) is referenced three times
+    * by round r+1 (twice through d, once as the join input), so DuckDB's
+    * default inlining would re-evaluate e0 — itself a self-join — 3^rounds
+    * times; materialization makes the oracle linear in rounds. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(coEdges)
+    for (r <- 1 to rounds) {
+      val prev = s"e${r - 1}"
+      sb.append(s""",
+                   |d$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+                   |  SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) x GROUP BY node),
+                   |e$r AS MATERIALIZED (SELECT e.u, e.v FROM $prev e
+                   |  JOIN d$r a ON a.node = e.u AND a.deg >= $k
+                   |  JOIN d$r b ON b.node = e.v AND b.deg >= $k)""".stripMargin)
+    }
+    sb.append(s"""
+                 |SELECT node AS part_key, CAST(count(*) AS BIGINT) AS deg FROM (
+                 |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds) x
+                 |GROUP BY node""".stripMargin)
+    sb.toString
+  }
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -841,6 +889,28 @@ object LQueries {
     "q105_quantize" -> quantizeOracle,
     "q106_quantized_ann" -> quantizedAnnOracle,
     "q109_bfs_depth" -> bfsOracle,
+    "q126_kcore" -> kcoreOracle(k = 80, rounds = 5),
+    "q125_quantile_sketch" ->
+      """WITH b AS (SELECT lang,
+        |             CASE WHEN length(text) <= 0 THEN 0
+        |                  ELSE length(bin(CAST(length(text) AS BIGINT))) END AS bucket
+        |           FROM documents),
+        |sk AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n
+        |       FROM b GROUP BY 1, 2),
+        |c AS (SELECT lang, bucket, n,
+        |        sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+        |        sum(n) OVER (PARTITION BY lang) AS tot
+        |      FROM sk),
+        |p AS (SELECT lang, max(tot) AS n,
+        |        min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN bucket END) AS b50,
+        |        min(CASE WHEN cum >= (90 * tot + 99) // 100 THEN bucket END) AS b90,
+        |        min(CASE WHEN cum >= (99 * tot + 99) // 100 THEN bucket END) AS b99
+        |      FROM c GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN b50 <= 0 THEN 0 ELSE (3 * (CAST(1 AS BIGINT) << (b50 - 1)) - 1) // 2 END AS BIGINT) AS p50_est,
+        |  CAST(CASE WHEN b90 <= 0 THEN 0 ELSE (3 * (CAST(1 AS BIGINT) << (b90 - 1)) - 1) // 2 END AS BIGINT) AS p90_est,
+        |  CAST(CASE WHEN b99 <= 0 THEN 0 ELSE (3 * (CAST(1 AS BIGINT) << (b99 - 1)) - 1) // 2 END AS BIGINT) AS p99_est
+        |FROM p""".stripMargin,
     "q108_neg_sample" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS ord

@@ -69,7 +69,26 @@ object RQueries {
     "q117_join_size" -> ((s, d) => q117(s, d)),
     "q120_quarantine" -> ((s, d) => q120(s, d)),
     "q122_fd_profile" -> ((s, d) => q122(s, d)),
+    "q123_cusum" -> ((s, d) => q123(s, d)),
+    "q124_basket_rules" -> ((s, d) => q124(s, d)),
   )
+
+  /** R65: brand-level association rules over order baskets — Apriori
+    * frequent-item prune, in-row pair expansion, integer ppm conf/lift. */
+  def q124(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("bk"), col("p_brand").as("item"))
+    Basket.associationRules(bi, col("bk"), col("item"),
+      minSupport = 1000L, minPairSupport = 150L)
+  }
+
+  /** R64: one-sided CUSUM changepoint flags on daily event counts per
+    * type — closed-form windows (cumsum − running min), integer-exact;
+    * alarm at 3 mean-days of cumulative excess. */
+  def q123(s: SparkSession, d: String): DataFrame =
+    Changepoints.dailyCountCusum(Tables.events(s, d),
+      col("event_type"), col("ts"), mult = 3L)
 
   /** R63: functional-dependency discovery over `orders` — one holding
     * dependency (orderkey is a key) and two violated ones. */
@@ -1106,6 +1125,42 @@ object RQueries {
         |SELECT grp, strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
         |       CAST(sum(n) OVER (PARTITION BY grp ORDER BY d) AS BIGINT) AS cum_n
         |FROM f""".stripMargin,
+    "q123_cusum" ->
+      """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+        |                 CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(sum(n) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS dd
+        |      FROM daily GROUP BY grp),
+        |p AS (SELECT daily.grp, daily.d, daily.n, t.s,
+        |        CAST(sum(t.dd * daily.n - t.s)
+        |          OVER (PARTITION BY daily.grp ORDER BY daily.d) AS BIGINT) AS pp
+        |      FROM daily JOIN t ON t.grp = daily.grp),
+        |c AS (SELECT grp, d, n, s,
+        |        pp - LEAST(0, min(pp) OVER (PARTITION BY grp ORDER BY d)) AS cusum_q
+        |      FROM p)
+        |SELECT grp, strftime(d, '%Y-%m-%d') AS day, n,
+        |       CAST(cusum_q AS BIGINT) AS cusum_q,
+        |       CAST(CASE WHEN cusum_q >= 3 * s THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM c""".stripMargin,
+    "q124_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM bi),
+        |itn AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        |        FROM bi GROUP BY item HAVING count(*) >= 1000),
+        |f AS (SELECT bi.bk, bi.item FROM bi JOIN itn ON itn.item = bi.item),
+        |pr AS (SELECT a.item AS u, b.item AS v, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM f a JOIN f b ON a.bk = b.bk AND a.item < b.item
+        |       GROUP BY 1, 2 HAVING count(*) >= 150),
+        |dr AS (SELECT u AS antecedent, v AS consequent, n_pair FROM pr
+        |       UNION ALL SELECT v, u, n_pair FROM pr)
+        |SELECT dr.antecedent, dr.consequent, dr.n_pair, ia.n_item AS n_ante,
+        |       CAST((1000000 * dr.n_pair) // ia.n_item AS BIGINT) AS conf_ppm,
+        |       CAST((CAST(1000000 AS HUGEINT) * dr.n_pair * nb.nb)
+        |         // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT) AS lift_ppm
+        |FROM dr JOIN itn ia ON ia.item = dr.antecedent
+        |        JOIN itn ic ON ic.item = dr.consequent, nb""".stripMargin,
     "q110_skyline" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
         |             -CAST(round(p_retailprice * 100) AS BIGINT) AS neg_cents

@@ -84,4 +84,31 @@ class GraphSpec extends SparkSpec {
     val total = pr.agg(sum("score")).as[Long].head()
     assert(total == 4L * 1000000L, "regular graph keeps exact total mass")
   }
+
+  test("kCorePeel: pendant chain peels away leaving the K4 2-core") {
+    // K4 on 1..4 plus a tail 4-5-6: peeling k=2 removes 6 (deg 1), then 5,
+    // a 2-round cascade; the K4 survives with in-core degree 3.
+    val und = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val core = Graph.kCorePeel(und, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+  }
+
+  test("kCorePeel: synchronous rounds — a too-small round budget stops mid-cascade") {
+    val und = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    // One round only: 6 is gone (deg 1), but 5 (deg 2 before the round)
+    // survives attached to 4 — mid-cascade state, deterministic.
+    val r1 = Graph.kCorePeel(und, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L), s"got $r1")
+    assert(!Graph.kCoreConverged(und, k = 2, rounds = 1))
+    assert(Graph.kCoreConverged(und, k = 2, rounds = 2))
+  }
+
+  test("kCorePeel: k above the densest core empties the graph") {
+    val und = edges((1L, 2L), (2L, 3L), (1L, 3L)) // triangle: 2-core only
+    assert(Graph.kCorePeel(und, k = 3, rounds = 3).count() == 0L)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantileSketchSpec extends SparkSpec {
+  import ss.implicits._
+
+  test("bucketOf is the binary digit count; zero and negatives land in bucket 0") {
+    val df = Seq(-3L, 0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("x")
+    val got = df.select(QuantileSketch.bucketOf(col("x"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1, 2, 2, 3, 3, 4, 10, 11), s"got $got")
+  }
+
+  test("quantile estimates are the bucket midpoints at the ceiling rank") {
+    // 8 values in g: buckets 1,1,2,2,3,3,4,4 → cum 2,4,6,8.
+    // p50 rank ceil(4.0)=4 → bucket 2 (covers 2..3, midpoint 2);
+    // p90 rank ceil(7.2)=8 → bucket 4 (covers 8..15, midpoint 11).
+    val df = Seq(1L, 1L, 2L, 3L, 4L, 7L, 8L, 15L).map(("g", _)).toDF("g", "x")
+    val out = QuantileSketch.groupQuantiles(df, col("g"), col("x"), Seq(50, 90))
+      .as[(String, Long, Long, Long)].head()
+    assert(out == (("g", 8L, 2L, 11L)), s"got $out")
+  }
+
+  test("merge of partial sketches equals the sketch of the union, any merge order") {
+    val a = Seq(("g", 5L), ("g", 100L), ("h", 9L)).toDF("g", "x")
+    val b = Seq(("g", 33L), ("h", 1L)).toDF("g", "x")
+    val c = Seq(("g", 7L), ("g", 8L)).toDF("g", "x")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      QuantileSketch.sketch(df, col("g"), col("x"))
+    val whole = sk(a.unionAll(b).unionAll(c))
+      .as[(String, Int, Long)].collect().toSet
+    val merged1 = QuantileSketch.merge(sk(a), sk(b), sk(c))
+      .as[(String, Int, Long)].collect().toSet
+    val merged2 = QuantileSketch.merge(QuantileSketch.merge(sk(c), sk(a)), sk(b))
+      .as[(String, Int, Long)].collect().toSet
+    assert(merged1 == whole && merged2 == whole)
+  }
+
+  test("p100 is the max bucket; single-value groups report that bucket at every q") {
+    val df = Seq(("g", 6L)).toDF("g", "x") // bucket 3, midpoint (4+7)/2 = 5
+    val out = QuantileSketch.groupQuantiles(df, col("g"), col("x"), Seq(1, 50, 100))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(out == (("g", 1L, 5L, 5L, 5L)))
+  }
+
+  test("estimates bound the true quantile within its power-of-two bucket") {
+    val vals = (1L to 1000L).map(("g", _))
+    val df = vals.toDF("g", "x")
+    val out = QuantileSketch.groupQuantiles(df, col("g"), col("x"), Seq(50, 99))
+      .as[(String, Long, Long, Long)].head()
+    // true p50 = 500 (bucket 9: 256..511, mid 383); true p99 = 990
+    // (bucket 10: 512..1023, mid 767)
+    assert(out._3 >= 256L && out._3 <= 511L, s"p50 est ${out._3} outside its bucket")
+    assert(out._4 >= 512L && out._4 <= 1023L, s"p99 est ${out._4} outside its bucket")
+  }
+}

@@ -53,7 +53,9 @@ class PlanAuditSpec extends SparkSpec {
       "exact baseline it evaluates, by definition"),
     "q119_source_overlap" -> ("pairwiseJaccard's source-pair spine crosses the bounded " +
       "group domain with itself (ga < gb) — both sides are sketch METADATA (distinct " +
-      "groups), and everything downstream is k-row-per-group sketch tables"))
+      "groups), and everything downstream is k-row-per-group sketch tables"),
+    "q124_basket_rules" -> ("the 1-row basket-count aggregate broadcast-crossed into the " +
+      "rule frame for the lift denominator — same single-row build shape as q53/q72/q98"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
