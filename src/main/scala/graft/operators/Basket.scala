@@ -31,15 +31,28 @@ object Basket {
                        minSupport: Long, minPairSupport: Long,
                        maxBasketSize: Int = 1000): DataFrame = {
     require(minSupport >= 1 && minPairSupport >= 1, "supports >= 1")
-    val bi = df.select(basketCol.as("bk"), itemCol.as("item")).distinct()
-    val nBaskets = bi.select(countDistinct(col("bk")).as("nb"))
-    val itemN = bi.groupBy("item").agg(count(lit(1)).as("n_item"))
+    // ONE grouping shuffle builds the per-basket item-set frame
+    // (collect_set dedups in-row — no separate distinct pass), then every
+    // downstream consumer (basket total, item marginals, pair expansion)
+    // reads the materialized sets instead of re-running the input scan —
+    // the frame has 3 consumers, so without the checkpoint the source
+    // scan+join would execute three times.
+    val sets = df.select(basketCol.as("bk"), itemCol.as("item"))
+      .groupBy("bk").agg(sort_array(collect_set(col("item"))).as("items0"))
+      .localCheckpoint(true)
+    val nBaskets = sets.select(count(lit(1)).as("nb"))
+    val itemN = sets.select(explode(col("items0")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
       .where(col("n_item") >= minSupport)
-    // Frequent-item projection, re-capped per basket AFTER the prune so the
-    // cap is deterministic on the surviving items (ordered by item id).
-    val freq = bi.join(itemN, "item")
-    val capped = freq
-      .groupBy("bk").agg(slice(sort_array(collect_list(col("item"))), 1, maxBasketSize).as("items"))
+      .localCheckpoint(true) // vocab-sized; consumers: prune array + 2 marginal joins
+    // Apriori prune IN-ROW: the frequent-item list is a 1-row broadcast
+    // array (item vocabularies — brands, categories — are bounded
+    // metadata; a million-item vocab should swap this for an exploded
+    // equi-join), re-capped AFTER the prune so the cap is deterministic
+    // on the surviving items (ordered by item id).
+    val freqArr = itemN.agg(sort_array(collect_list(col("item"))).as("__freq"))
+    val capped = sets.crossJoin(broadcast(freqArr))
+      .select(slice(array_intersect(col("items0"), col("__freq")), 1, maxBasketSize).as("items"))
       .where(size(col("items")) >= 2)
     // Ordered pairs u < v from the in-row item array: no self-join shuffle,
     // one explode over C(|basket|,2) with |basket| ≤ cap.

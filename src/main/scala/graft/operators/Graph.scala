@@ -210,17 +210,30 @@ object Graph {
     * survivor set — no per-node iteration state, lineage is linear in
     * `rounds`, and each round is checkpointed so the DAG never re-derives
     * earlier rounds through the double edge reference. */
-  def kCorePeel(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCorePeel(und: DataFrame, k: Int, rounds: Int,
+                broadcastDrops: Boolean = true): DataFrame = {
     require(k >= 1 && rounds >= 1, "k >= 1, rounds >= 1")
     var edges = und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val keep = degrees(edges).where(col("deg") >= k).select("node")
-      edges = edges
-        .join(keep.select(col("node").as("u")), "u")
-        .join(keep.select(col("node").as("v")), "v")
-        .select("u", "v")
+      // Filter by the DROP set (deg < k), not the keep set: drops are
+      // node-sized (and shrink every round), so under the item-graph
+      // assumption both filters are broadcast anti-joins and the
+      // edge-scale frame never shuffles inside a round — only the degree
+      // count's map-side-combined (node, n) rows do. Pass
+      // broadcastDrops=false on billion-node graphs → AQE shuffle joins.
+      // Only the NODE-SIZED drop set is checkpointed per round; the edge
+      // frame stays a lazy filter chain over the one materialized base,
+      // so a round costs a base scan + r broadcast hash probes instead of
+      // re-materializing the edge-scale frame (checkpointing edges each
+      // round benched 2x slower at sf0.1). The drop checkpoint still cuts
+      // the double reference (degrees + filter), keeping lineage linear.
+      val drop0 = degrees(edges).where(col("deg") < k).select("node")
         .localCheckpoint(true)
+      val drop = if (broadcastDrops) broadcast(drop0) else drop0
+      edges = edges
+        .join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
     }
     degrees(edges)
   }
