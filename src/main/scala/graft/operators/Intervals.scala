@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap analytics by sweep line: how many intervals are active
+  * at once — orders in flight, concurrent sessions, open tickets. The
+  * classic formulation sorts every endpoint globally; the Spark-shaped
+  * version aggregates endpoint deltas TO THE CALENDAR GRAIN first (one
+  * map-side-combinable count per day), so the ordered prefix scan runs
+  * over the bounded day domain (≤ years×365 rows — metadata, not data)
+  * and the one-partition window it needs is deliberate and safe. An
+  * event-grain sweep (microsecond endpoints) must NOT use this shape —
+  * that's [[GlobalRank]]'s range-partition territory.
+  */
+object Intervals {
+
+  /** Daily active-interval counts for inclusive [start, end] date
+    * intervals. Emits one row per day that appears as a start or as an
+    * end+1 (delta days); `active` is the running interval count as of
+    * that day. Compose with [[Sequences.fillDailyGaps]]-style spines for
+    * a dense calendar. Rows with end < start are rejected loudly (they
+    * would corrupt the running sum silently).
+    *
+    * Output: (day ISO, n_start, n_freed, active) — `n_freed` counts the
+    * intervals whose end passed before this day.
+    */
+  def dailyConcurrency(df: DataFrame, startCol: Column, endCol: Column): DataFrame = {
+    val iv = df.select(to_date(startCol).as("s"), to_date(endCol).as("e"))
+      .select(when(col("e") < col("s"),
+        raise_error(lit("dailyConcurrency: interval with end < start")))
+        .otherwise(col("s")).as("s"), col("e"))
+    val starts = iv.groupBy(col("s").as("d")).agg(count(lit(1)).as("n_start"))
+    val frees = iv.groupBy(date_add(col("e"), 1).as("d")).agg(count(lit(1)).as("n_freed"))
+    // Day-grain frame: one row per delta day. The windowed prefix sum is
+    // over this bounded calendar frame only.
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.join(frees, Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("n_start"), lit(0L)).as("n_start"),
+        coalesce(col("n_freed"), lit(0L)).as("n_freed"))
+      .withColumn("active", sum(col("n_start") - col("n_freed")).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_start"), col("n_freed"), col("active"))
+  }
+}

@@ -80,7 +80,25 @@ object LQueries {
     "q121_vocab_stats" -> ((s, d) => q121(s, d)),
     "q125_quantile_sketch" -> ((s, d) => q125(s, d)),
     "q126_kcore" -> ((s, d) => q126(s, d)),
+    "q130_countmin" -> ((s, d) => q130(s, d)),
   )
+
+  /** L69: Count-Min point-query evaluation — a 4×256 CMS over the corpus
+    * word stream probed with the exact top-30 words (q113's measure-the-
+    * sketch harness shape: est ≥ exact always; `over_n` is the collision
+    * overcount the ε·N bound prices). */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val sk = graft.operators.CountMin.sketch(words, col("w"), depth = 4, width = 256)
+    val top = words.groupBy("w").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w").asc).limit(30)
+    graft.operators.CountMin.estimate(sk, top, col("w"), depth = 4, width = 256)
+      .join(top.withColumnRenamed("w", "item"), "item")
+      .select(col("item").as("word"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("over_n"))
+  }
 
   /** L1: exact dedup via content hash. */
   def q17(s: SparkSession, d: String): DataFrame =
@@ -890,6 +908,30 @@ object LQueries {
     "q106_quantized_ann" -> quantizedAnnOracle,
     "q109_bfs_depth" -> bfsOracle,
     "q126_kcore" -> kcoreOracle(k = 80, rounds = 5),
+    // CMS bucket = portable 48-bit md5 fold mod 256, which is exactly the
+    // last two hex digits' fold (16^k divides 256 for k >= 2).
+    "q130_countmin" ->
+      """WITH ww AS (SELECT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0),
+        |rj AS (SELECT unnest(range(4)) AS j),
+        |cells AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT rj.j,
+        |      (instr('0123456789abcdef', substr(md5(CAST(rj.j AS VARCHAR) || ':' || w), 11, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(rj.j AS VARCHAR) || ':' || w), 12, 1)) - 1) AS bucket
+        |    FROM ww, rj) GROUP BY 1, 2),
+        |top AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_n FROM ww GROUP BY w
+        |        ORDER BY exact_n DESC, w ASC LIMIT 30),
+        |probes AS (SELECT t.w, rj.j,
+        |      (instr('0123456789abcdef', substr(md5(CAST(rj.j AS VARCHAR) || ':' || t.w), 11, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(rj.j AS VARCHAR) || ':' || t.w), 12, 1)) - 1) AS bucket
+        |    FROM top t, rj),
+        |est AS (SELECT p.w, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est_n
+        |        FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+        |        GROUP BY p.w)
+        |SELECT t.w AS word, t.exact_n, e.est_n,
+        |       CAST(e.est_n - t.exact_n AS BIGINT) AS over_n
+        |FROM top t JOIN est e ON e.w = t.w""".stripMargin,
     "q125_quantile_sketch" ->
       """WITH b AS (SELECT lang,
         |             CASE WHEN length(text) <= 0 THEN 0

@@ -71,7 +71,37 @@ object RQueries {
     "q122_fd_profile" -> ((s, d) => q122(s, d)),
     "q123_cusum" -> ((s, d) => q123(s, d)),
     "q124_basket_rules" -> ((s, d) => q124(s, d)),
+    "q127_concurrency" -> ((s, d) => q127(s, d)),
+    "q128_seasonality" -> ((s, d) => q128(s, d)),
+    "q129_ab_test" -> ((s, d) => q129(s, d)),
   )
+
+  /** R66: orders-in-flight sweep line — daily active count of
+    * [orderdate, last shipdate] intervals (clamped non-negative: the
+    * synthetic data ships some orders before their order date). */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    val ship = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ship_end"))
+    val iv = Tables.orders(s, d)
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderdate").as("st"),
+        greatest(col("ship_end"), col("o_orderdate")).as("en"))
+    Intervals.dailyConcurrency(iv, col("st"), col("en"))
+  }
+
+  /** R67: day-of-week seasonal index per event type — weekday daily mean
+    * vs overall daily mean, ppm. */
+  def q128(s: SparkSession, d: String): DataFrame =
+    Seasonal.dowProfile(Tables.events(s, d), col("event_type"), col("ts"))
+
+  /** R68: two-proportion experiment readout — users split by id parity,
+    * success = reached a purchase event; exact integer z². */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ok"))
+      .withColumn("v", pmod(col("user_id"), lit(2L)))
+    AbTest.twoProportionZ(users, col("v"), col("ok"))
+  }
 
   /** R65: brand-level association rules over order baskets — Apriori
     * frequent-item prune, in-row pair expansion, integer ppm conf/lift. */
@@ -1161,6 +1191,59 @@ object RQueries {
         |         // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT) AS lift_ppm
         |FROM dr JOIN itn ia ON ia.item = dr.antecedent
         |        JOIN itn ic ON ic.item = dr.consequent, nb""".stripMargin,
+    "q127_concurrency" ->
+      """WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS s,
+        |              greatest(CAST(max(l.l_shipdate) AS DATE),
+        |                       CAST(o.o_orderdate AS DATE)) AS e
+        |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |            GROUP BY o.o_orderkey, o.o_orderdate),
+        |st AS (SELECT s AS d, CAST(count(*) AS BIGINT) AS n_start FROM iv GROUP BY s),
+        |fr AS (SELECT e + INTERVAL 1 DAY AS d, CAST(count(*) AS BIGINT) AS n_freed
+        |       FROM iv GROUP BY 1),
+        |m AS (SELECT COALESCE(st.d, CAST(fr.d AS DATE)) AS d,
+        |        COALESCE(st.n_start, 0) AS n_start,
+        |        COALESCE(fr.n_freed, 0) AS n_freed
+        |      FROM st FULL OUTER JOIN fr ON CAST(fr.d AS DATE) = st.d)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |       CAST(n_start AS BIGINT) AS n_start,
+        |       CAST(n_freed AS BIGINT) AS n_freed,
+        |       CAST(sum(n_start - n_freed) OVER (ORDER BY d) AS BIGINT) AS active
+        |FROM m""".stripMargin,
+    "q128_seasonality" ->
+      """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+        |                 CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |dd AS (SELECT grp, d, n, CAST(dayofweek(d) + 1 AS BIGINT) AS dow FROM daily),
+        |bydow AS (SELECT grp, dow, CAST(count(*) AS BIGINT) AS n_days,
+        |            CAST(sum(n) AS BIGINT) AS n_events
+        |          FROM dd GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS dd_n,
+        |          CAST(sum(n) AS BIGINT) AS s
+        |        FROM dd GROUP BY grp)
+        |SELECT b.grp, b.dow, b.n_days, b.n_events,
+        |       CAST((CAST(1000000 AS HUGEINT) * b.n_events * t.dd_n)
+        |         // (CAST(t.s AS HUGEINT) * b.n_days) AS BIGINT) AS idx_ppm
+        |FROM bydow b JOIN tot t ON t.grp = b.grp""".stripMargin,
+    "q129_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ok
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT CAST(user_id % 2 AS BIGINT) AS v,
+        |        CAST(count(*) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS c
+        |      FROM u GROUP BY 1),
+        |p AS (SELECT x.v AS variant_a, x.n AS n_a, x.c AS c_a,
+        |        y.v AS variant_b, y.n AS n_b, y.c AS c_b
+        |      FROM a x JOIN a y ON x.v < y.v),
+        |z AS (SELECT *,
+        |        CAST(CASE WHEN (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0
+        |          ELSE (CAST(1000000 AS HUGEINT)
+        |                 * (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b))
+        |            // (CAST(n_a AS HUGEINT) * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b))
+        |          END AS BIGINT) AS z2_ppm
+        |      FROM p)
+        |SELECT variant_a, variant_b, n_a, c_a, n_b, c_b, z2_ppm,
+        |       CAST(CASE WHEN z2_ppm >= 3841459 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM z""".stripMargin,
     "q110_skyline" ->
       """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
         |             -CAST(round(p_retailprice * 100) AS BIGINT) AS neg_cents

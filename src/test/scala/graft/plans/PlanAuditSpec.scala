@@ -55,7 +55,10 @@ class PlanAuditSpec extends SparkSpec {
       "group domain with itself (ga < gb) — both sides are sketch METADATA (distinct " +
       "groups), and everything downstream is k-row-per-group sketch tables"),
     "q124_basket_rules" -> ("the 1-row basket-count aggregate broadcast-crossed into the " +
-      "rule frame for the lift denominator — same single-row build shape as q53/q72/q98"))
+      "rule frame for the lift denominator — same single-row build shape as q53/q72/q98"),
+    "q129_ab_test" -> ("the variant-pair spine (va < vb) self-joins the per-variant " +
+      "aggregate — |variants| rows of bounded experiment metadata, the q119 group-pair " +
+      "shape; the data-scale work collapsed in the per-variant agg before it"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
