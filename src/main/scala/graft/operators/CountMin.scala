@@ -26,6 +26,7 @@ object CountMin {
     * j ∈ [0, depth), bucket ∈ [0, width). Absent cells are zero. */
   def sketch(df: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, "depth >= 1, width >= 2")
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val rows = df.select(explode(array((0 until depth).map(lit): _*)).as("j"),
       itemCol.as("item"))
     rows.select(col("j").cast("long").as("j"),
@@ -45,6 +46,7 @@ object CountMin {
     * cell reads 0). Output: (item, est_n). */
   def estimate(sk: DataFrame, queries: DataFrame, itemsCol: Column,
                depth: Int, width: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
     val probes = queries.select(itemsCol.cast("string").as("item")).distinct()
       .select(explode(array((0 until depth).map(lit): _*)).as("j"), col("item"))
       .select(col("item"), col("j").cast("long").as("j"),

@@ -34,23 +34,24 @@ object DistinctSketch {
   /** 2^48 — the hash domain size. */
   val HashDomain: Long = 281474976710656L
 
-  /** Portable 48-bit hash: fold the first 12 hex digits of
-    * `md5(cast(c as string))`. Uniform, deterministic, engine-agnostic. */
-  def portableHash48(c: Column): Column = hexFold12(md5(c.cast("string")))
-
-  private def hexFold12(hexCol: Column): Column =
-    (1 to 12).map(i =>
-      (instr(lit("0123456789abcdef"), substring(hexCol, i, 1)) - 1).cast("long"))
-      .reduce((acc, d) => acc * 16L + d)
+  /** Portable 48-bit hash: fold of the first 12 hex digits (= first 6
+    * bytes) of `md5(cast(c as string))`. Uniform, deterministic,
+    * engine-agnostic — SQL oracles rebuild it with `instr`/`substr`
+    * chains. Evaluated by the native [[graft.plans.Md5Fold48]] expression
+    * (one digest + byte fold instead of ~25 string-op nodes per row);
+    * callers must have the graft functions registered on the session —
+    * every operator entry point here does so. */
+  def portableHash48(c: Column): Column =
+    call_function("graft_md5_fold48", c.cast("string"))
 
   /** The sketch itself: per group, the k smallest distinct hash values
     * of `valueCol` → rows (grp, h). Store it, merge it, or feed it to
     * [[estimates]] / [[pairwiseJaccard]]. */
   def kmvSketch(df: DataFrame, groupCol: Column, valueCol: Column, k: Int): DataFrame = {
     require(k > 1, s"k must be > 1, got $k")
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val hashed = df
-      .select(groupCol.as("grp"), md5(valueCol.cast("string")).as("__hex"))
-      .select(col("grp"), hexFold12(col("__hex")).as("h"))
+      .select(groupCol.as("grp"), portableHash48(valueCol).as("h"))
       .distinct()
     TopK.topKPerKeyNative(hashed, Seq(col("grp")), Seq(col("h").asc), k)
   }

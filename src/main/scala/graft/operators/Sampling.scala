@@ -172,9 +172,12 @@ object Sampling {
     * estimator degenerates to the exact weights — the paper's contract. */
   def prioritySample(df: DataFrame, idCol: Column, weightCol: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val digits = (1 to 8).map(i =>
-      (instr(lit("0123456789abcdef"), substring(md5(idCol.cast("string")), i, 1)) - 1).cast("long"))
-    val h32 = digits.reduce((acc, d) => acc * 16L + d)
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    // First 8 hex digits of md5 = first 4 bytes = top 32 bits of the
+    // native 48-bit fold; identical to the instr/substr digit fold the
+    // q98 oracle still spells out.
+    val h32 = shiftright(
+      call_function("graft_md5_fold48", idCol.cast("string")), 16)
     val base = df.select(idCol.as("id"), weightCol.cast("long").as("weight"),
       floor(weightCol.cast("long") * lit(4294967296.0) / (h32 + lit(1L)).cast("double"))
         .cast("long").as("priority_q"))

@@ -110,6 +110,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_jaro_winkler takes exactly two arguments")
         JaroWinkler(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_md5_fold48"),
+      new ExpressionInfo(classOf[Md5Fold48].getName, "graft_md5_fold48"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_md5_fold48 takes exactly one argument")
+        Md5Fold48(args.head)
       }))
 
   /** Register the graft function set on an already-built session. */
