@@ -81,7 +81,17 @@ object LQueries {
     "q125_quantile_sketch" -> ((s, d) => q125(s, d)),
     "q126_kcore" -> ((s, d) => q126(s, d)),
     "q130_countmin" -> ((s, d) => q130(s, d)),
+    "q132_templates" -> ((s, d) => q132(s, d)),
   )
+
+  /** L70: template/boilerplate groups by affix fingerprint — the O(1)/doc
+    * complement of near-dup: same wrapper, different middle. The synthetic
+    * corpus's short random texts only collide at (1,1)-token affixes;
+    * real corpora use 5+ token affixes. */
+  def q132(s: SparkSession, d: String): DataFrame =
+    graft.operators.Templates.templateGroups(Tables.documents(s, d),
+      col("doc_id"), col("source"), col("text"),
+      kPrefix = 1, kSuffix = 1, minDocs = 3L)
 
   /** L69: Count-Min point-query evaluation — a 4×256 CMS over the corpus
     * word stream probed with the exact top-30 words (q113's measure-the-
@@ -908,6 +918,19 @@ object LQueries {
     "q106_quantized_ann" -> quantizedAnnOracle,
     "q109_bfs_depth" -> bfsOracle,
     "q126_kcore" -> kcoreOracle(k = 80, rounds = 5),
+    "q132_templates" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+        |           FROM documents),
+        |fp AS (SELECT doc_id, source,
+        |         md5(array_to_string(list_slice(w, 1, least(len(w), 1)), ' ') || '|' ||
+        |             array_to_string(list_slice(w, greatest(1, len(w)), len(w)), ' ')) AS template_fp
+        |       FROM t)
+        |SELECT template_fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM fp GROUP BY template_fp HAVING count(*) >= 3""".stripMargin,
     // CMS bucket = portable 48-bit md5 fold mod 256, which is exactly the
     // last two hex digits' fold (16^k divides 256 for k >= 2).
     "q130_countmin" ->

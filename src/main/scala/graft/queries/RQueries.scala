@@ -74,7 +74,17 @@ object RQueries {
     "q127_concurrency" -> ((s, d) => q127(s, d)),
     "q128_seasonality" -> ((s, d) => q128(s, d)),
     "q129_ab_test" -> ((s, d) => q129(s, d)),
+    "q131_theil_sen" -> ((s, d) => q131(s, d)),
   )
+
+  /** R69: Theil-Sen robust trend per event type — lower-median of all
+    * pairwise daily-count slopes, ppm/day. */
+  def q131(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("g"), to_date(col("ts")).as("dd"))
+      .groupBy("g", "dd").agg(count(lit(1)).as("n"))
+    Trend.theilSen(daily, col("g"), col("dd"), col("n"))
+  }
 
   /** R66: orders-in-flight sweep line — daily active count of
     * [orderdate, last shipdate] intervals (clamped non-negative: the
@@ -1191,6 +1201,21 @@ object RQueries {
         |         // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT) AS lift_ppm
         |FROM dr JOIN itn ia ON ia.item = dr.antecedent
         |        JOIN itn ic ON ic.item = dr.consequent, nb""".stripMargin,
+    "q131_theil_sen" ->
+      """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+        |                 CAST(count(*) AS BIGINT) AS v
+        |               FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.grp, a.d AS d1, b.d AS d2,
+        |        CAST((1000000 * (b.v - a.v)) // date_diff('day', a.d, b.d) AS BIGINT) AS slope_q
+        |      FROM daily a JOIN daily b ON a.grp = b.grp AND a.d < b.d),
+        |r AS (SELECT grp, slope_q,
+        |        row_number() OVER (PARTITION BY grp ORDER BY slope_q, d1, d2) AS rn,
+        |        count(*) OVER (PARTITION BY grp) AS np
+        |      FROM p),
+        |tp AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_points FROM daily GROUP BY grp)
+        |SELECT r.grp, tp.n_points, CAST(r.np AS BIGINT) AS n_pairs,
+        |       CAST(r.slope_q AS BIGINT) AS slope_ppm_per_day
+        |FROM r JOIN tp ON tp.grp = r.grp WHERE r.rn = (r.np + 1) // 2""".stripMargin,
     "q127_concurrency" ->
       """WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS s,
         |              greatest(CAST(max(l.l_shipdate) AS DATE),
