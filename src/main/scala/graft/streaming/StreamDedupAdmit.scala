@@ -30,30 +30,15 @@ import graft.operators.IncrementalDedup
   */
 object StreamDedupAdmit {
 
-  private val Commit = "_GRAFT_COMMIT"
-
-  private def fs(spark: SparkSession, p: Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committedVersions(spark: SparkSession, baseDir: String): Seq[Path] = {
-    val dir = new Path(baseDir)
-    val f = fs(spark, dir)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d{12}") &&
-        f.exists(new Path(s.getPath, Commit)))
-      .map(_.getPath).sortBy(_.getName)
-  }
-
   /** Latest committed signature store, if any batch has committed. */
   def readLatestStore(spark: SparkSession, baseDir: String): Option[DataFrame] =
-    committedVersions(spark, baseDir).lastOption
+    VersionedStore.committedVersions(spark, baseDir).lastOption
       .map(p => spark.read.parquet(new Path(p, "store").toString))
 
   /** Every admitted row across all committed batches — the deduplicated
     * corpus the stream has built so far. */
   def admittedAll(spark: SparkSession, baseDir: String): Option[DataFrame] = {
-    val dirs = committedVersions(spark, baseDir)
+    val dirs = VersionedStore.committedVersions(spark, baseDir)
       .map(p => new Path(p, "admitted").toString)
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
@@ -65,17 +50,15 @@ object StreamDedupAdmit {
                  batchId: Long, k: Int, numHashes: Int, rowsPerBand: Int,
                  minAgree: Int, maxBucketSize: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
-    val target = new Path(new Path(baseDir), f"b$batchId%012d")
-    val f = fs(spark, target)
-    if (f.exists(new Path(target, Commit))) return // replayed batch
+    if (VersionedStore.isCommitted(spark, baseDir, batchId)) return // replayed batch
     val store = readLatestStore(spark, baseDir)
       .getOrElse(IncrementalDedup.emptyStore(spark, k, numHashes))
     val adm = IncrementalDedup.admit(batch, idCol, textCol, store,
       k, numHashes, rowsPerBand, minAgree, maxBucketSize)
-    if (f.exists(target)) f.delete(target, true) // torn earlier attempt
-    adm.store.write.parquet(new Path(target, "store").toString)
-    adm.admitted.write.parquet(new Path(target, "admitted").toString)
-    f.create(new Path(target, Commit), true).close()
+    VersionedStore.publish(spark, baseDir, batchId) { target =>
+      adm.store.write.parquet(new Path(target, "store").toString)
+      adm.admitted.write.parquet(new Path(target, "admitted").toString)
+    }
   }
 
   /** Wire the stream: documents in, a continuously-deduplicated corpus
