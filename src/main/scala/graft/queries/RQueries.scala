@@ -75,7 +75,28 @@ object RQueries {
     "q128_seasonality" -> ((s, d) => q128(s, d)),
     "q129_ab_test" -> ((s, d) => q129(s, d)),
     "q131_theil_sen" -> ((s, d) => q131(s, d)),
+    "q133_quorum" -> ((s, d) => q133(s, d)),
   )
+
+  /** R70: three-system quorum reconciliation over orders — two derived
+    * replicas carry deterministic corruptions (every 10th order's status
+    * flipped in one system, every 7th order's priority nulled in
+    * another); majority vote recovers truth and flags the disputes. */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    val crm = base
+    val billing = base.withColumn("o_orderstatus",
+      when(pmod(col("o_orderkey"), lit(10)) === 0,
+        when(col("o_orderstatus") === "F", "O").otherwise("F"))
+        .otherwise(col("o_orderstatus")))
+    val wh = base.withColumn("o_orderpriority",
+      when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")))
+    Reconcile.quorum(
+      Seq("crm" -> crm, "billing" -> billing, "wh" -> wh),
+      "o_orderkey", Seq("o_orderstatus", "o_orderpriority"))
+  }
 
   /** R69: Theil-Sen robust trend per event type — lower-median of all
     * pairwise daily-count slopes, ppm/day. */
@@ -1216,6 +1237,33 @@ object RQueries {
         |SELECT r.grp, tp.n_points, CAST(r.np AS BIGINT) AS n_pairs,
         |       CAST(r.slope_q AS BIGINT) AS slope_ppm_per_day
         |FROM r JOIN tp ON tp.grp = r.grp WHERE r.rn = (r.np + 1) // 2""".stripMargin,
+    "q133_quorum" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS key,
+        |                o_orderstatus, o_orderpriority
+        |              FROM orders),
+        |crm AS (SELECT key, o_orderstatus AS st, o_orderpriority AS pr FROM base),
+        |billing AS (SELECT key,
+        |              CASE WHEN key % 10 = 0
+        |                THEN (CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END)
+        |                ELSE o_orderstatus END AS st,
+        |              o_orderpriority AS pr FROM base),
+        |wh AS (SELECT key, o_orderstatus AS st,
+        |         CASE WHEN key % 7 = 0 THEN NULL ELSE o_orderpriority END AS pr
+        |       FROM base),
+        |u AS (SELECT * FROM crm UNION ALL SELECT * FROM billing
+        |      UNION ALL SELECT * FROM wh),
+        |v AS (SELECT key, 'o_orderstatus' AS field, st AS value FROM u WHERE st IS NOT NULL
+        |      UNION ALL
+        |      SELECT key, 'o_orderpriority', pr FROM u WHERE pr IS NOT NULL),
+        |vc AS (SELECT key, field, value, CAST(count(*) AS BIGINT) AS votes
+        |       FROM v GROUP BY 1, 2, 3),
+        |w AS (SELECT *,
+        |        row_number() OVER (PARTITION BY key, field ORDER BY votes DESC, value ASC) AS rn,
+        |        CAST(sum(votes) OVER (PARTITION BY key, field) AS BIGINT) AS n_votes_cast
+        |      FROM vc)
+        |SELECT key, field, value AS winner, votes, n_votes_cast,
+        |       CAST(CASE WHEN votes < n_votes_cast THEN 1 ELSE 0 END AS BIGINT) AS disputed
+        |FROM w WHERE rn = 1""".stripMargin,
     "q127_concurrency" ->
       """WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS s,
         |              greatest(CAST(max(l.l_shipdate) AS DATE),

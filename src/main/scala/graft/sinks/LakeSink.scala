@@ -28,6 +28,20 @@ object LakeSink {
   /** Read back with the partition columns restored to the schema. */
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** Schema-evolution read: union the schemas of EVERY file (Spark's
+    * per-file parquet footer merge), so a lake whose writers gained
+    * columns over time reads as one frame — files predating a column
+    * return null for it, exactly the semantics an additive migration
+    * wants. Off by default in plain reads because footer-merging is a
+    * per-file planning cost; at 100 TB turn it on ONLY for evolved
+    * tables and keep partition pruning doing the file elimination first
+    * (pruning happens on directory metadata, before any footer is read —
+    * spec-asserted via PartitionFilters). Column RENAMES and type
+    * changes are NOT evolution — they need a rewrite ([[compact]]) or a
+    * view; parquet would either fork the column or fail the merge. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Dynamic partition overwrite: replace ONLY the partition directories
     * present in `df`, leaving every other partition untouched — the
     * incremental-lake maintenance primitive (reprocess one day/source and

@@ -212,4 +212,27 @@ class LakeSinkSpec extends SparkSpec {
     val destDir1 = Files.createTempDirectory("lake_compact_one").toString + "/out"
     assert(LakeSink.compact(ss, srcDir, destDir1, targetFileBytes = Long.MaxValue) == 1)
   }
+
+  test("readEvolved unions schemas across file generations; old files read null") {
+    val dir = Files.createTempDirectory("lake_evolve").toString
+    // generation 1: (id, amount), partition d=1
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+      .withColumn("d", lit(1)).write.partitionBy("d").parquet(dir + "/t")
+    // generation 2: writer gained a column, lands in a new partition
+    Seq((3L, 30.0, "promo")).toDF("id", "amount", "tag")
+      .withColumn("d", lit(2)).write.mode("append").partitionBy("d").parquet(dir + "/t")
+
+    val evolved = LakeSink.readEvolved(ss, dir + "/t")
+    assert(evolved.columns.toSet == Set("id", "amount", "tag", "d"))
+    val rows = evolved.select("id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty && rows(3L).contains("promo"),
+      "pre-evolution files read the new column as null")
+
+    // partition pruning still does directory elimination before footers
+    val pruned = evolved.filter(col("d") === 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("d"), scan)
+    assert(pruned.count() == 1L)
+  }
 }
