@@ -53,6 +53,40 @@ object Quantize {
       }).as("codes"))
   }
 
+  /** Signed random projection (Achlioptas 2003 / the JL-lemma ±1 variant)
+    * over int8 codes: `y_j = Σ_i sign(i,j)·code_i` with signs drawn from
+    * the md5 parity of `"i:j"` — deterministic across runs AND engines
+    * (the oracle re-derives them from the same md5), and the projection
+    * stays pure integer (|y| ≤ 255·d), so it is hash-checkable end to
+    * end, unlike Gaussian projections. This is the cheap dimensionality
+    * crush before indexing: d dims → `outDims` at one in-row multiply-add
+    * per cell, distances approximately preserved (JL), then IVF/LSH
+    * build their buckets over 4-16 ints instead of hundreds of floats.
+    *
+    * The d×outDims sign matrix is bounded driver metadata inlined as
+    * array literals (the centroid/min-max pattern above) — projection is
+    * a narrow map, no shuffle, no join. Output: (id, proj array<bigint>). */
+  def signedProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDims: Int): DataFrame = {
+    require(outDims >= 1, "outDims >= 1")
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    val codes = scalarQuantize(df, idCol, vecCol)
+    val projCols = (0 until outDims).map { j =>
+      val sgnRow = array((0 until d).map(i => lit(signOf(i, j))): _*)
+      aggregate(zip_with(col("codes"), sgnRow, (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    }
+    codes.select(col(idCol), array(projCols: _*).as("proj"))
+  }
+
+  /** ±1 from the md5 parity of "i:j" — bit 0 of the 6th digest byte,
+    * i.e. the parity of the 12th hex digit the SQL side reads. */
+  private[operators] def signOf(i: Int, j: Int): Long = {
+    val dgst = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if ((dgst(5) & 1) == 0) 1L else -1L
+  }
+
   /** Brute-force top-k neighbors by INTEGER code dot product for rows
     * matching `queryPred`: (qid, nid, dot, rank), self excluded, ties by
     * ascending neighbor id. The quantized sibling of

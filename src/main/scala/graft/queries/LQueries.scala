@@ -82,7 +82,22 @@ object LQueries {
     "q126_kcore" -> ((s, d) => q126(s, d)),
     "q130_countmin" -> ((s, d) => q130(s, d)),
     "q132_templates" -> ((s, d) => q132(s, d)),
+    "q134_signed_projection" -> ((s, d) => q134(s, d)),
   )
+
+  /** L71: JL signed random projection 64→16 dims over int8 codes —
+    * per-vector sum/min/max + first two components hash-pin the full
+    * projected vector (the q105 checksum idiom). */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    val proj = graft.operators.Quantize.signedProjection(
+      Tables.embeddings(s, d), "vec_id", "embedding", outDims = 16)
+    proj.select(col("vec_id"),
+      aggregate(col("proj"), lit(0L), (a, v) => a + v).as("proj_sum"),
+      array_min(col("proj")).as("proj_min"),
+      array_max(col("proj")).as("proj_max"),
+      element_at(col("proj"), 1).as("p0"),
+      element_at(col("proj"), 2).as("p1"))
+  }
 
   /** L70: template/boilerplate groups by affix fingerprint — the O(1)/doc
     * complement of near-dup: same wrapper, different middle. The synthetic
@@ -918,6 +933,21 @@ object LQueries {
     "q106_quantized_ann" -> quantizedAnnOracle,
     "q109_bfs_depth" -> bfsOracle,
     "q126_kcore" -> kcoreOracle(k = 80, rounds = 5),
+    "q134_signed_projection" -> (int8Codes + """,
+      |sg AS (SELECT ii.i, jj.j,
+      |        CASE WHEN (instr('0123456789abcdef',
+      |               substr(md5(CAST(ii.i AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)), 12, 1)) - 1) % 2 = 0
+      |             THEN 1 ELSE -1 END AS sgn
+      |      FROM (SELECT unnest(range(64)) AS i) ii,
+      |           (SELECT unnest(range(16)) AS j) jj),
+      |y AS (SELECT c.vec_id, sg.j, CAST(sum(c.code * sg.sgn) AS BIGINT) AS y
+      |      FROM c JOIN sg ON sg.i = c.i GROUP BY 1, 2)
+      |SELECT vec_id, CAST(sum(y) AS BIGINT) AS proj_sum,
+      |       CAST(min(y) AS BIGINT) AS proj_min,
+      |       CAST(max(y) AS BIGINT) AS proj_max,
+      |       CAST(max(CASE WHEN j = 0 THEN y END) AS BIGINT) AS p0,
+      |       CAST(max(CASE WHEN j = 1 THEN y END) AS BIGINT) AS p1
+      |FROM y GROUP BY vec_id""".stripMargin),
     "q132_templates" ->
       """WITH t AS (SELECT doc_id, source,
         |             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
