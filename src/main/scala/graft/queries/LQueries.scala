@@ -83,7 +83,14 @@ object LQueries {
     "q130_countmin" -> ((s, d) => q130(s, d)),
     "q132_templates" -> ((s, d) => q132(s, d)),
     "q134_signed_projection" -> ((s, d) => q134(s, d)),
+    "q135_corpus_report" -> ((s, d) => q135(s, d)),
   )
+
+  /** L72: per-source dataset card — volume, vocabulary health, exact-dup
+    * rate, language concentration in one frame. */
+  def q135(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusReport.summary(Tables.documents(s, d),
+      col("source"), col("doc_id"), col("text"), col("lang"))
 
   /** L71: JL signed random projection 64→16 dims over int8 codes —
     * per-vector sum/min/max + first two components hash-pin the full
@@ -948,6 +955,40 @@ object LQueries {
       |       CAST(max(CASE WHEN j = 0 THEN y END) AS BIGINT) AS p0,
       |       CAST(max(CASE WHEN j = 1 THEN y END) AS BIGINT) AS p1
       |FROM y GROUP BY vec_id""".stripMargin),
+    "q135_corpus_report" ->
+      """WITH tok AS (SELECT source AS src, unnest(string_split(lower(text), ' ')) AS word
+        |             FROM documents),
+        |t2 AS (SELECT src, word FROM tok WHERE word <> ''),
+        |wc AS (SELECT src, word, CAST(count(*) AS BIGINT) AS n FROM t2 GROUP BY src, word),
+        |st AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |              CAST(count(*) AS BIGINT) AS n_types,
+        |              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |       FROM wc GROUP BY src),
+        |tp AS (SELECT src, CAST(sum(n) AS BIGINT) AS top_mass FROM (
+        |         SELECT src, n, row_number() OVER
+        |           (PARTITION BY src ORDER BY n DESC, word ASC) AS rn FROM wc) z
+        |       WHERE rn <= 10 GROUP BY src),
+        |dh AS (SELECT source AS src, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+        |       FROM documents GROUP BY 1, 2),
+        |dd AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(sum(n - 1) AS BIGINT) AS n_dup_docs
+        |       FROM dh GROUP BY src),
+        |lg AS (SELECT source AS src, lang, CAST(count(*) AS BIGINT) AS n
+        |       FROM documents GROUP BY 1, 2),
+        |nl AS (SELECT src, CAST(count(*) AS BIGINT) AS n_langs FROM lg GROUP BY src),
+        |tl AS (SELECT src, lang AS top_lang, n AS top_n FROM (
+        |         SELECT src, lang, n, row_number() OVER
+        |           (PARTITION BY src ORDER BY n DESC, lang ASC) AS rn FROM lg) z
+        |       WHERE rn = 1)
+        |SELECT dd.src, dd.n_docs, st.n_tokens, st.n_types,
+        |  CAST((1000000 * st.n_types) // st.n_tokens AS BIGINT) AS ttr_ppm,
+        |  CAST((1000000 * st.n_hapax) // st.n_types AS BIGINT) AS hapax_ppm,
+        |  CAST((1000000 * tp.top_mass) // st.n_tokens AS BIGINT) AS top_mass_ppm,
+        |  CAST((1000000 * dd.n_dup_docs) // dd.n_docs AS BIGINT) AS dup_ppm,
+        |  nl.n_langs, tl.top_lang,
+        |  CAST((1000000 * tl.top_n) // dd.n_docs AS BIGINT) AS top_lang_ppm
+        |FROM dd JOIN st ON st.src = dd.src JOIN tp ON tp.src = dd.src
+        |        JOIN nl ON nl.src = dd.src JOIN tl ON tl.src = dd.src""".stripMargin,
     "q132_templates" ->
       """WITH t AS (SELECT doc_id, source,
         |             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
