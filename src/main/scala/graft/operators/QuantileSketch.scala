@@ -50,12 +50,34 @@ object QuantileSketch {
     * (covering [2^(b−1), 2^b−1]) is the integer midpoint
     * `(3·2^(b−1) − 1) div 2`, and 0 for bucket 0.
     * Output: (grp, n, p<q>_est …) one row per group. */
-  def quantiles(sk: DataFrame, qs: Seq[Int]): DataFrame = {
+  def quantiles(sk: DataFrame, qs: Seq[Int]): DataFrame =
+    readout(sk, qs, b =>
+      when(b <= 0, lit(0L))
+        .otherwise(expr(s"(3 * shiftleft(1L, ${b.toString} - 1) - 1) div 2")))
+
+  /** EXACT per-group percentiles for an integer column whose DOMAIN is
+    * bounded (days, ages, small counts — ≤ ~10⁵ distinct values per
+    * group): the histogram "bucket" is the value itself, so the rank
+    * readout returns a value that exists in the data, exactly — the exact
+    * twin of the log₂ sketch, same ceiling-rank contract. NOT for
+    * unbounded domains (cents, ids): the histogram would be data-sized —
+    * that's what the sketch is for. */
+  def exactGroupQuantiles(df: DataFrame, grpCol: Column, valCol: Column,
+                          qs: Seq[Int]): DataFrame =
+    readout(df.select(grpCol.as("grp"), valCol.cast("long").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n")),
+      qs, identity)
+
+  /** Shared rank readout over a (grp, bucket, n) histogram: cumulative +
+    * total windows (≤ |buckets| rows per group), pick the first bucket at
+    * each ceiling rank, map it through `estOf`. */
+  private def readout(hist: DataFrame, qs: Seq[Int],
+                      estOf: Column => Column): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100), "qs in 1..100")
     val wCum = Window.partitionBy("grp").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy("grp")
-    val cum = sk
+    val cum = hist
       .withColumn("__cum", sum("n").over(wCum))
       .withColumn("__tot", sum("n").over(tot))
     val aggs = qs.map { q =>
@@ -65,9 +87,7 @@ object QuantileSketch {
     val allAggs = max("__tot").as("n") +: aggs
     val picked = cum.groupBy("grp").agg(allAggs.head, allAggs.tail: _*)
     qs.foldLeft(picked) { (d, q) =>
-      d.withColumn(s"p${q}_est",
-        when(col(s"__b$q") <= 0, lit(0L))
-          .otherwise(expr(s"(3 * shiftleft(1L, __b$q - 1) - 1) div 2")))
+      d.withColumn(s"p${q}_est", estOf(col(s"__b$q")).cast("long"))
     }.select(col("grp") +: col("n") +: qs.map(q => col(s"p${q}_est")): _*)
   }
 

@@ -76,7 +76,25 @@ object RQueries {
     "q129_ab_test" -> ((s, d) => q129(s, d)),
     "q131_theil_sen" -> ((s, d) => q131(s, d)),
     "q133_quorum" -> ((s, d) => q133(s, d)),
+    "q136_fulfillment_sla" -> ((s, d) => q136(s, d)),
   )
+
+  /** R71: fulfillment-SLA report — per order-priority EXACT p50/p90 of
+    * days from order to last ship (clamped non-negative — the synthetic
+    * data ships some orders early), via the bounded-domain exact
+    * percentile readout. */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .select(col("o_orderpriority").as("prio"),
+        greatest(lit(0L), datediff(to_date(col("last_ship")),
+          to_date(col("o_orderdate"))).cast("long")).as("v"))
+    QuantileSketch.exactGroupQuantiles(days, col("prio"), col("v"), Seq(50, 90))
+      .select(col("grp").as("priority"), col("n").as("n_orders"),
+        col("p50_est").as("p50_days"), col("p90_est").as("p90_days"))
+  }
 
   /** R70: three-system quorum reconciliation over orders — two derived
     * replicas carry deterministic corruptions (every 10th order's status
@@ -1237,6 +1255,22 @@ object RQueries {
         |SELECT r.grp, tp.n_points, CAST(r.np AS BIGINT) AS n_pairs,
         |       CAST(r.slope_q AS BIGINT) AS slope_ppm_per_day
         |FROM r JOIN tp ON tp.grp = r.grp WHERE r.rn = (r.np + 1) // 2""".stripMargin,
+    "q136_fulfillment_sla" ->
+      """WITH days AS (SELECT o.o_orderpriority AS grp,
+        |                greatest(0, date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                                      CAST(max(l.l_shipdate) AS DATE))) AS v
+        |              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |              GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate),
+        |h AS (SELECT grp, CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n
+        |      FROM days GROUP BY 1, 2),
+        |c AS (SELECT grp, v, n,
+        |        sum(n) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |        sum(n) OVER (PARTITION BY grp) AS tot
+        |      FROM h)
+        |SELECT grp AS priority, CAST(max(tot) AS BIGINT) AS n_orders,
+        |       CAST(min(CASE WHEN cum >= (50 * tot + 99) // 100 THEN v END) AS BIGINT) AS p50_days,
+        |       CAST(min(CASE WHEN cum >= (90 * tot + 99) // 100 THEN v END) AS BIGINT) AS p90_days
+        |FROM c GROUP BY grp""".stripMargin,
     "q133_quorum" ->
       """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS key,
         |                o_orderstatus, o_orderpriority

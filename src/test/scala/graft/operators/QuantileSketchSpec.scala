@@ -44,6 +44,16 @@ class QuantileSketchSpec extends SparkSpec {
     assert(out == (("g", 1L, 5L, 5L, 5L)))
   }
 
+  test("exactGroupQuantiles returns values that exist, at the exact ceiling rank") {
+    val df = ((1L to 100L).map(("g", _)) ++ Seq(("h", 7L), ("h", 9L))).toDF("g", "x")
+    val out = QuantileSketch.exactGroupQuantiles(df, col("g"), col("x"), Seq(50, 90, 100))
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // g: 1..100 → p50 = 50, p90 = 90, p100 = 100 (exact, not midpoints)
+    assert(out("g") == (("g", 100L, 50L, 90L, 100L)))
+    // h: {7, 9} → p50 rank 1 → 7; p90/p100 rank 2 → 9
+    assert(out("h") == (("h", 2L, 7L, 9L, 9L)))
+  }
+
   test("estimates bound the true quantile within its power-of-two bucket") {
     val vals = (1L to 1000L).map(("g", _))
     val df = vals.toDF("g", "x")
