@@ -31,9 +31,14 @@ object AbTest {
     * observations. Emits one row per unordered pair (va < vb):
     * (variant_a, variant_b, n_a, c_a, n_b, c_b, z2_ppm, significant).
     * Degenerate pools (C = 0 or C = N — no variance) read z² = 0. */
-  def twoProportionZ(df: DataFrame, variantCol: Column, successCol: Column): DataFrame = {
-    val arms = df.select(variantCol.as("v"), successCol.cast("long").as("ok"))
-      .groupBy("v").agg(count(lit(1)).as("n"), sum("ok").as("c"))
+  def twoProportionZ(df: DataFrame, variantCol: Column, successCol: Column): DataFrame =
+    zFromArms(df.select(variantCol.as("v"), successCol.cast("long").as("ok"))
+      .groupBy("v").agg(count(lit(1)).as("n"), sum("ok").as("c")))
+
+  /** Same readout from pre-aggregated arms (v, n, c) — the entry point
+    * for mergeable/streaming counts ([[graft.streaming.StreamAbTest]]
+    * S20 adds per-batch arm counts and reads the cumulative verdict). */
+  def zFromArms(arms: DataFrame): DataFrame = {
     val pairs = arms.select(col("v").as("variant_a"), col("n").as("n_a"), col("c").as("c_a"))
       .join(arms.select(col("v").as("variant_b"), col("n").as("n_b"), col("c").as("c_b")),
         col("variant_a") < col("variant_b"))
