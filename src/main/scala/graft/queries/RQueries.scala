@@ -77,7 +77,18 @@ object RQueries {
     "q131_theil_sen" -> ((s, d) => q131(s, d)),
     "q133_quorum" -> ((s, d) => q133(s, d)),
     "q136_fulfillment_sla" -> ((s, d) => q136(s, d)),
+    "q137_contact_policy" -> ((s, d) => q137(s, d)),
   )
+
+  /** R72: contact-policy eligibility as of a fixed instant — ≤16 contacts
+    * in the trailing 7 days AND ≥12h cooldown; the customer population
+    * beyond the active user range is never-contacted (eligible). */
+  def q137(s: SparkSession, d: String): DataFrame =
+    ContactPolicy.eligibility(
+      Tables.load(s, d, "customer"), col("c_custkey"),
+      Tables.events(s, d), col("user_id"), col("ts"),
+      asOf = "2024-01-25 00:00:00", windowDays = 7,
+      maxInWindow = 16L, cooldownHours = 12L)
 
   /** R71: fulfillment-SLA report — per order-priority EXACT p50/p90 of
     * days from order to last ship (clamped non-negative — the synthetic
@@ -1255,6 +1266,25 @@ object RQueries {
         |SELECT r.grp, tp.n_points, CAST(r.np AS BIGINT) AS n_pairs,
         |       CAST(r.slope_q AS BIGINT) AS slope_ppm_per_day
         |FROM r JOIN tp ON tp.grp = r.grp WHERE r.rn = (r.np + 1) // 2""".stripMargin,
+    "q137_contact_policy" ->
+      """WITH hist AS (SELECT user_id AS key,
+        |                CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
+        |                              THEN 1 ELSE 0 END) AS BIGINT) AS n_window,
+        |                CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+        |              FROM events
+        |              WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+        |              GROUP BY user_id),
+        |j AS (SELECT c.c_custkey AS key,
+        |        COALESCE(h.n_window, 0) AS n_window,
+        |        COALESCE((CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00')) AS BIGINT)
+        |                  - h.last_epoch) // 3600, -1) AS hours_since_last
+        |      FROM customer c LEFT JOIN hist h ON h.key = c.c_custkey)
+        |SELECT key, CAST(n_window AS BIGINT) AS n_window,
+        |       CAST(hours_since_last AS BIGINT) AS hours_since_last,
+        |       CAST(CASE WHEN n_window < 16
+        |                  AND (hours_since_last = -1 OR hours_since_last >= 12)
+        |             THEN 1 ELSE 0 END AS BIGINT) AS eligible
+        |FROM j""".stripMargin,
     "q136_fulfillment_sla" ->
       """WITH days AS (SELECT o.o_orderpriority AS grp,
         |                greatest(0, date_diff('day', CAST(o.o_orderdate AS DATE),
