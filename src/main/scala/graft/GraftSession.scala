@@ -30,13 +30,18 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Local session sized like the driver's harness. */
+  /** Local session sized like the driver's harness. The graft function
+    * set (graft_md5_fold48, graft_jaro_winkler, …) registers here so
+    * column helpers like `DistinctSketch.portableHash48` resolve even
+    * when used before any operator entry point (which also register,
+    * idempotently, for sessions built elsewhere). */
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {
     val s = builder(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(s)
     s
   }
 }

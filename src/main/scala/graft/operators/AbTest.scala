@@ -30,7 +30,9 @@ object AbTest {
   /** Per-variant-pair z² verdicts from row-level (variant, success∈{0,1})
     * observations. Emits one row per unordered pair (va < vb):
     * (variant_a, variant_b, n_a, c_a, n_b, c_b, z2_ppm, significant).
-    * Degenerate pools (C = 0 or C = N — no variance) read z² = 0. */
+    * Degenerate inputs — pooled C = 0 or C = N (no variance), or an
+    * empty arm n = 0 (possible via [[zFromArms]]' external counts) —
+    * read z² = 0 rather than a silent null verdict. */
   def twoProportionZ(df: DataFrame, variantCol: Column, successCol: Column): DataFrame =
     zFromArms(df.select(variantCol.as("v"), successCol.cast("long").as("ok"))
       .groupBy("v").agg(count(lit(1)).as("n"), sum("ok").as("c")))
@@ -44,7 +46,8 @@ object AbTest {
         col("variant_a") < col("variant_b"))
     pairs
       .withColumn("z2_ppm", expr(
-        """CASE WHEN (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN CAST(0 AS BIGINT)
+        """CASE WHEN n_a = 0 OR n_b = 0
+          |  OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN CAST(0 AS BIGINT)
           |ELSE CAST((CAST(1000000 AS DECIMAL(38,0))
           |       * (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b))
           |  div (CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b))

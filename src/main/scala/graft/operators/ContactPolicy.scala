@@ -39,9 +39,10 @@ object ContactPolicy {
         max(unix_timestamp(col("ts"))).as("__last_epoch"))
     population.select(popKeyCol.as("key"))
       .join(hist, Seq("key"), "left")
+      .withColumn("__asof_epoch", unix_timestamp(asOfTs))
       .select(col("key"),
         coalesce(col("n_window"), lit(0L)).as("n_window"),
-        coalesce(expr(s"(unix_timestamp(CAST('$asOf' AS TIMESTAMP)) - __last_epoch) div 3600"),
+        coalesce(expr("(__asof_epoch - __last_epoch) div 3600"),
           lit(-1L)).as("hours_since_last"))
       .withColumn("eligible",
         when(col("n_window") < maxInWindow &&

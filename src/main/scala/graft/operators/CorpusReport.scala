@@ -40,10 +40,17 @@ object CorpusReport {
       Seq(col("src")), Seq(col("n").desc, col("lang").asc), 1)
       .select(col("src"), col("lang").as("top_lang"), col("n").as("__top_n"))
     val nLangs = langs.groupBy("src").agg(count(lit(1)).as("n_langs"))
-    dups.join(vocab, Seq("src"))
+    // vocab joins LEFT: a source whose docs yield zero tokens (a broken
+    // extractor emitting empty text) is exactly the source the curator
+    // must see — it reports zero vocabulary, never vanishes from the card.
+    dups.join(vocab, Seq("src"), "left")
       .join(nLangs, Seq("src")).join(topLang, Seq("src"))
-      .select(col("src"), col("n_docs"), col("n_tokens"), col("n_types"),
-        col("ttr_ppm"), col("hapax_ppm"), col("top_mass_ppm"),
+      .select(col("src"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("ttr_ppm"), lit(0L)).as("ttr_ppm"),
+        coalesce(col("hapax_ppm"), lit(0L)).as("hapax_ppm"),
+        coalesce(col("top_mass_ppm"), lit(0L)).as("top_mass_ppm"),
         expr("CAST((1000000 * n_dup_docs) div n_docs AS BIGINT)").as("dup_ppm"),
         col("n_langs"), col("top_lang"),
         expr("CAST((1000000 * __top_n) div n_docs AS BIGINT)").as("top_lang_ppm"))

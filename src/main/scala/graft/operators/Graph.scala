@@ -239,12 +239,11 @@ object Graph {
   }
 
   /** True when one more peel round changes nothing — i.e. `rounds` already
-    * reached the k-core fixpoint on this graph. */
-  def kCoreConverged(und: DataFrame, k: Int, rounds: Int): Boolean = {
-    val a = kCorePeel(und, k, rounds)
-    val b = kCorePeel(und, k, rounds + 1)
-    a.unionByName(b).distinct().count() == a.count() && a.count() == b.count()
-  }
+    * reached the k-core fixpoint on this graph. A round changes nothing
+    * iff NO surviving node has degree < k, so this is one peel + one
+    * filter on its final degrees — not a second full peel. */
+  def kCoreConverged(und: DataFrame, k: Int, rounds: Int): Boolean =
+    kCorePeel(und, k, rounds).where(col("deg") < k).isEmpty
 
   /** Undirected degree per endpoint node of (u, v) edges. */
   private def degrees(edges: DataFrame): DataFrame =

@@ -27,9 +27,15 @@ object Intervals {
     * intervals whose end passed before this day.
     */
   def dailyConcurrency(df: DataFrame, startCol: Column, endCol: Column): DataFrame = {
+    // Null dates must fail as loudly as end<start: a null end would pass
+    // the `<` guard (null comparison → otherwise branch), group into a
+    // day=null delta row that sorts FIRST, and silently start the running
+    // sum at a wrong value.
     val iv = df.select(to_date(startCol).as("s"), to_date(endCol).as("e"))
-      .select(when(col("e") < col("s"),
-        raise_error(lit("dailyConcurrency: interval with end < start")))
+      .select(when(col("s").isNull || col("e").isNull,
+        raise_error(lit("dailyConcurrency: null interval endpoint")))
+        .when(col("e") < col("s"),
+          raise_error(lit("dailyConcurrency: interval with end < start")))
         .otherwise(col("s")).as("s"), col("e"))
     val starts = iv.groupBy(col("s").as("d")).agg(count(lit(1)).as("n_start"))
     val frees = iv.groupBy(date_add(col("e"), 1).as("d")).agg(count(lit(1)).as("n_freed"))

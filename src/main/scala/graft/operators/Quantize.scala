@@ -69,7 +69,20 @@ object Quantize {
   def signedProjection(df: DataFrame, idCol: String, vecCol: String,
                        outDims: Int): DataFrame = {
     require(outDims >= 1, "outDims >= 1")
-    val d = df.select(size(col(vecCol))).head().getInt(0)
+    // Contract (shared with scalarQuantize): a fixed-dimension corpus.
+    // The dimension is read from one row; an empty frame short-circuits
+    // to an empty result instead of head() throwing.
+    val first = df.select(size(col(vecCol))).head(1)
+    if (first.isEmpty)
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("proj",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+    val d = first.head.getInt(0)
     val codes = scalarQuantize(df, idCol, vecCol)
     val projCols = (0 until outDims).map { j =>
       val sgnRow = array((0 until d).map(i => lit(signOf(i, j))): _*)

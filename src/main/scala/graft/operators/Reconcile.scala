@@ -30,10 +30,11 @@ object Reconcile {
              fields: Seq[String]): DataFrame = {
     require(sources.size >= 2, "quorum needs >= 2 sources")
     require(fields.nonEmpty, "quorum needs >= 1 field")
-    val tagged = sources.map { case (name, df) =>
-      df.select(col(keyCol).cast("long").as("key") +:
+    // Keys keep their native type (string business keys group fine; a
+    // long cast would null every non-numeric key and pool all votes).
+    val tagged = sources.map { case (_, df) =>
+      df.select(col(keyCol).as("key") +:
         fields.map(f => col(f).cast("string").as(f)): _*)
-        .withColumn("__src", lit(name))
     }.reduce(_ unionByName _)
     val votes = tagged
       .select(col("key"), explode(array(fields.map(f =>

@@ -980,14 +980,16 @@ object LQueries {
         |         SELECT src, lang, n, row_number() OVER
         |           (PARTITION BY src ORDER BY n DESC, lang ASC) AS rn FROM lg) z
         |       WHERE rn = 1)
-        |SELECT dd.src, dd.n_docs, st.n_tokens, st.n_types,
-        |  CAST((1000000 * st.n_types) // st.n_tokens AS BIGINT) AS ttr_ppm,
-        |  CAST((1000000 * st.n_hapax) // st.n_types AS BIGINT) AS hapax_ppm,
-        |  CAST((1000000 * tp.top_mass) // st.n_tokens AS BIGINT) AS top_mass_ppm,
+        |SELECT dd.src, dd.n_docs,
+        |  COALESCE(st.n_tokens, 0) AS n_tokens,
+        |  COALESCE(st.n_types, 0) AS n_types,
+        |  COALESCE(CAST((1000000 * st.n_types) // st.n_tokens AS BIGINT), 0) AS ttr_ppm,
+        |  COALESCE(CAST((1000000 * st.n_hapax) // st.n_types AS BIGINT), 0) AS hapax_ppm,
+        |  COALESCE(CAST((1000000 * tp.top_mass) // st.n_tokens AS BIGINT), 0) AS top_mass_ppm,
         |  CAST((1000000 * dd.n_dup_docs) // dd.n_docs AS BIGINT) AS dup_ppm,
         |  nl.n_langs, tl.top_lang,
         |  CAST((1000000 * tl.top_n) // dd.n_docs AS BIGINT) AS top_lang_ppm
-        |FROM dd JOIN st ON st.src = dd.src JOIN tp ON tp.src = dd.src
+        |FROM dd LEFT JOIN st ON st.src = dd.src LEFT JOIN tp ON tp.src = dd.src
         |        JOIN nl ON nl.src = dd.src JOIN tl ON tl.src = dd.src""".stripMargin,
     "q132_templates" ->
       """WITH t AS (SELECT doc_id, source,

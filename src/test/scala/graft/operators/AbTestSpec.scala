@@ -35,6 +35,13 @@ class AbTestSpec extends SparkSpec {
       .select("z2_ppm").as[Long].head() == 0L)
   }
 
+  test("an empty external arm reads z² = 0, never a null verdict") {
+    val arms = Seq(("a", 0L, 0L), ("b", 100L, 30L)).toDF("v", "n", "c")
+    val out = AbTest.zFromArms(arms)
+      .select("z2_ppm", "significant").as[(Long, Long)].head()
+    assert(out == ((0L, 0L)))
+  }
+
   test("three variants emit the three unordered pairs") {
     val df = (arm("a", 20, 2) ++ arm("b", 20, 4) ++ arm("c", 20, 6)).toDF("v", "ok")
     val pairs = AbTest.twoProportionZ(df, col("v"), col("ok"))

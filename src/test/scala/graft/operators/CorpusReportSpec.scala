@@ -44,6 +44,20 @@ class CorpusReportSpec extends SparkSpec {
     }
   }
 
+  test("a token-less source stays on the card with zero vocabulary") {
+    val broken = docs.unionByName(
+      Seq((9L, "broken", "xx", ""), (10L, "broken", "xx", ""))
+        .toDF("doc_id", "source", "lang", "text"))
+    val rep = CorpusReport.summary(broken, col("source"), col("doc_id"),
+      col("text"), col("lang"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val b = rep("broken")
+    assert(b._2 == 2L, "the broken source must appear")
+    assert(b._3 == 0L && b._4 == 0L && b._5 == 0L, "zero tokens/types/ttr")
+    assert(b._8 == 500000L, "two identical empty texts: one is a dup")
+  }
+
   test("language ties break to the lexicographically smallest language") {
     val tied = Seq((1L, "s", "en", "x"), (2L, "s", "de", "y")).toDF("doc_id", "source", "lang", "text")
     val top = CorpusReport.summary(tied, col("source"), col("doc_id"), col("text"), col("lang"))

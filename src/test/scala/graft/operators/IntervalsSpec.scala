@@ -36,8 +36,22 @@ class IntervalsSpec extends SparkSpec {
     val ex = intercept[Exception] {
       Intervals.dailyConcurrency(iv, col("s"), col("e")).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("end < start")), s"got $ex")
   }
+
+  test("null endpoints are rejected loudly, not folded into a null day") {
+    val openEnd = Seq(("2024-01-05", null.asInstanceOf[String])).toDF("s", "e")
+    val ex1 = intercept[Exception] {
+      Intervals.dailyConcurrency(openEnd, col("s"), col("e")).collect()
+    }
+    assert(msgs(ex1).exists(_.contains("null interval endpoint")), s"got $ex1")
+    val badStart = Seq((null.asInstanceOf[String], "2024-01-05")).toDF("s", "e")
+    val ex2 = intercept[Exception] {
+      Intervals.dailyConcurrency(badStart, col("s"), col("e")).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("null interval endpoint")), s"got $ex2")
+  }
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
 }

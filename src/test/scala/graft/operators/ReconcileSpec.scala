@@ -39,6 +39,16 @@ class ReconcileSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2L)) && out(2L) == ((1L, 1L)))
   }
 
+  test("non-numeric business keys group correctly (no silent long cast)") {
+    val a = Seq(("C-1001", "porto"), ("C-1002", "faro")).toDF("id", "city")
+    val b = Seq(("C-1001", "porto"), ("C-1002", "lisboa")).toDF("id", "city")
+    val out = Reconcile.quorum(Seq("a" -> a, "b" -> b), "id", Seq("city"))
+      .as[(String, String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out("C-1001") == (("porto", 2L)))
+    assert(out("C-1002")._2 == 1L, "split vote keeps per-key identity")
+  }
+
   test("vote ties break to the lexicographically smallest value") {
     val a = src((1L, "bbb", "p"))
     val b = src((1L, "aaa", "p"))
