@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * `p = (1e6·n_bin) div n_total`. Entirely integer — the usual PSI/KL
   * formulations need `log`, which is banned from oracle-keyed math here
   * (libm last-bit divergence across engines); L1 ranks drift the same way
-  * and is exact. Range: 0 (identical) … 2·10⁶ (disjoint supports).
+  * and is exact. Range: 0 (identical) … 2·10⁶ (both sides present with
+  * disjoint supports).
   *
   * Scale shape: binning is a narrow projection; each side is ONE
   * map-side-combinable (grp, bin) count; the compare joins two
   * group×bins-sized frames (bounded metadata, not data). Empty sides are
-  * defined: a group present in only one side scores the full 2e6.
+  * defined: a group present in only ONE side scores that side's full
+  * mass = 1e6 (the absent side contributes zero everywhere, so |Σ| is
+  * one distribution's mass, not two) — monitor thresholds for
+  * vanished/new groups belong at 1e6, not 2e6 (spec-pinned).
   */
 object Drift {
 
@@ -27,8 +31,13 @@ object Drift {
   def binned(df: DataFrame, grpCol: Column, valCol: Column,
              lo: Long, hi: Long, bins: Int): DataFrame = {
     require(bins >= 1 && hi > lo, "need hi > lo and bins >= 1")
-    val bin = least(lit(bins - 1L), greatest(lit(0L),
-      expr(s"((__v - $lo) * $bins) div ${hi - lo}")))
+    // Clamp the VALUE into [lo, hi-1] BEFORE the bin multiply: clamping
+    // the bin after would let a far-out-of-range value (a corrupt row —
+    // the anomaly drift monitoring exists to catch) overflow
+    // (__v − lo)·bins past Long, wrap negative, and land in bin 0
+    // instead of the top edge bin.
+    val bin = expr(
+      s"((least(${hi - 1}L, greatest(${lo}L, __v)) - ${lo}L) * ${bins}L) div ${hi - lo}L")
     df.select(grpCol.as("grp"), valCol.cast("long").as("__v"))
       .select(col("grp"), bin.as("bin"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("n"))

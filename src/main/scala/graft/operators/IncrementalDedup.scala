@@ -82,8 +82,12 @@ object IncrementalDedup {
     val sigs = NearDup.minHashSignatures(newDocs, idCol, textCol, k, numHashes)
       .localCheckpoint(true)
 
-    // Probe 1 — new vs store: band-bucket equi-join, agreement on candidates.
-    val nb = NearDup.bandedKeys(sigs, rowsPerBand)
+    // Probe 1 — new vs store: band-bucket equi-join, agreement on
+    // candidates. BOTH sides cap degenerate buckets: a batch of f
+    // boilerplate near-identicals sharing a bucket with m store docs
+    // would otherwise emit f·m candidate rows per band even when the
+    // store bucket is under the cap.
+    val nb = capBuckets(NearDup.bandedKeys(sigs, rowsPerBand), maxBucketSize)
       .select(col("id").as("nid"), col("band"), col("bucket"))
     val sb = capBuckets(NearDup.bandedKeys(store, rowsPerBand), maxBucketSize)
       .select(col("id").as("sid"), col("band"), col("bucket"))
@@ -117,10 +121,14 @@ object IncrementalDedup {
     // short to shingle carry no signature and can match nothing — they are
     // admitted unchanged and contribute nothing to the store, never
     // silently dropped.
+    // The rejected-id frame's column is renamed before the anti-join: a
+    // caller whose document id column is itself named "id" would otherwise
+    // make col("id") ambiguous between the two join sides.
     val rejectedIds = rejectedByStore.select("id")
       .union(rejectedIntraBatch.select("id"))
+      .withColumnRenamed("id", "__rejected_id")
     val admitted = newDocs.join(rejectedIds,
-      idCol.cast("long") === col("id"), "left_anti")
+      idCol.cast("long") === col("__rejected_id"), "left_anti")
     Admission(admitted, store.unionByName(admittedSigs),
       rejectedByStore, rejectedIntraBatch)
   }

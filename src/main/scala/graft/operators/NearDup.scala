@@ -406,7 +406,10 @@ object NearDup {
     val alpha = safeCeil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
-          greatest(col("a.n"), col("b.n")) * threshold <= least(col("a.n"), col("b.n")) &&
+          // epsilon-relaxed like safeCeil: 10·0.3 → 3.0000000000000004
+          // would otherwise drop an exactly-at-threshold pair (J = 3/10
+          // at t = 0.3) and break the perfect-recall contract
+          greatest(col("a.n"), col("b.n")) * threshold - lit(1e-7) <= least(col("a.n"), col("b.n")) &&
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + 1 >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

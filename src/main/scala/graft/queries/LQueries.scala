@@ -1150,20 +1150,28 @@ object LQueries {
         |       CAST(greatest(weight, tau.tau_q) AS BIGINT) AS est_q
         |FROM r CROSS JOIN tau WHERE rn <= 100""".stripMargin,
     "q101_golden_records" ->
+      // Variant-frequency capping runs over DISTINCT name strings (the g
+      // CTE), mirroring goldenRecords' dictionary-view semantics — a
+      // row-level count would trip the cap on row multiplicity, which the
+      // operator deliberately does not.
       """WITH RECURSIVE c AS (SELECT p_partkey AS id, p_name AS s FROM part),
-        |v AS (SELECT DISTINCT id, md5(variant) AS vh FROM (
-        |  SELECT id, unnest(list_prepend(s, list_transform(range(1, len(s) + 1),
+        |g AS (SELECT s, CAST(min(id) AS BIGINT) AS rep FROM c GROUP BY s),
+        |v AS (SELECT DISTINCT rep AS id, md5(variant) AS vh FROM (
+        |  SELECT rep, unnest(list_prepend(s, list_transform(range(1, len(s) + 1),
         |         i -> substr(s, 1, i - 1) || substr(s, i + 1, len(s))))) AS variant
-        |  FROM c) t),
+        |  FROM g) t),
         |vk AS (SELECT id, vh FROM v
         |       WHERE vh IN (SELECT vh FROM v GROUP BY vh HAVING count(*) <= 5000)),
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |         FROM vk a JOIN vk b ON a.vh = b.vh AND a.id < b.id),
-        |pairs AS (SELECT cand.id_a, cand.id_b
-        |          FROM cand JOIN c sa ON sa.id = cand.id_a JOIN c sb ON sb.id = cand.id_b
-        |          WHERE levenshtein(sa.s, sb.s) <= 1),
-        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |fp AS (SELECT cand.id_a, cand.id_b
+        |       FROM cand JOIN c sa ON sa.id = cand.id_a JOIN c sb ON sb.id = cand.id_b
+        |       WHERE levenshtein(sa.s, sb.s) <= 1),
+        |star AS (SELECT g.rep AS id_a, CAST(c.id AS BIGINT) AS id_b
+        |         FROM c JOIN g ON g.s = c.s WHERE c.id <> g.rep),
+        |allp AS (SELECT * FROM fp UNION ALL SELECT * FROM star),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM allp
+        |        UNION ALL SELECT id_b, id_a FROM allp),
         |reach(id, r) AS (
         |  SELECT src, src FROM sym
         |  UNION

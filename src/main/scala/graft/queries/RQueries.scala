@@ -1172,8 +1172,8 @@ object RQueries {
       """WITH ev AS (SELECT event_type AS grp, event_id,
         |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
         |binned AS (SELECT grp, event_id % 2 AS half,
-        |             least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT),
-        |               (cents * 20) // 100000)) AS bin
+        |             ((least(CAST(99999 AS BIGINT), greatest(CAST(0 AS BIGINT), cents))
+        |               * 20) // 100000) AS bin
         |           FROM ev),
         |h AS (SELECT grp, half, bin, CAST(count(*) AS BIGINT) AS n
         |      FROM binned GROUP BY grp, half, bin),

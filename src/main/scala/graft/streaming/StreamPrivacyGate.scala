@@ -71,20 +71,13 @@ object StreamPrivacyGate {
       }
   }
 
-  private val Commit = "_GRAFT_COMMIT"
-
-  private def latestVersion(spark: SparkSession, dir: Path): Option[Path] = {
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return None
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d{12}") &&
-        fs.exists(new Path(s.getPath, Commit)))
-      .map(_.getPath).sortBy(_.getName).lastOption
-  }
-
-  /** Latest committed running totals: (grp, n_entities, n_rows, sum_v). */
+  /** Latest committed running totals: (grp, n_entities, n_rows, sum_v).
+    * Versioning/commit mechanics are the shared [[VersionedStore]]
+    * protocol (this gate predates the helper; it now delegates, so the
+    * commit-marker semantics cannot drift from S17/S19/S20). */
   def readTotals(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    latestVersion(spark, new Path(stateDir)).map(p => spark.read.parquet(p.toString))
+    VersionedStore.committedVersions(spark, stateDir).lastOption
+      .map(p => spark.read.parquet(p.toString))
 
   /** Stage 2 (one micro-batch): fold a batch of deltas into the published
     * running totals under `stateDir/b<batchId>`. Skips if that version is
@@ -92,10 +85,7 @@ object StreamPrivacyGate {
     * backfills drive the exact code the stream runs. */
   def applyBatch(deltas: DataFrame, stateDir: String, batchId: Long): Unit = {
     val spark = deltas.sparkSession
-    val dir = new Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(dir, f"b$batchId%012d")
-    if (fs.exists(new Path(target, Commit))) return // replayed batch: done already
+    if (VersionedStore.isCommitted(spark, stateDir, batchId)) return
     val batchAgg = deltas.groupBy("grp")
       .agg(sum(when(col("newEntity"), 1L).otherwise(0L)).as("n_entities"),
         sum(col("dn")).as("n_rows"), sum(col("dsum")).as("sum_v"))
@@ -110,9 +100,12 @@ object StreamPrivacyGate {
             (coalesce(col("pn"), lit(0L)) + coalesce(col("n_rows"), lit(0L))).as("n_rows"),
             (coalesce(col("ps"), lit(0L)) + coalesce(col("sum_v"), lit(0L))).as("sum_v"))
     }
-    if (fs.exists(target)) fs.delete(target, true) // torn earlier attempt
-    merged.write.mode("errorifexists").parquet(target.toString)
-    fs.create(new Path(target, Commit), true).close()
+    // Merge reads the previous version lazily; materialize before publish
+    // so the write never interleaves with its own read.
+    val out = merged.localCheckpoint(true)
+    VersionedStore.publish(spark, stateDir, batchId) { target =>
+      out.write.parquet(target.toString)
+    }
   }
 
   /** The release: groups at or past the k-entity floor, from the latest

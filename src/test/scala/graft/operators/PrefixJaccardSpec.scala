@@ -53,6 +53,18 @@ class PrefixJaccardSpec extends SparkSpec {
     assert(!capped.exists(p => p._1 == 100L && p._2 == 101L))
   }
 
+  test("a pair EXACTLY at a float-hazard threshold survives the length filter") {
+    // B's 3 grams ⊂ A's 10 grams: J = 3/10 = 0.3 exactly. The length
+    // filter computes 10·0.3 → 3.0000000000000004, so without the epsilon
+    // relaxation the at-threshold pair vanishes and recall breaks.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12" // 10 distinct 3-grams
+    val b = "w1 w2 w3 w4 w5"                         // its first 3 grams
+    val (exact, prefix) = run(Seq((1L, a), (2L, b)), 0.3)
+    assert(exact.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0.3),
+      s"baseline must see J=0.3: $exact")
+    assert(prefix == exact, s"prefix path lost the boundary pair: $prefix vs $exact")
+  }
+
   test("short and empty documents are safe") {
     val rows = Seq(1L -> "", 2L -> "one two", 3L -> "one two three", 4L -> "one two three")
     val (exact, prefix) = run(rows, 0.5)

@@ -30,13 +30,25 @@ def parse_baseline(path):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
+    # Consume --ratio (both "--ratio=3" and "--ratio 3" forms) BEFORE
+    # collecting positionals, so the space-separated value is never
+    # mistaken for the bench-file path.
+    ratio = 2.0
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--ratio"):
+            if "=" in a:
+                ratio = float(a.split("=", 1)[1])
+            else:
+                ratio = float(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     bench_path = args[0] if len(args) > 0 else "BENCH_LOCAL.json"
     base_path = args[1] if len(args) > 1 else "BASELINE.md"
-    ratio = 2.0
-    for a in argv:
-        if a.startswith("--ratio"):
-            ratio = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
 
     try:
         with open(bench_path) as f:
