@@ -106,8 +106,14 @@ object Bench {
     * all-success case. */
   def renderLine(results: Seq[(String, Double)], sfDir: String, hot: Boolean,
                  errs: Seq[String] = Nil): String = {
+    // Adaptive precision keeps the line inside the driver's 2000-char
+    // stdout tail as the registry grows (137 queries at a flat %.2f put
+    // the worst case at 1910 chars — BenchContractSpec caught it): 10 ms
+    // precision below 10 s, 3 significant figures above. Pins compare at
+    // 2x, so the coarser tail precision loses nothing that matters;
+    // BENCH_LOCAL.json keeps full names at 3 decimals regardless.
     val qs = results
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.2f" }
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtAdaptive(v) }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.2f"
     val sf = new java.io.File(sfDir).getName
@@ -115,6 +121,10 @@ object Bench {
     val hotField = if (hot) ",\"hot\":1" else ""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"$errField$hotField}"""
   }
+
+  /** ≤4-char rendering: 0.42 / 9.99 / 12.3 / 999 (+1 char past 1000 s). */
+  def fmtAdaptive(v: Double): String =
+    if (v < 9.995) f"$v%.2f" else if (v < 99.95) f"$v%.1f" else f"$v%.0f"
 
   /** Full-name 3-decimal timings for the committed local artifact. */
   def renderFull(results: Seq[(String, Double)], sfDir: String, loadStart: Double, loadEnd: Double,

@@ -81,8 +81,13 @@ object RecordLinkage {
     cand
       .join(base.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
+      // Bounded form: Spark's threshold levenshtein abandons a pair's DP
+      // as soon as the distance provably exceeds maxDist (returns -1) —
+      // the verify is the candidate path's dominant cost and most
+      // candidates fail, so the early exit is where the time goes.
+      // Matched pairs report the identical distance as the unbounded form.
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
 

@@ -9,11 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   test("worst-case bench line fits the driver's 2000-char stdout tail") {
-    // Worst-case value width at 2 decimals: 999.99 (no query should ever
-    // take 1000s; if one does, line length is the least of our problems).
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.99)
+    // Worst-case rendered width under adaptive precision is 4 chars
+    // ("9.99"/"99.9"/"999"; no query should ever take 1000s — if one
+    // does, line length is the least of our problems).
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 999.0)
     val line = Bench.renderLine(results, "/root/testdata/sf0.1", hot = true)
     assert(line.length < 1900, s"bench line ${line.length} chars — driver tail is 2000")
+  }
+
+  test("adaptive precision: 10ms below 10s, 3 significant figures above") {
+    assert(Bench.fmtAdaptive(0.391) == "0.39")
+    assert(Bench.fmtAdaptive(9.994) == "9.99")
+    assert(Bench.fmtAdaptive(9.996) == "10.0")
+    assert(Bench.fmtAdaptive(12.3456) == "12.3")
+    assert(Bench.fmtAdaptive(99.96) == "100")
+    assert(Bench.fmtAdaptive(999.4) == "999")
   }
 
   test("short keys stay unique across the registry") {
@@ -24,7 +34,7 @@ class BenchContractSpec extends AnyFunSuite {
   test("rendered line is valid JSON-shaped and carries the hot flag only when hot") {
     val res = Seq("q01_agg" -> 0.391, "q02_per_key_totals" -> 12.3456)
     val quiet = Bench.renderLine(res, "/root/testdata/sf0.1", hot = false)
-    assert(quiet == """{"metric":"total","value":12.74,"unit":"sec","queries":{"q01":0.39,"q02":12.35},"sf":"sf0.1","err":[]}""")
+    assert(quiet == """{"metric":"total","value":12.74,"unit":"sec","queries":{"q01":0.39,"q02":12.3},"sf":"sf0.1","err":[]}""")
     val hot = Bench.renderLine(res, "/root/testdata/sf0.1", hot = true)
     assert(hot.endsWith(""","err":[],"hot":1}"""))
   }
