@@ -217,4 +217,58 @@ class EdgeCasesSpec extends SparkSpec {
       .select("n_rows").as[Long].head()
     assert(fp == 0L)
   }
+
+  test("round-10 closing additions on empty/degenerate input") {
+    val noSeries = Seq.empty[(String, Int, Long)].toDF("g", "t", "x")
+    assert(Changepoints.cusum(noSeries, col("g"), col("t"), col("x"), 3L).count() == 0)
+    assert(Changepoints.cusumFixedRef(noSeries, col("g"), col("t"), col("x"), 5L, 10L).count() == 0)
+    assert(Trend.theilSen(
+      Seq.empty[(String, String, Long)].toDF("g", "d", "v"),
+      col("g"), col("d"), col("v")).count() == 0)
+    // single observation: no pairs → no slope row (never a div-by-zero)
+    assert(Trend.theilSen(Seq(("k", "2024-01-01", 5L)).toDF("g", "d", "v"),
+      col("g"), col("d"), col("v")).count() == 0)
+
+    val noBaskets = Seq.empty[(Long, String)].toDF("bk", "item")
+    assert(Basket.associationRules(noBaskets, col("bk"), col("item"), 1L, 1L).count() == 0)
+    // every item below minSupport: empty rules, no crash in the 1-row
+    // frequent-array broadcast (empty array intersects to empty baskets)
+    val sparse = Seq((1L, "a"), (2L, "b")).toDF("bk", "item")
+    assert(Basket.associationRules(sparse, col("bk"), col("item"), 5L, 1L).count() == 0)
+
+    assert(QuantileSketch.groupQuantiles(noSeries, col("g"), col("x"), Seq(50)).count() == 0)
+    assert(QuantileSketch.exactGroupQuantiles(noSeries, col("g"), col("x"), Seq(50)).count() == 0)
+    val noItems = Seq.empty[String].toDF("w")
+    assert(CountMin.sketch(noItems, col("w"), 4, 64).count() == 0)
+    assert(CountMin.estimate(CountMin.sketch(noItems, col("w"), 4, 64),
+      Seq("x").toDF("w"), col("w"), 4, 64)
+      .select("est_n").as[Long].head() == 0L, "probe of an empty sketch reads 0")
+
+    assert(Graph.kCorePeel(Seq.empty[(Long, Long)].toDF("u", "v"), 2, 3).count() == 0)
+    assert(Intervals.dailyConcurrency(
+      Seq.empty[(String, String)].toDF("s", "e"), col("s"), col("e")).count() == 0)
+    assert(Seasonal.dowProfile(
+      Seq.empty[(String, java.sql.Timestamp)].toDF("event_type", "ts"),
+      col("event_type"), col("ts")).count() == 0)
+    assert(AbTest.twoProportionZ(
+      Seq.empty[(String, Long)].toDF("v", "ok"), col("v"), col("ok")).count() == 0)
+    // one-armed experiment: no pair rows, not a crash
+    assert(AbTest.twoProportionZ(
+      Seq(("a", 1L)).toDF("v", "ok"), col("v"), col("ok")).count() == 0)
+    assert(Reconcile.quorum(Seq(
+      "x" -> Seq.empty[(Long, String)].toDF("id", "f"),
+      "y" -> Seq.empty[(Long, String)].toDF("id", "f")), "id", Seq("f")).count() == 0)
+    assert(Templates.templateGroups(noDocs, col("doc_id"), col("text"),
+      col("text"), 1, 1, 1L).count() == 0)
+    assert(CorpusReport.summary(
+      Seq.empty[(Long, String, String, String)].toDF("doc_id", "source", "lang", "text"),
+      col("source"), col("doc_id"), col("text"), col("lang")).count() == 0)
+    assert(ContactPolicy.eligibility(
+      Seq.empty[Long].toDF("id"), col("id"),
+      Seq.empty[(Long, java.sql.Timestamp)].toDF("id", "ts"), col("id"), col("ts"),
+      "2024-01-01 00:00:00", 7, 3L, 12L).count() == 0)
+    assert(Quantize.signedProjection(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 4).count() == 0)
+  }
 }
