@@ -45,4 +45,38 @@ object BrFormats {
   /** Day-first date parse, errors → null (reference `_tratar_datas` with
     * `dayfirst=True, errors='coerce'`). */
   def parseBrDate(c: Column): Column = try_to_timestamp(c, lit("d/M/yyyy")).cast("date")
+
+  /** CPF validity (the Brazilian natural-person tax id a mailing list
+    * keys on): strips separators, requires 11 digits, rejects the
+    * repeated-digit numbers (111.111.111-11 passes the checksum but is
+    * officially invalid), and verifies both mod-11 check digits
+    * (`(Σ dᵢ·wᵢ)·10 mod 11`, 10 → 0). Pure column algebra — no UDF. */
+  def cpfValid(c: Column): Column = {
+    val d = regexp_replace(c.cast("string"), "[^0-9]", "")
+    def digit(i: Int): Column = substring(d, i, 1).cast("int")
+    def check(n: Int): Column = {
+      val s = (1 to n).map(i => digit(i) * (n + 2 - i)).reduce(_ + _)
+      val r = pmod(s * 10, lit(11))
+      when(r === 10, 0).otherwise(r)
+    }
+    length(d) === 11 &&
+      !(d === repeat(substring(d, 1, 1), 11)) &&
+      digit(10) === check(9) && digit(11) === check(10)
+  }
+
+  /** CNPJ validity (the legal-entity id): 14 digits, repeated-digit
+    * reject, both mod-11 check digits over the cyclic 2..9 weights. */
+  def cnpjValid(c: Column): Column = {
+    val d = regexp_replace(c.cast("string"), "[^0-9]", "")
+    def digit(i: Int): Column = substring(d, i, 1).cast("int")
+    def check(weights: Seq[Int]): Column = {
+      val s = weights.zipWithIndex.map { case (w, i) => digit(i + 1) * w }.reduce(_ + _)
+      val r = pmod(s, lit(11))
+      when(r < 2, 0).otherwise(lit(11) - r)
+    }
+    length(d) === 14 &&
+      !(d === repeat(substring(d, 1, 1), 14)) &&
+      digit(13) === check(Seq(5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2)) &&
+      digit(14) === check(Seq(6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2))
+  }
 }

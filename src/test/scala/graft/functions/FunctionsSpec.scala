@@ -58,4 +58,56 @@ class BrFormatsSpec extends SparkSpec {
     assert(row.getString(1) == "31/12/2023")
     assert(row.isNullAt(2))
   }
+
+  // Reference check-digit implementations, independent of the column
+  // algebra: CPF r = (Σ d·w)·10 mod 11 (10→0), CNPJ r = Σ d·w mod 11
+  // (r<2→0 else 11−r) over the cyclic weights.
+  private def cpfDigits(first9: Seq[Int]): (Int, Int) = {
+    def chk(ds: Seq[Int]): Int = {
+      val n = ds.length
+      val r = ds.zipWithIndex.map { case (d, i) => d * (n + 2 - (i + 1)) }.sum * 10 % 11
+      if (r == 10) 0 else r
+    }
+    val d10 = chk(first9)
+    (d10, chk(first9 :+ d10))
+  }
+
+  test("cpfValid: checksum vectors, formatting, repeated-digit reject") {
+    def v(s: String): Boolean = Seq(s).toDF("c")
+      .select(BrFormats.cpfValid(col("c"))).as[Boolean].head()
+    // derive a known-valid CPF from the reference implementation
+    val base = Seq(5, 2, 9, 9, 8, 2, 2, 4, 7)
+    val (a, b) = cpfDigits(base)
+    val valid = (base :+ a :+ b).mkString
+    assert(valid == "52998224725" && v(valid),
+      s"the classic reference CPF must derive and validate (got $valid)")
+    assert(v("529.982.247-25"), "formatted CPF strips separators")
+    assert(!v(valid.dropRight(1) + ((valid.last - '0' + 1) % 10).toString),
+      "wrong check digit rejects")
+    assert(!v("11111111111"), "repeated digits reject despite checksum")
+    assert(!v("1234567890") && !v("123456789012"), "wrong length rejects")
+  }
+
+  test("cnpjValid: canonical vector, formatting, rejects") {
+    def v(s: String): Boolean = Seq(s).toDF("c")
+      .select(BrFormats.cnpjValid(col("c"))).as[Boolean].head()
+    assert(v("11222333000181"), "canonical sample 11.222.333/0001-81")
+    assert(v("11.222.333/0001-81"), "formatted form strips separators")
+    assert(!v("11222333000182"), "wrong check digit rejects")
+    assert(!v("00000000000000"), "repeated digits reject")
+    assert(!v("1122233300018"), "13 digits reject")
+  }
+
+  test("cpf/cnpj property: derived check digits validate for random bases") {
+    val rnd = new scala.util.Random(3)
+    (1 to 25).foreach { _ =>
+      val base = Seq.fill(9)(rnd.nextInt(10))
+      if (base.distinct.size > 1) {
+        val (a, b) = cpfDigits(base)
+        val s = (base :+ a :+ b).mkString
+        val ok = Seq(s).toDF("c").select(BrFormats.cpfValid(col("c"))).as[Boolean].head()
+        assert(ok, s"derived CPF $s must validate")
+      }
+    }
+  }
 }
