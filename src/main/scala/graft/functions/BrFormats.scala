@@ -53,15 +53,29 @@ object BrFormats {
     * (`(Σ dᵢ·wᵢ)·10 mod 11`, 10 → 0). Pure column algebra — no UDF. */
   def cpfValid(c: Column): Column = {
     val d = regexp_replace(c.cast("string"), "[^0-9]", "")
-    def digit(i: Int): Column = substring(d, i, 1).cast("int")
-    def check(n: Int): Column = {
-      val s = (1 to n).map(i => digit(i) * (n + 2 - i)).reduce(_ + _)
-      val r = pmod(s * 10, lit(11))
-      when(r === 10, 0).otherwise(r)
-    }
     length(d) === 11 &&
       !(d === repeat(substring(d, 1, 1), 11)) &&
-      digit(10) === check(9) && digit(11) === check(10)
+      substring(d, 10, 1).cast("int") === cpfCheck(d, 9) &&
+      substring(d, 11, 1).cast("int") === cpfCheck(d, 10)
+  }
+
+  /** Complete a 9-digit base to a full CPF by appending both derived
+    * check digits — the generator dual of [[cpfValid]] (deterministic
+    * test-document synthesis, base-recovery repair). The input must be
+    * 9 digits; no validity filtering is applied (a repeated-digit base
+    * yields the officially-invalid repeated CPF, which [[cpfValid]]
+    * then rejects — the round-trip is the spec's property check). */
+  def cpfFromBase(c: Column): Column = {
+    val d10 = cpfCheck(c, 9)
+    val withD10 = concat(c, d10.cast("string"))
+    concat(withD10, cpfCheck(withD10, 10).cast("string"))
+  }
+
+  /** CPF mod-11 check digit over the first `n` digits of `d`. */
+  private def cpfCheck(d: Column, n: Int): Column = {
+    val s = (1 to n).map(i => substring(d, i, 1).cast("int") * (n + 2 - i)).reduce(_ + _)
+    val r = pmod(s * 10, lit(11))
+    when(r === 10, 0).otherwise(r)
   }
 
   /** CNPJ validity (the legal-entity id): 14 digits, repeated-digit

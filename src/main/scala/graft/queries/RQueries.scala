@@ -78,7 +78,28 @@ object RQueries {
     "q133_quorum" -> ((s, d) => q133(s, d)),
     "q136_fulfillment_sla" -> ((s, d) => q136(s, d)),
     "q137_contact_policy" -> ((s, d) => q137(s, d)),
+    "q138_cpf_audit" -> ((s, d) => q138(s, d)),
   )
+
+  /** R19 extension (document audit): synthesize a CPF per customer from
+    * the zero-padded custkey (every 5th corrupted by a last-digit flip),
+    * validate with the mod-11 column algebra, report per-segment
+    * validity — the oracle re-derives the check digits independently. */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val base = lpad(pmod(col("c_custkey"), lit(1000000000L)).cast("string"), 9, "0")
+    val doc0 = BrFormats.cpfFromBase(base)
+    val doc = when(pmod(col("c_custkey"), lit(5)) === 0,
+      concat(substring(doc0, 1, 10),
+        pmod(substring(doc0, 11, 1).cast("int") + 1, lit(10)).cast("string")))
+      .otherwise(doc0)
+    Tables.load(s, d, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        when(BrFormats.cpfValid(doc), 1L).otherwise(0L).as("ok"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"), sum("ok").as("n_valid"),
+        (count(lit(1)) - sum("ok")).as("n_invalid"),
+        expr("CAST((1000000 * sum(ok)) div count(1) AS BIGINT)").as("valid_ppm"))
+  }
 
   /** R72: contact-policy eligibility as of a fixed instant — ≤16 contacts
     * in the trailing 7 days AND ≥12h cooldown; the customer population
@@ -782,6 +803,41 @@ object RQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** CPF mod-11 weighted sum over the first n digits of `c` (SQL text). */
+  private def cpfSum(c: String, n: Int): String =
+    (1 to n).map(i => s"CAST(substr($c,$i,1) AS INT)*${n + 2 - i}").mkString(" + ")
+
+  /** q138: the oracle derives AND re-verifies the check digits with its
+    * own unrolled arithmetic — an engine-independent check of the
+    * BrFormats column algebra. */
+  private val cpfAuditOracle =
+    s"""WITH c0 AS (SELECT c_mktsegment AS segment, c_custkey,
+       |              lpad(CAST(c_custkey % 1000000000 AS VARCHAR), 9, '0') AS b
+       |            FROM customer),
+       |g1 AS (SELECT *, ((${cpfSum("b", 9)}) * 10) % 11 AS r1 FROM c0),
+       |g2 AS (SELECT *, b || CAST(CASE WHEN r1 = 10 THEN 0 ELSE r1 END AS VARCHAR) AS b10 FROM g1),
+       |g3 AS (SELECT *, ((${cpfSum("b10", 10)}) * 10) % 11 AS r2 FROM g2),
+       |g4 AS (SELECT segment, c_custkey,
+       |         b10 || CAST(CASE WHEN r2 = 10 THEN 0 ELSE r2 END AS VARCHAR) AS doc0 FROM g3),
+       |g5 AS (SELECT segment,
+       |         CASE WHEN c_custkey % 5 = 0
+       |           THEN substr(doc0, 1, 10) ||
+       |                CAST((CAST(substr(doc0, 11, 1) AS INT) + 1) % 10 AS VARCHAR)
+       |           ELSE doc0 END AS doc FROM g4),
+       |g6 AS (SELECT segment, doc,
+       |         ((${cpfSum("doc", 9)}) * 10) % 11 AS rr1,
+       |         ((${cpfSum("doc", 10)}) * 10) % 11 AS rr2 FROM g5),
+       |g7 AS (SELECT segment,
+       |         CASE WHEN length(doc) = 11 AND doc <> repeat(substr(doc, 1, 1), 11)
+       |           AND CAST(substr(doc, 10, 1) AS INT) = (CASE WHEN rr1 = 10 THEN 0 ELSE rr1 END)
+       |           AND CAST(substr(doc, 11, 1) AS INT) = (CASE WHEN rr2 = 10 THEN 0 ELSE rr2 END)
+       |         THEN 1 ELSE 0 END AS ok FROM g6)
+       |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+       |       CAST(sum(ok) AS BIGINT) AS n_valid,
+       |       CAST(count(*) - sum(ok) AS BIGINT) AS n_invalid,
+       |       CAST((1000000 * sum(ok)) // count(*) AS BIGINT) AS valid_ppm
+       |FROM g7 GROUP BY segment""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q02_per_key_totals" ->
       """SELECT o_orderkey, o_custkey,
@@ -1266,6 +1322,7 @@ object RQueries {
         |SELECT r.grp, tp.n_points, CAST(r.np AS BIGINT) AS n_pairs,
         |       CAST(r.slope_q AS BIGINT) AS slope_ppm_per_day
         |FROM r JOIN tp ON tp.grp = r.grp WHERE r.rn = (r.np + 1) // 2""".stripMargin,
+    "q138_cpf_audit" -> cpfAuditOracle,
     "q137_contact_policy" ->
       """WITH hist AS (SELECT user_id AS key,
         |                CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY

@@ -105,8 +105,12 @@ class BrFormatsSpec extends SparkSpec {
       if (base.distinct.size > 1) {
         val (a, b) = cpfDigits(base)
         val s = (base :+ a :+ b).mkString
-        val ok = Seq(s).toDF("c").select(BrFormats.cpfValid(col("c"))).as[Boolean].head()
-        assert(ok, s"derived CPF $s must validate")
+        val row = Seq(base.mkString).toDF("b")
+          .select(BrFormats.cpfFromBase(col("b")).as("doc"),
+            BrFormats.cpfValid(BrFormats.cpfFromBase(col("b"))).as("ok"))
+          .as[(String, Boolean)].head()
+        assert(row._1 == s, s"cpfFromBase must derive $s, got ${row._1}")
+        assert(row._2, s"derived CPF $s must validate")
       }
     }
   }
