@@ -92,9 +92,18 @@ object RQueries {
       concat(substring(doc0, 1, 10),
         pmod(substring(doc0, 11, 1).cast("int") + 1, lit(10)).cast("string")))
       .otherwise(doc0)
-    Tables.load(s, d, "customer")
-      .select(col("c_mktsegment").as("segment"),
-        when(BrFormats.cpfValid(doc), 1L).otherwise(0L).as("ok"))
+    // Materialization barrier between synthesis and validation: the
+    // validator references `doc` ~20 times and CollapseProject would
+    // inline the (itself deeply nested) generator expression into every
+    // reference — a multiplicative expression blowup that benched 17 s
+    // on a 15k-row table. Validating against a STORED string column is
+    // the realistic shape anyway (documents arrive as data).
+    val synth = Tables.load(s, d, "customer")
+      .select(col("c_mktsegment").as("segment"), doc.as("doc"))
+      .localCheckpoint(true)
+    synth
+      .select(col("segment"),
+        when(BrFormats.cpfValid(col("doc")), 1L).otherwise(0L).as("ok"))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_customers"), sum("ok").as("n_valid"),
         (count(lit(1)) - sum("ok")).as("n_invalid"),
