@@ -73,6 +73,29 @@ object DistinctSketch {
   def groupDistinct(df: DataFrame, groupCol: Column, valueCol: Column, k: Int): DataFrame =
     estimates(kmvSketch(df, groupCol, valueCol, k), k)
 
+  /** Novelty estimate from sketches alone: per group, how much of the NEW
+    * side's distinct vocabulary is unseen in the REFERENCE — "is today's
+    * crawl new content or a re-crawl", read off two k-row sketches via
+    * `|A\B| = |A∪B| − |B|` (the KMV set-operation trick, same family as
+    * [[pairwiseJaccard]]): union sketch = bottom-k of the merged hash
+    * sets, all three cardinalities through [[estimates]]. `novelty_abs`
+    * clamps at 0 (estimator noise can land |A∪B| a hair under |B|).
+    * Output: (grp, est_new, est_ref, est_union, novelty_abs,
+    * novelty_ppm = share of the new side's vocab that is novel). */
+  def noveltyEstimate(newSk: DataFrame, refSk: DataFrame, k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val eNew = estimates(newSk, k).select(col("grp"), col("est_distinct").as("est_new"))
+    val eRef = estimates(refSk, k).select(col("grp"), col("est_distinct").as("est_ref"))
+    val unionSk = TopK.topKPerKeyNative(
+      newSk.select("grp", "h").unionByName(refSk.select("grp", "h")).distinct(),
+      Seq(col("grp")), Seq(col("h").asc), k)
+    val eU = estimates(unionSk, k).select(col("grp"), col("est_distinct").as("est_union"))
+    eNew.join(eRef, "grp").join(eU, "grp")
+      .withColumn("novelty_abs", greatest(lit(0L), col("est_union") - col("est_ref")))
+      .withColumn("novelty_ppm",
+        expr("CAST((1000000 * novelty_abs) div greatest(est_new, 1) AS BIGINT)"))
+  }
+
   /** Jaccard overlap between every group pair, from sketches alone:
     * bottom-k of each pair's hash UNION, then the fraction of those
     * union-minima present in BOTH sides (ppm, integer-exact). Output:

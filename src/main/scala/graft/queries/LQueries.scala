@@ -83,6 +83,8 @@ object LQueries {
     "q130_countmin" -> ((s, d) => q130(s, d)),
     "q132_templates" -> ((s, d) => q132(s, d)),
     "q134_signed_projection" -> ((s, d) => q134(s, d)),
+    "q139_lang_confusion" -> ((s, d) => q139(s, d)),
+    "q140_novelty" -> ((s, d) => q140(s, d)),
     "q135_corpus_report" -> ((s, d) => q135(s, d)),
   )
 
@@ -734,6 +736,37 @@ object LQueries {
       .select(col("node").as("part_key"), col("deg"))
   }
 
+  /** L74: declared-vs-detected language confusion matrix — the corpus
+    * label-quality audit (mislabeled lang columns poison every
+    * downstream per-language decision); detection is the L7 heuristic,
+    * so the matrix is fully oracle-checkable. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("lang").as("declared"),
+      graft.functions.TextAnalysis.langId(col("text")).as("detected"))
+    val m = t.groupBy("declared", "detected").agg(count(lit(1)).as("n"))
+    val tot = m.groupBy("declared").agg(sum("n").as("__t"))
+    m.join(tot, "declared")
+      .select(col("declared"), col("detected"), col("n"),
+        expr("CAST((1000000 * n) div __t AS BIGINT)").as("share_ppm"))
+  }
+
+  /** L73: crawl-novelty estimate per source — one interleaved half's word
+    * vocabulary vs the other's, entirely off KMV sketches
+    * (|A\\B| = |A∪B| − |B|). The split is the md5 hash-bucket parity
+    * (the L16 deterministic-split idiom), NOT doc-id arithmetic: ids
+    * stride by source, so ANY modulus split correlates with the source
+    * and the halves would never share a group. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def words(parity: Int) = docs
+      .where(pmod(graft.operators.Sampling.hashBucket(col("doc_id")), lit(2)) === parity)
+      .select(col("source").as("g"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val sk = (p: Int) => graft.operators.DistinctSketch.kmvSketch(
+      words(p), col("g"), col("w"), k = 128)
+    graft.operators.DistinctSketch.noveltyEstimate(sk(1), sk(0), k = 128)
+  }
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -869,6 +902,24 @@ object LQueries {
                  |GROUP BY node""".stripMargin)
     sb.toString
   }
+
+  /** The portable 48-bit fold over a 32-hex column named `hex` (SQL) —
+    * the q118/q119 idiom, shared by the novelty oracle. */
+  private val fold12Sql: String =
+    (1 to 12).map(i =>
+      s"(instr('0123456789abcdef', substr(hex,$i,1))-1)*${math.pow(16, 12 - i).toLong}"
+    ).mkString("CAST(", "\n  + ", " AS BIGINT)")
+
+  /** Stopword-hit count over a padded lowercase text column `p` (SQL). */
+  private def stopHitsSql(words: Seq[String]): String = words.map(w =>
+    s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)").mkString(" + ")
+
+  /** The langId heuristic as SQL over `p` — shared by q21 and q139. */
+  private lazy val langPredSql =
+    s"""CASE WHEN ${stopHitsSql(TextAnalysis.EnStop)} >= ${stopHitsSql(TextAnalysis.PtStop)}
+       |      AND ${stopHitsSql(TextAnalysis.EnStop)} >= ${stopHitsSql(TextAnalysis.EsStop)} THEN 'en'
+       |     WHEN ${stopHitsSql(TextAnalysis.PtStop)} >= ${stopHitsSql(TextAnalysis.EsStop)} THEN 'pt'
+       |     ELSE 'es' END""".stripMargin
 
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1657,19 +1708,60 @@ object LQueries {
         |SELECT qid, nid, sim, CAST(rank AS INT) AS rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank FROM s) t
         |WHERE rank <= 5""".stripMargin,
-    "q21_lang_id" -> {
-      def hits(words: Seq[String]) = words.map(w =>
-        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)").mkString(" + ")
+    "q21_lang_id" ->
       s"""SELECT doc_id,
-         |       ${hits(TextAnalysis.EnStop)} AS en_hits,
-         |       ${hits(TextAnalysis.PtStop)} AS pt_hits,
-         |       ${hits(TextAnalysis.EsStop)} AS es_hits,
-         |       CASE WHEN ${hits(TextAnalysis.EnStop)} >= ${hits(TextAnalysis.PtStop)}
-         |             AND ${hits(TextAnalysis.EnStop)} >= ${hits(TextAnalysis.EsStop)} THEN 'en'
-         |            WHEN ${hits(TextAnalysis.PtStop)} >= ${hits(TextAnalysis.EsStop)} THEN 'pt'
-         |            ELSE 'es' END AS lang_pred
-         |FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) t""".stripMargin
-    },
+         |       ${stopHitsSql(TextAnalysis.EnStop)} AS en_hits,
+         |       ${stopHitsSql(TextAnalysis.PtStop)} AS pt_hits,
+         |       ${stopHitsSql(TextAnalysis.EsStop)} AS es_hits,
+         |       $langPredSql AS lang_pred
+         |FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) t""".stripMargin,
+    "q140_novelty" ->
+      s"""WITH w0 AS (SELECT source AS grp,
+         |              ((instr('0123456789abcdef',
+         |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |               + (instr('0123456789abcdef',
+         |                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 2 AS half,
+         |              unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |w1 AS (SELECT grp, half, w FROM w0 WHERE length(w) > 0),
+         |v AS (SELECT DISTINCT grp, half, $fold12Sql AS h FROM (
+         |        SELECT grp, half, md5(w) AS hex FROM w1) z),
+         |rk AS (SELECT grp, half, h,
+         |         row_number() OVER (PARTITION BY grp, half ORDER BY h) AS rn FROM v),
+         |kept AS (SELECT grp, half, h FROM rk WHERE rn <= 128),
+         |e0 AS (SELECT grp, half, CAST(count(*) AS BIGINT) AS n_kept,
+         |         CAST(max(h) AS BIGINT) AS kth FROM kept GROUP BY 1, 2),
+         |e2 AS (SELECT grp, half,
+         |         CAST(CASE WHEN n_kept < 128 THEN n_kept
+         |              ELSE (127 * 281474976710656) // greatest(kth, 1) END AS BIGINT) AS est
+         |       FROM e0),
+         |u AS (SELECT DISTINCT grp, h FROM kept),
+         |ur AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM u),
+         |uk AS (SELECT grp, h FROM ur WHERE rn <= 128),
+         |ue0 AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+         |          CAST(max(h) AS BIGINT) AS kth FROM uk GROUP BY grp),
+         |ue AS (SELECT grp,
+         |         CAST(CASE WHEN n_kept < 128 THEN n_kept
+         |              ELSE (127 * 281474976710656) // greatest(kth, 1) END AS BIGINT) AS est_union
+         |       FROM ue0),
+         |j AS (SELECT nn.grp, nn.est AS est_new, rr.est AS est_ref, ue.est_union
+         |      FROM (SELECT * FROM e2 WHERE half = 1) nn
+         |      JOIN (SELECT * FROM e2 WHERE half = 0) rr ON rr.grp = nn.grp
+         |      JOIN ue ON ue.grp = nn.grp)
+         |SELECT grp, est_new, est_ref, est_union,
+         |       greatest(0, est_union - est_ref) AS novelty_abs,
+         |       CAST((1000000 * greatest(0, est_union - est_ref))
+         |         // greatest(est_new, 1) AS BIGINT) AS novelty_ppm
+         |FROM j""".stripMargin,
+    "q139_lang_confusion" ->
+      s"""WITH t AS (SELECT lang AS declared, $langPredSql AS detected
+         |           FROM (SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents) z),
+         |m AS (SELECT declared, detected, CAST(count(*) AS BIGINT) AS n
+         |      FROM t GROUP BY 1, 2),
+         |tt AS (SELECT declared, CAST(sum(n) AS BIGINT) AS tn FROM m GROUP BY declared)
+         |SELECT m.declared, m.detected, m.n,
+         |       CAST((1000000 * m.n) // tt.tn AS BIGINT) AS share_ppm
+         |FROM m JOIN tt ON tt.declared = m.declared""".stripMargin,
     "q22_quality_score" ->
       """SELECT doc_id,
         |  CAST(floor((0.4 * least(len / 500.0, 1.0)

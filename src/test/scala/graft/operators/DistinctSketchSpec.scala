@@ -79,4 +79,32 @@ class DistinctSketchSpec extends SparkSpec {
       DistinctSketch.kmvSketch(Seq(("a", 1L)).toDF("g", "v"), col("g"), col("v"), 1)
     }
   }
+
+  test("noveltyEstimate: subset reads 0, disjoint reads ~100%, exact under k") {
+    def sk(vals: Seq[Long]) = DistinctSketch.kmvSketch(
+      vals.map(("g", _)).toDF("g", "v"), col("g"), col("v"), 64)
+    // new ⊂ ref (nothing novel): union == ref → novelty 0
+    val sub = DistinctSketch.noveltyEstimate(sk(1L to 20L), sk(1L to 50L), 64)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(sub == (("g", 20L, 50L, 50L, 0L, 0L)), s"got $sub")
+    // disjoint, both under k → exact: novelty_abs == |new|, ppm == 1e6
+    val dis = DistinctSketch.noveltyEstimate(sk(1L to 20L), sk(100L to 129L), 64)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(dis == (("g", 20L, 30L, 50L, 20L, 1000000L)), s"got $dis")
+    // half-overlap: 10 of new's 20 unseen → 500000 ppm exactly (under k)
+    val half = DistinctSketch.noveltyEstimate(sk(1L to 20L), sk(11L to 40L), 64)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(half == (("g", 20L, 30L, 40L, 10L, 500000L)), s"got $half")
+  }
+
+  test("noveltyEstimate stays within 20% of truth past k (estimator regime)") {
+    val rnd = new scala.util.Random(5)
+    val ref = (1L to 3000L)
+    val newSide = (2001L to 5000L) // 2000 of 3000 novel
+    def sk(vals: Seq[Long]) = DistinctSketch.kmvSketch(
+      vals.map(("g", _)).toDF("g", "v"), col("g"), col("v"), 256)
+    val out = DistinctSketch.noveltyEstimate(sk(newSide), sk(ref), 256)
+      .select("novelty_ppm").as[Long].head()
+    assert(math.abs(out - 666666L) < 140000L, s"truth ~667k ppm, got $out")
+  }
 }
