@@ -79,7 +79,14 @@ object RQueries {
     "q136_fulfillment_sla" -> ((s, d) => q136(s, d)),
     "q137_contact_policy" -> ((s, d) => q137(s, d)),
     "q138_cpf_audit" -> ((s, d) => q138(s, d)),
+    "q141_rfm" -> ((s, d) => q141(s, d)),
   )
+
+  /** R73: RFM quintile segmentation of customers from their orders,
+    * as of a fixed instant. */
+  def q141(s: SparkSession, d: String): DataFrame =
+    Rfm.segment(Tables.orders(s, d), col("o_custkey"), col("o_orderdate"),
+      col("o_totalprice"), asOf = "2025-01-01")
 
   /** R19 extension (document audit): synthesize a CPF per customer from
     * the zero-padded custkey (every 5th corrupted by a last-digit flip),
@@ -1332,6 +1339,29 @@ object RQueries {
         |       CAST(r.slope_q AS BIGINT) AS slope_ppm_per_day
         |FROM r JOIN tp ON tp.grp = r.grp WHERE r.rn = (r.np + 1) // 2""".stripMargin,
     "q138_cpf_audit" -> cpfAuditOracle,
+    "q141_rfm" ->
+      """WITH per AS (SELECT o_custkey AS cust,
+        |               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |                              DATE '2025-01-01') AS BIGINT) AS r_days,
+        |               CAST(count(*) AS BIGINT) AS f_n,
+        |               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS m_cents
+        |             FROM orders GROUP BY o_custkey),
+        |rk AS (SELECT *,
+        |         CAST(floor(percent_rank() OVER (ORDER BY -r_days) * 10000) AS BIGINT) AS rbp,
+        |         CAST(floor(percent_rank() OVER (ORDER BY f_n) * 10000) AS BIGINT) AS fbp,
+        |         CAST(floor(percent_rank() OVER (ORDER BY m_cents) * 10000) AS BIGINT) AS mbp
+        |       FROM per),
+        |sc AS (SELECT cust, r_days, f_n, m_cents,
+        |         least(5, (rbp * 5) // 10000 + 1) AS r_score,
+        |         least(5, (fbp * 5) // 10000 + 1) AS f_score,
+        |         least(5, (mbp * 5) // 10000 + 1) AS m_score
+        |       FROM rk)
+        |SELECT cust, r_days, f_n, m_cents,
+        |       CAST(r_score AS BIGINT) AS r_score,
+        |       CAST(f_score AS BIGINT) AS f_score,
+        |       CAST(m_score AS BIGINT) AS m_score,
+        |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+        |FROM sc""".stripMargin,
     "q137_contact_policy" ->
       """WITH hist AS (SELECT user_id AS key,
         |                CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
