@@ -26,7 +26,14 @@ object Intervals {
     * Output: (day ISO, n_start, n_freed, active) — `n_freed` counts the
     * intervals whose end passed before this day.
     */
-  def dailyConcurrency(df: DataFrame, startCol: Column, endCol: Column): DataFrame = {
+  def dailyConcurrency(df: DataFrame, startCol: Column, endCol: Column): DataFrame =
+    activeFromDeltas(deltas(df, startCol, endCol))
+
+  /** Day-grain endpoint deltas for inclusive [start, end] intervals:
+    * (d, n_start, n_freed), one row per delta day. Mergeable by per-day
+    * addition — the streaming form ([[graft.streaming.StreamConcurrency]]
+    * S21) accumulates exactly these. */
+  def deltas(df: DataFrame, startCol: Column, endCol: Column): DataFrame = {
     // Null dates must fail as loudly as end<start: a null end would pass
     // the `<` guard (null comparison → otherwise branch), group into a
     // day=null delta row that sorts FIRST, and silently start the running
@@ -39,14 +46,17 @@ object Intervals {
         .otherwise(col("s")).as("s"), col("e"))
     val starts = iv.groupBy(col("s").as("d")).agg(count(lit(1)).as("n_start"))
     val frees = iv.groupBy(date_add(col("e"), 1).as("d")).agg(count(lit(1)).as("n_freed"))
-    // Day-grain frame: one row per delta day. The windowed prefix sum is
-    // over this bounded calendar frame only.
-    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     starts.join(frees, Seq("d"), "full_outer")
       .select(col("d"),
         coalesce(col("n_start"), lit(0L)).as("n_start"),
         coalesce(col("n_freed"), lit(0L)).as("n_freed"))
-      .withColumn("active", sum(col("n_start") - col("n_freed")).over(w))
+  }
+
+  /** Running actives from a (d, n_start, n_freed) delta frame. The
+    * windowed prefix sum runs over the bounded calendar frame only. */
+  def activeFromDeltas(dl: DataFrame): DataFrame = {
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dl.withColumn("active", sum(col("n_start") - col("n_freed")).over(w))
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("n_start"), col("n_freed"), col("active"))
   }
