@@ -50,6 +50,7 @@ object Changepoints {
                       mult: Long): DataFrame = {
     val daily = events
       .select(grpCol.as("grp"), to_date(tsCol).as("d"))
+      .where(col("d").isNotNull) // a null ts belongs to no day (see cusum)
       .groupBy("grp", "d").agg(count(lit(1)).as("n"))
     cusum(daily, col("grp"), col("d"), col("n"), mult)
       .select(col("grp"), date_format(col("d"), "yyyy-MM-dd").as("day"),
@@ -68,6 +69,7 @@ object Changepoints {
     val wRun = Window.partitionBy("grp").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(keyCol.as("grp"), ordCol.as("d"), valCol.cast("long").as("n"))
+      .where(col("d").isNotNull) // see cusum: null ord has no series position
       .withColumn("__p", sum(col("n") - lit(ref)).over(wRun))
       .withColumn("cusum_q", col("__p") - least(lit(0L), min("__p").over(wRun)))
       .withColumn("alarm", when(col("cusum_q") >= h, 1L).otherwise(0L))
@@ -81,7 +83,12 @@ object Changepoints {
   def cusum(df: DataFrame, keyCol: Column, ordCol: Column, valCol: Column,
             mult: Long): DataFrame = {
     require(mult >= 1, "mult >= 1")
+    // A null ord value cannot be placed in the series — and engines
+    // disagree on where nulls sort (Spark windows: first; ANSI/DuckDB:
+    // last), which would corrupt every prefix after it differently per
+    // engine. Dropped here, deterministically, on both detectors.
     val base = df.select(keyCol.as("grp"), ordCol.as("d"), valCol.cast("long").as("n"))
+      .where(col("d").isNotNull)
     val totals = base.groupBy("grp")
       .agg(sum("n").as("__s"), count(lit(1)).as("__dd"))
     val wRun = Window.partitionBy("grp").orderBy("d")

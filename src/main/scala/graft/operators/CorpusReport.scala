@@ -36,8 +36,11 @@ object CorpusReport {
         sum(col("n") - lit(1L)).as("n_dup_docs"))
     // language concentration: dominant language by count (ties: lang asc)
     val langs = base.groupBy("src", "lang").agg(count(lit(1)).as("n"))
+    // asc_nulls_last: a NULL lang is a legitimate label-quality signal
+    // and may win on count, but on a TIE engines disagree on whether
+    // null sorts before or after a named language — pin ANSI nulls-last.
     val topLang = TopK.topKPerKeyNative(langs,
-      Seq(col("src")), Seq(col("n").desc, col("lang").asc), 1)
+      Seq(col("src")), Seq(col("n").desc, col("lang").asc_nulls_last), 1)
       .select(col("src"), col("lang").as("top_lang"), col("n").as("__top_n"))
     val nLangs = langs.groupBy("src").agg(count(lit(1)).as("n_langs"))
     // vocab joins LEFT: a source whose docs yield zero tokens (a broken

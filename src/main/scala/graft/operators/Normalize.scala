@@ -30,9 +30,12 @@ object Normalize {
     * normalize to 0 (the ANSI convention). */
   def percentRankBp(df: DataFrame, groupCol: Column, valueCol: Column,
                     outName: String = "pr_bp"): DataFrame =
+    // nulls_last pins the engine-divergent default (Spark ascending sorts
+    // nulls FIRST, ANSI/DuckDB LAST): a null value ranks after every
+    // real value, identically everywhere.
     df.withColumn(outName,
       floor(percent_rank().over(
-        Window.partitionBy(groupCol).orderBy(valueCol)) * 10000).cast("long"))
+        Window.partitionBy(groupCol).orderBy(valueCol.asc_nulls_last)) * 10000).cast("long"))
 
   /** SCALE path for [[percentRankBp]]: rank at bucket resolution from a
     * per-group quantile sketch — NO per-group sort, so a single group may

@@ -34,9 +34,13 @@ object QuantileSketch {
   def bucketOf(valCol: Column): Column =
     when(valCol <= 0, lit(0)).otherwise(length(bin(valCol.cast("long")))).cast("int")
 
-  /** Build the sketch: (grp, bucket, n) counts. */
+  /** Build the sketch: (grp, bucket, n) counts. NULL values carry no
+    * magnitude and are EXCLUDED from the distribution (a null bucket
+    * would also sort differently across engines in the rank windows —
+    * Spark nulls-first vs ANSI nulls-last). */
   def sketch(df: DataFrame, grpCol: Column, valCol: Column): DataFrame =
     df.select(grpCol.as("grp"), bucketOf(valCol).as("bucket"))
+      .where(col("bucket").isNotNull)
       .groupBy("grp", "bucket").agg(count(lit(1)).as("n"))
 
   /** Merge sketches (same layout) by adding counts — associative, so any
@@ -65,6 +69,7 @@ object QuantileSketch {
   def exactGroupQuantiles(df: DataFrame, grpCol: Column, valCol: Column,
                           qs: Seq[Int]): DataFrame =
     readout(df.select(grpCol.as("grp"), valCol.cast("long").as("bucket"))
+      .where(col("bucket").isNotNull) // null values excluded (see sketch)
       .groupBy("grp", "bucket").agg(count(lit(1)).as("n")),
       qs, identity)
 

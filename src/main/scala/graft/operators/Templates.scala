@@ -30,7 +30,10 @@ object Templates {
                      textCol: Column, kPrefix: Int, kSuffix: Int,
                      minDocs: Long): DataFrame = {
     require(kPrefix >= 1 && kSuffix >= 1 && minDocs >= 1, "k >= 1, minDocs >= 1")
-    val toks = filter(split(textCol, " "), t => length(t) > 0)
+    // NULL text is normalized to empty BEFORE tokenizing: a null would
+    // propagate to a null fingerprint, and engines disagree on null
+    // grouping vs the empty-affix group (md5("|")).
+    val toks = filter(split(coalesce(textCol, lit("")), " "), t => length(t) > 0)
     // Positive slice bounds only (greatest-clamped start) — negative
     // start indexes have different out-of-range semantics across engines.
     val fp = md5(concat(

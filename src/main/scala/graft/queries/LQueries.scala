@@ -1043,12 +1043,19 @@ object LQueries {
         |FROM dd LEFT JOIN st ON st.src = dd.src LEFT JOIN tp ON tp.src = dd.src
         |        JOIN nl ON nl.src = dd.src JOIN tl ON tl.src = dd.src""".stripMargin,
     "q132_templates" ->
+      // COALESCE twice: null text normalizes to empty (matching the
+      // operator), and DuckDB's array_to_string of an EMPTY list is NULL
+      // where Spark's array_join is '' — without the guard an
+      // empty/whitespace-only doc would fingerprint as NULL here but
+      // md5('|') in Spark.
       """WITH t AS (SELECT doc_id, source,
-        |             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+        |             list_filter(string_split(COALESCE(text, ''), ' '),
+        |                         x -> length(x) > 0) AS w
         |           FROM documents),
         |fp AS (SELECT doc_id, source,
-        |         md5(array_to_string(list_slice(w, 1, least(len(w), 1)), ' ') || '|' ||
-        |             array_to_string(list_slice(w, greatest(1, len(w)), len(w)), ' ')) AS template_fp
+        |         md5(COALESCE(array_to_string(list_slice(w, 1, least(len(w), 1)), ' '), '')
+        |             || '|' ||
+        |             COALESCE(array_to_string(list_slice(w, greatest(1, len(w)), len(w)), ' '), '')) AS template_fp
         |       FROM t)
         |SELECT template_fp, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
@@ -1085,7 +1092,7 @@ object LQueries {
         |                  ELSE length(bin(CAST(length(text) AS BIGINT))) END AS bucket
         |           FROM documents),
         |sk AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n
-        |       FROM b GROUP BY 1, 2),
+        |       FROM b WHERE bucket IS NOT NULL GROUP BY 1, 2),
         |c AS (SELECT lang, bucket, n,
         |        sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
         |        sum(n) OVER (PARTITION BY lang) AS tot

@@ -1290,7 +1290,7 @@ object RQueries {
     "q123_cusum" ->
       """WITH daily AS (SELECT event_type AS grp, CAST(ts AS DATE) AS d,
         |                 CAST(count(*) AS BIGINT) AS n
-        |               FROM events GROUP BY 1, 2),
+        |               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT grp, CAST(sum(n) AS BIGINT) AS s,
         |        CAST(count(*) AS BIGINT) AS dd
         |      FROM daily GROUP BY grp),
@@ -1311,7 +1311,11 @@ object RQueries {
         |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM bi),
         |itn AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
         |        FROM bi GROUP BY item HAVING count(*) >= 1000),
-        |f AS (SELECT bi.bk, bi.item FROM bi JOIN itn ON itn.item = bi.item),
+        |f AS (SELECT bk, item FROM (
+        |        SELECT bi.bk, bi.item,
+        |               row_number() OVER (PARTITION BY bi.bk ORDER BY bi.item) AS rn
+        |        FROM bi JOIN itn ON itn.item = bi.item) z
+        |      WHERE rn <= 1000),
         |pr AS (SELECT a.item AS u, b.item AS v, CAST(count(*) AS BIGINT) AS n_pair
         |       FROM f a JOIN f b ON a.bk = b.bk AND a.item < b.item
         |       GROUP BY 1, 2 HAVING count(*) >= 150),

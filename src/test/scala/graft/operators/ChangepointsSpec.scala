@@ -55,6 +55,16 @@ class ChangepointsSpec extends SparkSpec {
     assert(out(2)._4 == 0L && out(3)._4 == 0L)
   }
 
+  test("null ord values are dropped, not sorted engine-dependently") {
+    val df = Seq(("k", Some(1), 5L), ("k", None, 999L), ("k", Some(2), 5L))
+      .toDF("g", "t", "x")
+    val out = Changepoints.cusum(df, col("g"), col("t"), col("x"), 3L)
+      .as[(String, Option[Int], Long, Long, Long)].collect()
+    assert(out.length == 2 && out.forall(_._2.isDefined),
+      "the null-ord row must not enter the series")
+    assert(out.forall(_._4 == 0L), "flat 2-point series after the drop")
+  }
+
   test("dailyCountCusum emits one row per (group, active day)") {
     val ev = Seq(
       ("x", "2024-01-01 10:00:00"), ("x", "2024-01-01 11:00:00"),

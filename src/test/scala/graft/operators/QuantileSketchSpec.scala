@@ -54,6 +54,16 @@ class QuantileSketchSpec extends SparkSpec {
     assert(out("h") == (("h", 2L, 7L, 9L, 9L)))
   }
 
+  test("null values are excluded from the distribution on both readouts") {
+    val df = Seq(("g", Some(4L)), ("g", None), ("g", Some(4L))).toDF("g", "x")
+    val sk = QuantileSketch.groupQuantiles(df, col("g"),
+      col("x"), Seq(50)).as[(String, Long, Long)].head()
+    assert(sk == (("g", 2L, 5L)), "n counts only non-null values")
+    val ex = QuantileSketch.exactGroupQuantiles(df, col("g"),
+      col("x"), Seq(50)).as[(String, Long, Long)].head()
+    assert(ex == (("g", 2L, 4L)))
+  }
+
   test("estimates bound the true quantile within its power-of-two bucket") {
     val vals = (1L to 1000L).map(("g", _))
     val df = vals.toDF("g", "x")

@@ -44,6 +44,15 @@ class TemplatesSpec extends SparkSpec {
     assert(out.length == 1 && out.head._2 == 2L, "the two 'x' docs group")
   }
 
+  test("null and empty texts share the defined empty-affix group") {
+    val docs = Seq((1L, "s", null.asInstanceOf[String]), (2L, "s", ""), (3L, "s", "  "))
+      .toDF("doc_id", "source", "text")
+    val out = Templates.templateGroups(docs, col("doc_id"), col("source"),
+      col("text"), 1, 1, 2L).as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 1 && out.head._2 == 3L,
+      "null normalizes to empty; all three docs share one fingerprint")
+  }
+
   test("multiple spaces and empty tokens do not change the fingerprint") {
     val a = Seq((1L, "s", "hello  world   end"), (2L, "s", "hello world mid end"))
       .toDF("doc_id", "source", "text")

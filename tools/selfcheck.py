@@ -8,6 +8,11 @@ import pandas as pd
 
 verify_out, sf_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# Pin the session timezone: Spark runs UTC (GraftSession). Today's testdata
+# carries naive TIMESTAMP (tz-free on both engines), but a regeneration
+# with isAdjustedToUTC=true would make DuckDB read TIMESTAMPTZ and bucket
+# days/cast dates in the MACHINE-LOCAL zone without this.
+con.execute("SET TimeZone='UTC'")
 for t in glob.glob(f"{sf_dir}/*.parquet"):
     name = t.split("/")[-1].replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
