@@ -80,7 +80,25 @@ object RQueries {
     "q137_contact_policy" -> ((s, d) => q137(s, d)),
     "q138_cpf_audit" -> ((s, d) => q138(s, d)),
     "q141_rfm" -> ((s, d) => q141(s, d)),
+    "q142_send_time" -> ((s, d) => q142(s, d)),
   )
+
+  /** R74: send-time optimization — each user's most active hour-of-day
+    * (tie → earliest hour) with its activity share, through the C1
+    * bounded-heap top-1: one map-side-combinable (user, hour) count,
+    * no per-user sort. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), hour(col("ts")).cast("long").as("hh"))
+      .groupBy("user_id", "hh").agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy("user_id").agg(sum("n").as("__t"))
+    TopK.topKPerKeyNative(hourly, Seq(col("user_id")),
+        Seq(col("n").desc, col("hh").asc), 1)
+      .join(tot, "user_id")
+      .select(col("user_id"), col("hh").as("best_hour"), col("n").as("n_events"),
+        expr("CAST((1000000 * n) div __t AS BIGINT)").as("share_ppm"))
+  }
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -1343,6 +1361,17 @@ object RQueries {
         |       CAST(r.slope_q AS BIGINT) AS slope_ppm_per_day
         |FROM r JOIN tp ON tp.grp = r.grp WHERE r.rn = (r.np + 1) // 2""".stripMargin,
     "q138_cpf_audit" -> cpfAuditOracle,
+    "q142_send_time" ->
+      """WITH h AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS hh,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tt FROM h GROUP BY user_id),
+        |r AS (SELECT user_id, hh, n,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY n DESC, hh ASC) AS rn
+        |      FROM h)
+        |SELECT r.user_id, r.hh AS best_hour, r.n AS n_events,
+        |       CAST((1000000 * r.n) // t.tt AS BIGINT) AS share_ppm
+        |FROM r JOIN t ON t.user_id = r.user_id WHERE r.rn = 1""".stripMargin,
     "q141_rfm" ->
       """WITH per AS (SELECT o_custkey AS cust,
         |               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
