@@ -495,4 +495,40 @@ object NearDup {
       .agg(concat_ws("", array_sort(collect_list(
         struct(col("b"), when(col("v") >= 0, lit("1")).otherwise(lit("0")).as("s")))).getField("s")).as("simhash"))
   }
+
+  /** b-bit minhash agreement (Li & König, WWW 2010): per candidate pair,
+    * the full-signature component agreement AND the b-bit estimate —
+    * signatures stored at `b` bits per component instead of a full hash
+    * are 32-128× smaller (the store-size lever for [[IncrementalDedup]]'s
+    * 100 TB signature table), at the price of random collisions the
+    * published unbiased estimator inverts:
+    * `ŝ = (m/k − 2⁻ᵇ) / (1 − 2⁻ᵇ)`, here in exact integer ppm
+    * (clamped at 0). The b bits are the low bits of each component's
+    * final hex digit — reproducible by the SQL oracle.
+    *
+    * Scale shape: two id-equi-joins of the candidate set against the
+    * signature table, all comparisons in-row — candidates ≪ corpus by
+    * LSH construction. Output: (id_a, id_b, m_full, m_bbit,
+    * agree_full_ppm, est_bbit_ppm). */
+  def bBitAgreement(sigs: DataFrame, candidates: DataFrame,
+                    numHashes: Int, b: Int): DataFrame = {
+    require(b >= 1 && b <= 4, "b in 1..4 (bits of one hex digit)")
+    val m = 1 << b
+    def lowb(c: Column) =
+      pmod(instr(lit("0123456789abcdef"), substring(c, 32, 1)) - 1, lit(m))
+    val sa = sigs.select(col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"__a$i")): _*)
+    val sb = sigs.select(col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"__b$i")): _*)
+    val joined = candidates.select("id_a", "id_b").distinct()
+      .join(sa, "id_a").join(sb, "id_b")
+    val mFull = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val mBbit = (0 until numHashes)
+      .map(i => when(lowb(col(s"__a$i")) === lowb(col(s"__b$i")), 1L).otherwise(0L)).reduce(_ + _)
+    joined.select(col("id_a"), col("id_b"), mFull.as("m_full"), mBbit.as("m_bbit"))
+      .withColumn("agree_full_ppm", expr(s"(1000000 * m_full) div $numHashes"))
+      .withColumn("est_bbit_ppm", greatest(lit(0L),
+        expr(s"(1000000 * (m_bbit * $m - $numHashes)) div ${numHashes * (m - 1)}")))
+  }
 }

@@ -85,6 +85,7 @@ object LQueries {
     "q134_signed_projection" -> ((s, d) => q134(s, d)),
     "q139_lang_confusion" -> ((s, d) => q139(s, d)),
     "q140_novelty" -> ((s, d) => q140(s, d)),
+    "q143_bbit_minhash" -> ((s, d) => q143(s, d)),
     "q135_corpus_report" -> ((s, d) => q135(s, d)),
   )
 
@@ -765,6 +766,17 @@ object LQueries {
     val sk = (p: Int) => graft.operators.DistinctSketch.kmvSketch(
       words(p), col("g"), col("w"), k = 128)
     graft.operators.DistinctSketch.noveltyEstimate(sk(1), sk(0), k = 128)
+  }
+
+  /** L75: b-bit minhash evaluation — full vs 2-bit component agreement
+    * on the q18-config LSH candidate pairs, with the published unbiased
+    * estimator in exact ppm (the 32-128x signature-store compression
+    * lever, measured before trusting it — the q113 harness philosophy). */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val sigs = NearDup.minHashSignatures(Tables.documents(s, d),
+      col("doc_id"), col("text"), k = 3, numHashes = 8)
+    val cands = NearDup.lshCandidates(sigs, rowsPerBand = 2)
+    NearDup.bBitAgreement(sigs, cands, numHashes = 8, b = 2)
   }
 
   /** Shared quantization CTE for the int8 oracles, ending in
@@ -1465,6 +1477,29 @@ object LQueries {
     "q17_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q143_bbit_minhash" -> (grams +
+      """,
+        |mh AS (SELECT id, i, min(md5(CAST(i AS VARCHAR) || ':' || gram)) AS mh
+        |       FROM (SELECT id, gram, unnest(range(8)) AS i FROM g) x GROUP BY id, i),
+        |banded AS (SELECT id, CAST(i // 2 AS INT) AS band,
+        |                  md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || mh, '|'
+        |                                 ORDER BY lpad(CAST(i AS VARCHAR), 2, '0'))) AS bucket
+        |           FROM mh GROUP BY id, CAST(i // 2 AS INT)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+        |         JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |ps AS (SELECT c.id_a, c.id_b, a.i, a.mh AS ma, b2.mh AS mb
+        |       FROM cand c JOIN mh a ON a.id = c.id_a
+        |                   JOIN mh b2 ON b2.id = c.id_b AND b2.i = a.i),
+        |agg AS (SELECT id_a, id_b,
+        |          CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) AS BIGINT) AS m_full,
+        |          CAST(sum(CASE WHEN (instr('0123456789abcdef', substr(ma, 32, 1)) - 1) % 4 =
+        |                             (instr('0123456789abcdef', substr(mb, 32, 1)) - 1) % 4
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS m_bbit
+        |        FROM ps GROUP BY 1, 2)
+        |SELECT id_a, id_b, m_full, m_bbit,
+        |       CAST((1000000 * m_full) // 8 AS BIGINT) AS agree_full_ppm,
+        |       CAST(greatest(0, (1000000 * (m_bbit * 4 - 8)) // 24) AS BIGINT) AS est_bbit_ppm
+        |FROM agg""".stripMargin),
     "q18_minhash_lsh" -> (grams +
       """,
         |mh AS (SELECT id, i, min(md5(CAST(i AS VARCHAR) || ':' || gram)) AS mh

@@ -182,4 +182,21 @@ class SimilaritySpec extends SparkSpec {
     // never returns the query itself
     assert(!out.exists(_._1 == 0L))
   }
+
+  test("bBitAgreement: identical docs read 1e6 on both paths; estimator inverts counts") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val sigs = NearDup.minHashSignatures(docs, col("doc_id"), col("text"), 3, 8)
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = NearDup.bBitAgreement(sigs, cands, numHashes = 8, b = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // identical docs: all 8 components match on both paths
+    assert(out((1L, 2L)) == ((1L, 2L, 8L, 8L, 1000000L, 1000000L)))
+    // disjoint docs: zero full matches; b-bit collisions may occur but the
+    // estimator corrects toward 0 (clamped into [0, 1e6])
+    val dis = out((1L, 3L))
+    assert(dis._3 == 0L && dis._5 == 0L)
+    assert(dis._6 >= 0L && dis._6 <= 1000000L)
+  }
 }
