@@ -70,6 +70,13 @@ object Prof {
     time("q100_full") {
       NearDup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
     }
+
+    // q126 k-core stages: how much is the edge build vs the peel rounds
+    val und = graft.operators.Graph.coOccurrenceEdges(
+      Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey")
+    time("kcore_edge_build") { und }
+    time("kcore_1_round") { graft.operators.Graph.kCorePeel(und, 80, 1) }
+    time("kcore_5_rounds") { graft.operators.Graph.kCorePeel(und, 80, 5) }
     spark.stop()
   }
 }
