@@ -26,6 +26,12 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.fmtAdaptive(999.4) == "999")
   }
 
+  test("every oracle key names a registered query (no orphaned oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracle entries without a query would crash the driver compare: $orphans")
+  }
+
   test("short keys stay unique across the registry") {
     val keys = SparkEntry.queries.keys.toSeq.map(Bench.shortKey)
     assert(keys.distinct.size == keys.size, "qNN prefixes collide — driver line would drop a query")
