@@ -81,7 +81,27 @@ object RQueries {
     "q138_cpf_audit" -> ((s, d) => q138(s, d)),
     "q141_rfm" -> ((s, d) => q141(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
+    "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
   )
+
+  /** R75: revenue-concentration (Pareto) report per market segment — the
+    * top-decile customers' share of segment revenue, rank-defined via the
+    * q75 percent-rank pattern, all integer cents/ppm. The "how 80/20 is
+    * this segment" number next to R47's Gini profile. */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.load(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("cents"))
+    val ranked = Normalize.percentRankBp(rev, col("segment"), col("cents"))
+    ranked.groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("total_cents"),
+        sum(when(col("pr_bp") >= 9000, col("cents")).otherwise(0L)).as("top_decile_cents"))
+      .select(col("segment"), col("n_customers"), col("total_cents"),
+        col("top_decile_cents"),
+        expr("CAST((1000000 * top_decile_cents) div total_cents AS BIGINT)").as("top_decile_ppm"))
+  }
 
   /** R74: send-time optimization — each user's most active hour-of-day
     * (tie → earliest hour) with its activity share, through the C1
@@ -1361,6 +1381,21 @@ object RQueries {
         |       CAST(r.slope_q AS BIGINT) AS slope_ppm_per_day
         |FROM r JOIN tp ON tp.grp = r.grp WHERE r.rn = (r.np + 1) // 2""".stripMargin,
     "q138_cpf_audit" -> cpfAuditOracle,
+    "q144_revenue_pareto" ->
+      """WITH rev AS (SELECT c.c_mktsegment AS segment, c.c_custkey,
+        |               CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS cents
+        |             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |             GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |         CAST(floor(percent_rank() OVER
+        |           (PARTITION BY segment ORDER BY cents) * 10000) AS BIGINT) AS pr_bp
+        |       FROM rev)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       CAST(sum(CASE WHEN pr_bp >= 9000 THEN cents ELSE 0 END) AS BIGINT) AS top_decile_cents,
+        |       CAST((1000000 * sum(CASE WHEN pr_bp >= 9000 THEN cents ELSE 0 END))
+        |         // sum(cents) AS BIGINT) AS top_decile_ppm
+        |FROM rk GROUP BY segment""".stripMargin,
     "q142_send_time" ->
       """WITH h AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS hh,
         |             CAST(count(*) AS BIGINT) AS n
