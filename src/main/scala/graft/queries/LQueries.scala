@@ -86,6 +86,7 @@ object LQueries {
     "q139_lang_confusion" -> ((s, d) => q139(s, d)),
     "q140_novelty" -> ((s, d) => q140(s, d)),
     "q143_bbit_minhash" -> ((s, d) => q143(s, d)),
+    "q145_cluster_sizes" -> ((s, d) => q145(s, d)),
     "q135_corpus_report" -> ((s, d) => q135(s, d)),
   )
 
@@ -779,6 +780,27 @@ object LQueries {
     NearDup.bBitAgreement(sigs, cands, numHashes = 8, b = 2)
   }
 
+  /** L76: dedup yield report — the cluster-size histogram of q42's
+    * near-dup components plus the singleton row (docs untouched by
+    * dedup): the "what did dedup actually find" number a curator reads
+    * before deciding thresholds; size 1 derived from two 1-row count
+    * aggregates (total − clustered), never a per-doc anti-join. */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cc = graft.operators.DupClusters.connectedComponents(
+      NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        k = 3, threshold = 0.5, maxDocFreq = 50L))
+    val hist = cc.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+    val singles = docs.agg(count(lit(1)).as("__t"))
+      .crossJoin(broadcast(cc.agg(count(lit(1)).as("__c"))))
+      .select(lit(1L).as("size"), (col("__t") - col("__c")).as("n_clusters"),
+        (col("__t") - col("__c")).as("n_docs"))
+    hist.unionByName(singles)
+  }
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -1420,6 +1442,29 @@ object LQueries {
         |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin),
+    "q145_cluster_sizes" -> (gramsCapped.replace("WITH ", "WITH RECURSIVE ") +
+      """,
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |          FROM gk a JOIN gk b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+        |pairs AS (SELECT i.id_a, i.id_b
+        |          FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+        |          WHERE round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.5),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM lab GROUP BY cluster_id),
+        |h AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY size),
+        |td AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents),
+        |cd AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lab)
+        |SELECT CAST(size AS BIGINT) AS size, n_clusters,
+        |       CAST(size * n_clusters AS BIGINT) AS n_docs
+        |FROM h
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), td.t - cd.c, td.t - cd.c FROM td, cd""".stripMargin),
     "q44_cluster_split" -> (gramsCapped.replace("WITH ", "WITH RECURSIVE ") +
       """,
         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter

@@ -58,7 +58,9 @@ class PlanAuditSpec extends SparkSpec {
       "rule frame for the lift denominator — same single-row build shape as q53/q72/q98"),
     "q129_ab_test" -> ("the variant-pair spine (va < vb) self-joins the per-variant " +
       "aggregate — |variants| rows of bounded experiment metadata, the q119 group-pair " +
-      "shape; the data-scale work collapsed in the per-variant agg before it"))
+      "shape; the data-scale work collapsed in the per-variant agg before it"),
+    "q145_cluster_sizes" -> ("the singleton row crosses TWO 1-row count aggregates " +
+      "(total docs x clustered docs) — both sides single-row by construction"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
