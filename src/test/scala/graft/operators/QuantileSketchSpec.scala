@@ -74,4 +74,13 @@ class QuantileSketchSpec extends SparkSpec {
     assert(out._3 >= 256L && out._3 <= 511L, s"p50 est ${out._3} outside its bucket")
     assert(out._4 >= 512L && out._4 <= 1023L, s"p99 est ${out._4} outside its bucket")
   }
+
+  test("buckets >= 62 saturate to Long.MaxValue instead of overflowing negative") {
+    // 2^62 lands in bucket 63; the naive midpoint 3*2^62 overflows a Long.
+    val df = Seq(("g", 1L << 62), ("g", 1L << 62)).toDF("g", "x")
+    val out = QuantileSketch.groupQuantiles(df, col("g"), col("x"), Seq(50))
+      .as[(String, Long, Long)].head()
+    assert(out == (("g", 2L, Long.MaxValue)),
+      s"saturated estimate expected, got ${out._3}")
+  }
 }

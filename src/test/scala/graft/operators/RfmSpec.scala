@@ -62,4 +62,19 @@ class RfmSpec extends SparkSpec {
     assert(exact.forall { case (k, v) => math.abs(approx(k) - v) <= 1 },
       "sketch scores drift by at most one bucket")
   }
+
+  test("orders after the as-of instant are excluded (no negative recency)") {
+    val df = Seq(
+      (1L, "2024-06-01", 100.0),
+      (1L, "2024-08-15", 900.0), // future order: must not count
+      (2L, "2024-06-01", 100.0))
+      .toDF("cust", "d0", "amt")
+      .select(col("cust"), col("d0").cast("date").as("d"), col("amt"))
+    val out = Rfm.segment(df, col("cust"), col("d"), col("amt"), asOf)
+      .select("cust", "r_days", "f_n", "m_cents").as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 30L, 1L, 10000L)),
+      s"future order leaked into cust 1: ${out(1L)}")
+    assert(out(1L)._2 >= 0L && out(2L) == ((2L, 30L, 1L, 10000L)))
+  }
 }

@@ -53,4 +53,15 @@ class SignedProjectionSpec extends SparkSpec {
     assert(dot(p(1L), p(2L)) > dot(p(1L), p(3L)),
       "within-cluster similarity must survive the projection")
   }
+
+  test("a null vector in the first row does not poison the corpus dimension") {
+    // size(null) = -1: without the non-null probe, d = -1 would silently
+    // emit empty projections for every row.
+    val df = Seq((0L, Option.empty[Seq[Float]]), (1L, Some(Seq(1.0f, 2.0f, 3.0f))))
+      .toDF("vec_id", "embedding")
+    val p = Quantize.signedProjection(df.orderBy("vec_id"), "vec_id", "embedding", 4)
+    val row = p.where(col("vec_id") === 1L)
+      .select(size(col("proj"))).as[Int].head()
+    assert(row == 4, s"projection must use the non-null row's dimension, got size $row")
+  }
 }

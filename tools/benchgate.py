@@ -42,6 +42,10 @@ def main(argv):
             if "=" in a:
                 ratio = float(a.split("=", 1)[1])
             else:
+                if i + 1 >= len(argv):
+                    print("usage: benchgate.py [BENCH.json] [BASELINE.md]"
+                          " [--ratio N]  (missing value for --ratio)")
+                    return 2
                 ratio = float(argv[i + 1])
                 i += 1
         elif not a.startswith("--"):
