@@ -10,8 +10,10 @@ quiet or use SPARK_GRAFT_BENCH_ONLY to re-time suspects).
 
 Protocol notes (BASELINE.md): a per-query number within the ratio is
 noise-compatible; queries in the capture's "err" array have no timing and
-always fail the gate; queries present in only one side are reported but do
-not fail (a new query has no pin yet — pin it at the next re-pin).
+always fail the gate; a pinned query absent from the capture is only noted
+(subset captures are legitimate), but a CAPTURED query with no pin FAILS —
+the gate is closed under registration, so a new query cannot ship
+ungoverned. Self-test: python3 tools/benchgate_selftest.py.
 """
 import json
 import re
@@ -85,8 +87,14 @@ def main(argv):
         r = t / pin if pin > 0 else float("inf")
         if r > ratio:
             failures.append(f"REGRESS {q}: {t:.2f}s vs pin {pin:.2f}s = {r:.2f}x (> {ratio}x)")
+    # Closed under registration: every query the bench timed must carry a
+    # pin row, or the 2x gate silently never covers it (q145 shipped
+    # unpinned in round 10 exactly this way). Pin new queries min-of-two
+    # before committing them.
     for q in sorted(set(queries) - set(pins)):
-        print(f"note   {q}: {queries[q]:.2f}s has no BASELINE.md pin yet")
+        failures.append(
+            f"UNPINNED {q}: {queries[q]:.2f}s in capture but no BASELINE.md pin "
+            "(pin it min-of-two before committing)")
 
     total = sum(queries.values())
     pinned_total = sum(pins[q] for q in pins if q in queries)

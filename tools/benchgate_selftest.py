@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Self-test for tools/benchgate.py: proves the gate's verdict logic on
+synthetic captures/pins, including the round-11 closure rule that a
+captured-but-unpinned query FAILS the gate (q145 shipped unpinned in
+round 10 because the old gate only printed a note).
+
+Run: python3 tools/benchgate_selftest.py  (exit 0 = all cases pass)
+"""
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import benchgate
+
+
+def run_case(name, pins_md, capture, argv_extra=(), expect=None):
+    with tempfile.TemporaryDirectory() as td:
+        bp = os.path.join(td, "BENCH.json")
+        mp = os.path.join(td, "BASELINE.md")
+        with open(bp, "w") as f:
+            json.dump(capture, f)
+        with open(mp, "w") as f:
+            f.write(pins_md)
+        rc = benchgate.main([bp, mp, *argv_extra])
+    status = "ok" if rc == expect else f"FAIL (rc={rc}, want {expect})"
+    print(f"{name}: {status}")
+    return rc == expect
+
+
+PINS = "| q01_agg | 1.00 |\n| q02_x | 2.00 |\n"
+
+
+def main():
+    ok = True
+    quiet = {"load": [0.1], "err": []}
+    # 1. In-ratio capture passes.
+    ok &= run_case("pass_within_ratio", PINS,
+                   {**quiet, "queries": {"q01_agg": 1.5, "q02_x": 2.0}}, expect=0)
+    # 2. >2x regression fails.
+    ok &= run_case("fail_regression", PINS,
+                   {**quiet, "queries": {"q01_agg": 2.5, "q02_x": 2.0}}, expect=1)
+    # 3. Crashed query (err array) fails.
+    ok &= run_case("fail_crash", PINS,
+                   {**quiet, "queries": {"q01_agg": 1.0}, "err": ["q02_x"]}, expect=1)
+    # 4. Hot capture is unusable, not a pass.
+    ok &= run_case("unusable_hot", PINS,
+                   {"load": [9.0], "err": [], "queries": {"q01_agg": 1.0}}, expect=2)
+    # 5. THE CLOSURE RULE: a captured query with no pin row fails.
+    ok &= run_case("fail_unpinned", PINS,
+                   {**quiet, "queries": {"q01_agg": 1.0, "q99_new": 0.2}}, expect=1)
+    # 6. Subset capture (pinned query absent) still passes — only noted.
+    ok &= run_case("pass_subset", PINS,
+                   {**quiet, "queries": {"q01_agg": 1.0}}, expect=0)
+    # 7. Custom ratio is honored (1.5x regression passes at --ratio 3).
+    ok &= run_case("pass_custom_ratio", PINS,
+                   {**quiet, "queries": {"q01_agg": 2.5, "q02_x": 2.0}},
+                   argv_extra=("--ratio", "3"), expect=0)
+    # 8. Dangling --ratio is a usage error, not a traceback.
+    ok &= run_case("usage_dangling_ratio", PINS,
+                   {**quiet, "queries": {"q01_agg": 1.0}},
+                   argv_extra=("--ratio",), expect=2)
+    if not ok:
+        print("SELFTEST FAIL")
+        return 1
+    print("SELFTEST PASS (8 cases)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
