@@ -73,4 +73,56 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"scale anti-patterns:\n${offenders.mkString("\n")}")
   }
+
+  /** Queries allowed an unpartitioned WindowExec (single-partition window),
+    * with why each frame is BOUNDED METADATA, not data-scale. These are the
+    * only two sites that may emit Spark's "No Partition Defined for Window
+    * operation" WARN — seeing it anywhere else is a 100TB cliff. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q107_global_rank" -> ("GlobalRank's prefix-sum frame is the PER-PARTITION " +
+      "COUNT table (spark.sql.shuffle.partitions rows, not data rows) — the " +
+      "whole point of the operator is that the data-scale sort stays " +
+      "partitioned and only partition counts funnel through one task"),
+    "q108_neg_sample" -> ("Contrastive rides GlobalRank for its dense ordinals; " +
+      "the same partition-count offsets frame plans under both join branches " +
+      "of the partner self-join, hence two bounded-metadata window nodes"),
+    "q127_concurrency" -> ("Intervals' sweep runs over the CALENDAR-GRAIN " +
+      "boundary-event frame (2 rows per interval, bounded by the day spine " +
+      "domain at any scale the report is readable at); the scale contract " +
+      "is documented at Intervals.scala's sweep"),
+    "q98_priority_sample" -> ("prioritySample ranks only the k+1 SURVIVORS of " +
+      "the bounded-heap native top-k to split sample vs threshold row — a " +
+      "k-bounded frame; the corpus-scale selection never touches a window"),
+    "q141_rfm" -> ("exact RFM quintiles percent-rank the PER-CUSTOMER aggregate " +
+      "(three windows, one per metric) — the documented honest cost of exact " +
+      "global ranks, fine to ~1e7 customers; Rfm.segment(approx = true) is " +
+      "the sketch-ranked no-single-partition scale path"))
+
+  test("unpartitioned windows appear only at the two documented bounded-metadata sites") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps the real plan in AdaptiveSparkPlanExec, which exposes no
+    // children to TreeNode.collect — descend into it explicitly.
+    def unpartWindows(p: SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case a: AdaptiveSparkPlanExec => unpartWindows(a.executedPlan)
+      }.flatten
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hits = scala.collection.mutable.Set.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val unpart = unpartWindows(fn(ss, sfDir).queryExecution.executedPlan)
+      if (unpart.nonEmpty) {
+        hits += name
+        if (!globalWindowAllowed.contains(name))
+          offenders += s"$name: ${unpart.size} unpartitioned WindowExec node(s)"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window outside the allowlist (100TB cliff):\n${offenders.mkString("\n")}")
+    val stale = globalWindowAllowed.keySet -- hits
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning an unpartitioned window (prune them): $stale")
+  }
 }
