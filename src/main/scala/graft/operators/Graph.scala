@@ -204,6 +204,9 @@ object Graph {
     * part of the operator's contract, which makes a 5-round run
     * hash-comparable against an engine-independent oracle (same trick as
     * [[pageRank]]); convergence is then a separate, checkable claim.
+    * Rounds past the fixpoint are provably the identity, so peeling
+    * early-exits on the first empty drop set without moving a hash
+    * (see [[kCorePeelCounted]]).
     *
     * Scale shape per round: one map-side-combinable degree count + two
     * equi-joins of the edge set against the (node-sized, shrinking)
@@ -211,11 +214,27 @@ object Graph {
     * `rounds`, and each round is checkpointed so the DAG never re-derives
     * earlier rounds through the double edge reference. */
   def kCorePeel(und: DataFrame, k: Int, rounds: Int,
-                broadcastDrops: Boolean = true): DataFrame = {
+                broadcastDrops: Boolean = true): DataFrame =
+    kCorePeelCounted(und, k, rounds, broadcastDrops)._1
+
+  /** [[kCorePeel]] plus the number of edge-filter rounds actually
+    * EXECUTED — peeling early-exits as soon as a round's drop set is
+    * empty, because an empty drop makes every remaining round the
+    * identity (the anti-joins filter nothing, the degrees don't move).
+    * The fixed-round hash contract is therefore preserved bit-for-bit
+    * while real graphs, which converge in a few rounds, stop paying for
+    * the requested-round tail. The drop set is already an eager
+    * localCheckpoint, so the emptiness probe reads materialized
+    * node-sized partitions — no extra pass over the edge frame. */
+  private[operators] def kCorePeelCounted(
+      und: DataFrame, k: Int, rounds: Int,
+      broadcastDrops: Boolean = true): (DataFrame, Int) = {
     require(k >= 1 && rounds >= 1, "k >= 1, rounds >= 1")
     var edges = und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var executed = 0
+    var fixpoint = false
+    while (executed < rounds && !fixpoint) {
       // Filter by the DROP set (deg < k), not the keep set: drops are
       // node-sized (and shrink every round), so under the item-graph
       // assumption both filters are broadcast anti-joins and the
@@ -230,12 +249,16 @@ object Graph {
       // the double reference (degrees + filter), keeping lineage linear.
       val drop0 = degrees(edges).where(col("deg") < k).select("node")
         .localCheckpoint(true)
-      val drop = if (broadcastDrops) broadcast(drop0) else drop0
-      edges = edges
-        .join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
-        .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
+      if (drop0.isEmpty) fixpoint = true
+      else {
+        val drop = if (broadcastDrops) broadcast(drop0) else drop0
+        edges = edges
+          .join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
+        executed += 1
+      }
     }
-    degrees(edges)
+    (degrees(edges), executed)
   }
 
   /** True when one more peel round changes nothing — i.e. `rounds` already

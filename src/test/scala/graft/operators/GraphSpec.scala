@@ -111,4 +111,20 @@ class GraphSpec extends SparkSpec {
     val und = edges((1L, 2L), (2L, 3L), (1L, 3L)) // triangle: 2-core only
     assert(Graph.kCorePeel(und, k = 3, rounds = 3).count() == 0L)
   }
+
+  test("kCorePeel: early-exits at the fixpoint without moving the result") {
+    // 6-5-4 tail cascade converges in 2 rounds; a 100-round budget must
+    // execute exactly 2 edge-filter rounds and return the same core.
+    val und = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val (core100, executed) = Graph.kCorePeelCounted(und, k = 2, rounds = 100)
+    val m100 = core100.as[(Long, Long)].collect().toMap
+    val m2 = Graph.kCorePeel(und, k = 2, rounds = 2).as[(Long, Long)].collect().toMap
+    assert(executed == 2, s"fixpoint is 2 rounds, executed $executed")
+    assert(m100 == m2 && m100 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // Already-a-core graph: zero rounds executed.
+    val tri = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    val (triCore, triRounds) = Graph.kCorePeelCounted(tri, k = 2, rounds = 5)
+    assert(triRounds == 0 && triCore.count() == 3L)
+  }
 }
