@@ -99,13 +99,16 @@ object QualityClassifier {
     require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
     val coefs = m.model.coefficients.toArray
     val topIdx = coefs.zipWithIndex.sortBy(-_._1).take(k)
       .map { case (c, i) => (i, c) }.toSeq.toDF("bucket", "coef")
-    val hasher = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(m.numFeatures)
-    val bucketOf = udf((g: String) => hasher.indexOf(g))
+    // graft_tf_bucket IS HashingTF.indexOf (murmur3 seed 42, non-negative
+    // mod) as a native expression — spec-pinned equal; keeps the distinct
+    // gram table in whole-stage codegen instead of a udf closure.
     df.select(explode(gramsCol(textCol)).as("gram")).distinct()
-      .withColumn("bucket", bucketOf(col("gram")))
+      .withColumn("bucket",
+        call_function("graft_tf_bucket", col("gram"), lit(m.numFeatures)))
       .join(broadcast(topIdx), "bucket")
       .orderBy(col("coef").desc, col("gram").asc)
       .select("gram", "bucket", "coef")

@@ -116,6 +116,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_md5_fold48 takes exactly one argument")
         Md5Fold48(args.head)
+      }),
+    (FunctionIdentifier("graft_tf_bucket"),
+      new ExpressionInfo(classOf[TfBucket].getName, "graft_tf_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_tf_bucket takes exactly two arguments")
+        TfBucket(args.head, args(1))
       }))
 
   /** Register the graft function set on an already-built session. */

@@ -54,6 +54,22 @@ class QualityClassifierSpec extends SparkSpec {
       s"positive-class coefficients must map to trusted grams ($goodHits good vs $junkHits junk)")
   }
 
+  test("graft_tf_bucket equals HashingTF.indexOf across tail lengths and unicode") {
+    graft.plans.GraftExtensions.register(ss)
+    // murmur3 tail handling differs between Spark's two byte-hashers —
+    // cover every lengthInBytes % 4 plus multi-byte UTF-8.
+    val terms = Seq("", "a", "ab", "abc", "abcd", "abcde", "quick brown",
+      "café", "日本語", "naïve token", "123", "_bi gram")
+    for (m <- Seq(16, 1 << 10, 1 << 18)) {
+      val hasher = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(m)
+      val got = terms.toDF("t")
+        .select(call_function("graft_tf_bucket", col("t"), lit(m)))
+        .as[Int].collect()
+      val want = terms.map(hasher.indexOf)
+      assert(got.toSeq == want, s"m=$m: $got != $want")
+    }
+  }
+
   test("single-class training is rejected") {
     val oneClass = (1 to 5).map(i => (i.toLong, doc(good), 1)).toDF("doc_id", "text", "trusted")
     intercept[IllegalArgumentException] {
