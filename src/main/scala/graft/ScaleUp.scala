@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** sf1 scale-point generator: expands the read-only sf0.1 testdata 10x for
+  * the SCALING-CURVE capture (BASELINE.md's sf1 table) without touching
+  * /root/testdata. Output goes under the repo (`data/sf1`, gitignored) and
+  * only the tables the heavy bench family reads are written.
+  *
+  * Construction: 10 DISJOINT deterministic replicas, not naive row copies —
+  * so the corpus's intrinsic pair structure is preserved per replica and
+  * TRUE work scales exactly 10x, which is what makes an sf1/sf0.1 runtime
+  * ratio interpretable (super-linear growth is then engine behavior, never
+  * an artifact of cloned rows suddenly all matching each other):
+  *  - documents: replica r suffixes every word ("spark" -> "sparkqa"), so
+  *    replicas share no shingles/minhashes — near-dup candidate pairs are
+  *    exactly 10x the sf0.1 pairs, never cross-replica.
+  *  - customer: replica r appends a 3-repeated-letter tag to c_name; tags
+  *    differ pairwise by 3 edits, so no cross-replica distance-1 linkage
+  *    pairs and disjoint deletion-1 blocking neighborhoods.
+  *  - lineitem/part: keys shift by r*10^7 — ten disjoint co-purchase
+  *    graphs, each isomorphic to sf0.1's (q109's node%100 seed predicate
+  *    survives because the shift is divisible by 100).
+  * All transforms are column algebra over the source parquet — no
+  * randomness, so the generated data is bit-reproducible.
+  */
+object ScaleUp {
+
+  private val Shift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "data/sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    require(replicas >= 1 && replicas <= 26, "replicas in 1..26")
+    val spark = GraftSession.local("graft-scaleup")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val all = (0 until replicas).map(r => xform(base, r)).reduce(_ unionAll _)
+      all.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[scaleup] $name -> $out/$name.parquet")
+    }
+
+    replicate("documents") { (df, r) =>
+      if (r == 0) df
+      else {
+        val sfx = "q" + ('a' + r - 1).toChar // qa..qy: stays alphabetic
+        val txt = array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(sfx))), " ")
+        df.select((col("doc_id") + r * Shift).as("doc_id"), txt.as("text"),
+          col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
+      }
+    }
+
+    replicate("customer") { (df, r) =>
+      if (r == 0) df
+      else {
+        val tag = (('a' + r - 1).toChar.toString * 3)
+        df.select((col("c_custkey") + r * Shift).as("c_custkey"),
+          concat(col("c_name"), lit(" " + tag)).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      }
+    }
+
+    replicate("lineitem") { (df, r) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + r * Shift)
+        .withColumn("l_partkey", col("l_partkey") + r * Shift)
+    }
+
+    replicate("part") { (df, r) =>
+      df.withColumn("p_partkey", col("p_partkey") + r * Shift)
+    }
+
+    spark.stop()
+  }
+}
