@@ -111,4 +111,39 @@ class MailingE2ESpec extends SparkSpec {
     state.saveFailure("boom")
     assert(state.status.contains("FAILED"))
   }
+
+  test("RunMailing.execute ships the run log inside the archive (compressor.py:98)") {
+    val out = java.nio.file.Files.createTempDirectory("mailing-runlog").toString
+    val state = new StateStore(s"$out/state.json")
+    val config = GraftConfig.default.copy(humanCutoff = 1500000.0,
+      slotGroups = ListMap("08HRS" -> Seq("BUILDING", "MACHINERY"),
+        "09HRS" -> Seq("HOUSEHOLD"), "10HRS" -> Seq("FURNITURE")))
+    val s = graft.RunMailing.execute(ss, sfDir, out, config, state)
+    assert(s.human > 0 && s.zipEntries > 0 && state.status.contains("COMPLETED"))
+    val zf = new java.util.zip.ZipFile(s"$out/mailing_human.zip")
+    try {
+      val entries = scala.jdk.CollectionConverters.EnumerationHasAsScala(zf.entries())
+        .asScala.map(_.getName).toSeq
+      assert(entries.exists(e => e.contains("automacao_") && e.endsWith(".log")),
+        s"zip must carry the run log, got: ${entries.take(10)}")
+    } finally zf.close()
+    val logText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s.logPath)), "UTF-8")
+    assert(logText.contains("PROCESSO CONCLUIDO COM SUCESSO"))
+  }
+
+  test("RunMailing.execute on failure saves FAILED state and logs the stack trace") {
+    val out = java.nio.file.Files.createTempDirectory("mailing-fail").toString
+    val state = new StateStore(s"$out/state.json")
+    intercept[Throwable] {
+      graft.RunMailing.execute(ss, s"$out/does-not-exist", out, GraftConfig.default, state)
+    }
+    assert(state.status.contains("FAILED"), "failure must persist FAILED state")
+    val logs = new java.io.File(s"$out/logs").listFiles()
+    assert(logs != null && logs.nonEmpty, "run log must exist even on failure")
+    val text = new String(java.nio.file.Files.readAllBytes(logs.head.toPath), "UTF-8")
+    assert(text.contains("ERRO CRITICO NO FLUXO PRINCIPAL"),
+      "failure must be written to the run log")
+    assert(graft.RunMailing.OperatorFailureMessage.startsWith("FALHA NA AUTOMA"))
+  }
 }
