@@ -510,6 +510,67 @@ object NearDup {
     * signature table, all comparisons in-row — candidates ≪ corpus by
     * LSH construction. Output: (id_a, id_b, m_full, m_bbit,
     * agree_full_ppm, est_bbit_ppm). */
+  /** Weighted (term-frequency) Jaccard near-dup pairs — the MULTISET
+    * overlap `J_w(A,B) = Σ_g min(tf_A(g), tf_B(g)) / Σ_g max(tf_A(g),
+    * tf_B(g))` (generalized/weighted Jaccard, the quantity weighted
+    * minhash schemes like ICWS estimate). The set-based family (L4/L53)
+    * dedupes grams first, so a document that repeats a phrase 50 times
+    * and one that uses it once look identical; the weighted form scores
+    * how much of the TOKEN MASS overlaps — the right notion for
+    * template-spam and boilerplate-amplified near-dups.
+    *
+    * Identities used: grams are counted WITH multiplicity (`na`/`nb` =
+    * total gram count, not distinct), and `Σ max = na + nb − Σ min`, so
+    * one intersection pass suffices. All math integer (counts + one ppm
+    * division), hash-exact cross-engine.
+    *
+    * Scale shape: one map-side-combinable (id, gram) tf aggregation, one
+    * gram equi-self-join (the q19 shape, one shuffle), one pair groupBy.
+    * `maxDocFreq` is the same stop-gram cap as [[ngramJaccardPairs]]:
+    * grams in more than that many DOCS are dropped before the self-join
+    * (pair mass is O(df²) per gram); sizes still count all grams, so the
+    * capped score is a lower bound of the exact one.
+    *
+    * Output: (id_a, id_b, min_sum, na, nb, jw_ppm) at `jw_ppm ≥
+    * threshold` ppm, id_a < id_b. */
+  def weightedJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                           k: Int, threshold: Double,
+                           maxDocFreq: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val thrPpm = math.round(threshold * 1e6)
+    // Multiset k-grams via column algebra (graft_shingles DEDUPES by
+    // design — the set family wants that, this operator must not).
+    val w = split(textCol, " ")
+    val grams = when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + 1, lit(k))))).otherwise(array())
+    val tf = df
+      .select(idCol.as("id"), grams.as("gs"))
+      .where(col("id").isNotNull)
+      .select(col("id"), size(col("gs")).cast("long").as("n"), explode(col("gs")).as("gram"))
+      .groupBy("id", "n", "gram").agg(count(lit(1)).as("tf"))
+    val kept =
+      if (maxDocFreq <= 0L) tf
+      else {
+        // doc-frequency census over tf rows (one row per doc per gram);
+        // tiny hot set, materialized once — the ngramInterCounts pattern.
+        val hot = tf.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select(col("gram").as("__hot_gram"))
+          .localCheckpoint(true)
+        tf.join(hot, col("gram") === col("__hot_gram"), "left_anti")
+      }
+    kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("min_sum"))
+      .withColumn("jw_ppm",
+        expr("(1000000 * min_sum) div (na + nb - min_sum)"))
+      .filter(col("jw_ppm") >= thrPpm)
+      .select("id_a", "id_b", "min_sum", "na", "nb", "jw_ppm")
+  }
+
   def bBitAgreement(sigs: DataFrame, candidates: DataFrame,
                     numHashes: Int, b: Int): DataFrame = {
     require(b >= 1 && b <= 4, "b in 1..4 (bits of one hex digit)")

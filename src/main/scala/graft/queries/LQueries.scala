@@ -87,6 +87,7 @@ object LQueries {
     "q140_novelty" -> ((s, d) => q140(s, d)),
     "q143_bbit_minhash" -> ((s, d) => q143(s, d)),
     "q145_cluster_sizes" -> ((s, d) => q145(s, d)),
+    "q146_weighted_jaccard" -> ((s, d) => q146(s, d)),
     "q135_corpus_report" -> ((s, d) => q135(s, d)),
   )
 
@@ -819,6 +820,14 @@ object LQueries {
     hist.unionByName(singles)
   }
 
+  /** L77: weighted (term-frequency) Jaccard near-dup pairs — multiset
+    * token-mass overlap at word-3-grams, the repeated-phrase-aware
+    * companion of q19's set Jaccard; same 0.5 threshold, same stop-gram
+    * cap discipline as q145's clustering input. */
+  def q146(s: SparkSession, d: String): DataFrame =
+    NearDup.weightedJaccardPairs(Tables.documents(s, d), col("doc_id"),
+      col("text"), k = 3, threshold = 0.5)
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -1357,6 +1366,23 @@ object LQueries {
         |  GROUP BY doc_id)
         |SELECT u.doc_id, u.n_tokens, b.n_bigrams, u.uni_rarity_q, b.bi_surprisal_q
         |FROM uni u LEFT JOIN bis b USING (doc_id)""".stripMargin,
+    "q146_weighted_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, CAST(len(ws) - 2 AS BIGINT) AS n,
+        |             unnest(list_transform(range(len(ws) - 2), i ->
+        |               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
+        |      FROM w WHERE len(ws) >= 3),
+        |tf AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS tf
+        |       FROM g GROUP BY 1, 2, 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |             a.n AS na, b.n AS nb,
+        |             CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS min_sum
+        |      FROM tf a JOIN tf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, min_sum, na, nb,
+        |       CAST((1000000 * min_sum) // (na + nb - min_sum) AS BIGINT) AS jw_ppm
+        |FROM p
+        |WHERE (1000000 * min_sum) // (na + nb - min_sum) >= 500000""".stripMargin,
     "q84_compress_ratio" ->
       """SELECT doc_id,
         |       CAST(coalesce(strlen(text), 0) AS BIGINT) AS raw_bytes,

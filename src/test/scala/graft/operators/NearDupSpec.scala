@@ -199,4 +199,52 @@ class SimilaritySpec extends SparkSpec {
     assert(dis._3 == 0L && dis._5 == 0L)
     assert(dis._6 >= 0L && dis._6 <= 1000000L)
   }
+
+  test("weightedJaccardPairs scores multiset overlap, not set overlap") {
+    // k=1 hand example: A = "x y x y" (tf x:2 y:2, n=4), B = "x y" (n=2).
+    // Set Jaccard = 1.0 but J_w = (1+1)/(4+2-2) = 0.5 exactly.
+    val df = Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text")
+    val row = NearDup.weightedJaccardPairs(df, col("doc_id"), col("text"),
+      k = 1, threshold = 0.4)
+      .select("id_a", "id_b", "min_sum", "na", "nb", "jw_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(row == ((1L, 2L, 2L, 4L, 2L, 500000L)), s"got $row")
+  }
+
+  test("weightedJaccardPairs equals set Jaccard when every gram is distinct") {
+    // Multiplicity-free documents: tf == 1 everywhere, so min_sum =
+    // |A∩B| and na/nb are set sizes — J_w must equal q19's Jaccard.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g z"), // shares 5 of the 6 3-grams' prefix region
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val setJ = NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      k = 3, threshold = 0.01)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val wJ = NearDup.weightedJaccardPairs(docs, col("doc_id"), col("text"),
+      k = 3, threshold = 0.01)
+      .select("id_a", "id_b", "jw_ppm").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3 / 1e6).toMap
+    assert(setJ.keySet == wJ.keySet && setJ.nonEmpty)
+    setJ.foreach { case (pair, j) =>
+      assert(math.abs(wJ(pair) - j) < 2e-4, s"$pair: weighted ${wJ(pair)} vs set $j")
+    }
+  }
+
+  test("weightedJaccardPairs stop-gram cap is a lower bound that drops hot-gram pairs") {
+    // "t t t" gram appears in all 4 docs; cap at 3 removes it from the
+    // intersection but NOT from the sizes — scores can only go down.
+    val docs = Seq(
+      (1L, "t t t t a b"), (2L, "t t t t a b"),
+      (3L, "t t t t c d"), (4L, "t t t t c d")).toDF("doc_id", "text")
+    def run(cap: Long) = NearDup.weightedJaccardPairs(docs, col("doc_id"),
+      col("text"), k = 3, threshold = 0.01, maxDocFreq = cap)
+      .select("id_a", "id_b", "jw_ppm").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = run(0L)
+    val capped = run(3L)
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (pair, v) => assert(v <= exact(pair), s"$pair rose under cap") }
+  }
 }
