@@ -48,6 +48,31 @@ object Blocklist {
     * mojibake repair + normalization — the reference's bloqueio filter with
     * its rejected-rows side report.
     * Ref: `/root/reference/src/processing_pipeline.py:195-222`. */
+  /** What-if sweep of the blocklist threshold (R8's dial): for each
+    * candidate threshold 1..`maxThreshold`, how many keys WOULD be
+    * blocked (critical-status count ≥ threshold). The reference hardcodes
+    * threshold 3; this is the report an operator reads before moving it —
+    * the mailing-side twin of the dedup threshold curve.
+    *
+    * Scale shape: one map-side-combinable per-key critical count, then a
+    * count HISTOGRAM (bounded by the max per-key count, metadata-sized)
+    * crossed with the tiny threshold spine — the sweep never rescans the
+    * log per threshold. Output: (threshold, n_blocked). */
+  def thresholdSweep(log: DataFrame, logKey: Column, statusCol: Column,
+                     criticalStatuses: Seq[String], maxThreshold: Int): DataFrame = {
+    require(maxThreshold >= 1, s"maxThreshold >= 1, got $maxThreshold")
+    val spark = log.sparkSession
+    import spark.implicits._
+    val hist = log
+      .filter(TextClean.normKey(statusCol).isin(criticalStatuses.map(_.toLowerCase): _*))
+      .groupBy(logKey.as("__key")).agg(count(lit(1)).as("__n"))
+      .groupBy("__n").agg(count(lit(1)).as("__cnt"))
+    val spine = (1 to maxThreshold).map(_.toLong).toDF("threshold")
+    spine.join(hist, col("__n") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(sum(coalesce(col("__cnt"), lit(0L))).as("n_blocked"))
+  }
+
   def filterWithRejects(df: DataFrame, statusCol: Column, toRemove: Set[String]): (DataFrame, DataFrame) = {
     val norm = TextClean.normKey(TextClean.fixMojibake(statusCol))
     val flagged = df.withColumn("__remove", norm.isin(toRemove.map(_.toLowerCase).toSeq: _*))

@@ -88,6 +88,7 @@ object LQueries {
     "q143_bbit_minhash" -> ((s, d) => q143(s, d)),
     "q145_cluster_sizes" -> ((s, d) => q145(s, d)),
     "q146_weighted_jaccard" -> ((s, d) => q146(s, d)),
+    "q147_threshold_curve" -> ((s, d) => q147(s, d)),
     "q135_corpus_report" -> ((s, d) => q135(s, d)),
   )
 
@@ -828,6 +829,15 @@ object LQueries {
     NearDup.weightedJaccardPairs(Tables.documents(s, d), col("doc_id"),
       col("text"), k = 3, threshold = 0.5)
 
+  /** L78: dedup threshold yield curve — pairs/docs that each candidate
+    * Jaccard threshold would touch, from ONE pair computation at the
+    * loosest dial setting; the "what would moving the threshold do"
+    * report read before committing a dedup config. */
+  def q147(s: SparkSession, d: String): DataFrame =
+    graft.operators.DedupEval.thresholdCurve(Tables.documents(s, d),
+      col("doc_id"), col("text"), k = 3,
+      thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -1366,6 +1376,24 @@ object LQueries {
         |  GROUP BY doc_id)
         |SELECT u.doc_id, u.n_tokens, b.n_bigrams, u.uni_rarity_q, b.bi_surprisal_q
         |FROM uni u LEFT JOIN bis b USING (doc_id)""".stripMargin,
+    "q147_threshold_curve" -> (grams +
+      """,
+        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+        |pj AS (SELECT i.id_a, i.id_b,
+        |         CAST(round(round(n_inter * 1.0 / (sa.n_grams + sb.n_grams - n_inter), 4) * 10000) AS BIGINT) AS j_bp
+        |       FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b),
+        |thr AS (SELECT CAST(unnest([5000, 6000, 7000, 8000, 9000]) AS BIGINT) AS threshold_bp),
+        |hit AS (SELECT thr.threshold_bp, p.id_a, p.id_b FROM thr JOIN pj p ON p.j_bp >= thr.threshold_bp),
+        |pp AS (SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_pairs FROM hit GROUP BY 1),
+        |pd AS (SELECT threshold_bp, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |       FROM (SELECT threshold_bp, id_a AS id FROM hit
+        |             UNION ALL SELECT threshold_bp, id_b FROM hit) u GROUP BY 1)
+        |SELECT thr.threshold_bp,
+        |       CAST(coalesce(pp.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |       CAST(coalesce(pd.n_docs, 0) AS BIGINT) AS n_docs
+        |FROM thr LEFT JOIN pp ON pp.threshold_bp = thr.threshold_bp
+        |       LEFT JOIN pd ON pd.threshold_bp = thr.threshold_bp""".stripMargin),
     "q146_weighted_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, CAST(len(ws) - 2 AS BIGINT) AS n,

@@ -80,6 +80,7 @@ object RQueries {
     "q137_contact_policy" -> ((s, d) => q137(s, d)),
     "q138_cpf_audit" -> ((s, d) => q138(s, d)),
     "q141_rfm" -> ((s, d) => q141(s, d)),
+    "q148_blocklist_sweep" -> ((s, d) => q148(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
   )
@@ -119,6 +120,13 @@ object RQueries {
       .select(col("user_id"), col("hh").as("best_hour"), col("n").as("n_events"),
         expr("CAST((1000000 * n) div __t AS BIGINT)").as("share_ppm"))
   }
+
+  /** R8 extension (the threshold dial): what-if blocklist sweep —
+    * how many customers each candidate critical-status threshold 1..6
+    * would block, from one log aggregation. */
+  def q148(s: SparkSession, d: String): DataFrame =
+    graft.operators.Blocklist.thresholdSweep(Tables.events(s, d),
+      col("user_id"), col("event_type"), Seq("error"), maxThreshold = 6)
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -1407,6 +1415,13 @@ object RQueries {
         |SELECT r.user_id, r.hh AS best_hour, r.n AS n_events,
         |       CAST((1000000 * r.n) // t.tt AS BIGINT) AS share_ppm
         |FROM r JOIN t ON t.user_id = r.user_id WHERE r.rn = 1""".stripMargin,
+    "q148_blocklist_sweep" ->
+      """WITH per AS (SELECT user_id, count(*) AS n FROM events
+        |             WHERE lower(trim(event_type)) = 'error' GROUP BY 1),
+        |t AS (SELECT CAST(unnest(range(1, 7)) AS BIGINT) AS threshold)
+        |SELECT t.threshold, CAST(count(p.user_id) AS BIGINT) AS n_blocked
+        |FROM t LEFT JOIN per p ON p.n >= t.threshold
+        |GROUP BY 1""".stripMargin,
     "q141_rfm" ->
       """WITH per AS (SELECT o_custkey AS cust,
         |               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),

@@ -104,4 +104,16 @@ class PrioritizeSegmentationSpec extends SparkSpec {
     val (h2, r2) = Segmentation.splitByThreshold(df, col("v"), 100.0)
     assert(h2.count() == 1 && r2.count() == 1)
   }
+
+  test("blocklist thresholdSweep: cumulative counts from one log pass") {
+    // u1: 4 criticals, u2: 2, u3: 1, u4: only non-critical noise.
+    val log = (Seq.fill(4)((1L, "ERROR")) ++ Seq.fill(2)((2L, " error ")) ++
+      Seq((3L, "error"), (4L, "click"), (1L, "click")))
+      .toDF("user_id", "event_type")
+    val got = Blocklist.thresholdSweep(log, col("user_id"), col("event_type"),
+      Seq("error"), maxThreshold = 5)
+      .orderBy("threshold").as[(Long, Long)].collect().toSeq
+    // >=1: u1,u2,u3; >=2: u1,u2; >=3,>=4: u1; >=5: none.
+    assert(got == Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 0L)), s"got $got")
+  }
 }

@@ -60,7 +60,13 @@ class PlanAuditSpec extends SparkSpec {
       "aggregate — |variants| rows of bounded experiment metadata, the q119 group-pair " +
       "shape; the data-scale work collapsed in the per-variant agg before it"),
     "q145_cluster_sizes" -> ("the singleton row crosses TWO 1-row count aggregates " +
-      "(total docs x clustered docs) — both sides single-row by construction"))
+      "(total docs x clustered docs) — both sides single-row by construction"),
+    "q147_threshold_curve" -> ("the 5-row threshold spine broadcast into the pair " +
+      "frame on a >= predicate — a bounded-metadata build side is exactly what " +
+      "BNLJ is for; the pair frame itself came from the equi-join L4 path"),
+    "q148_blocklist_sweep" -> ("the threshold spine (<= maxThreshold rows) joined " +
+      "on >= against the metadata-sized critical-count histogram — both sides " +
+      "bounded by construction, the q112 spine shape"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
