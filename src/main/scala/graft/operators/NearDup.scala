@@ -533,23 +533,45 @@ object NearDup {
     *
     * Output: (id_a, id_b, min_sum, na, nb, jw_ppm) at `jw_ppm ≥
     * threshold` ppm, id_a < id_b. */
+  /** Multiset k-grams via column algebra (graft_shingles DEDUPES by
+    * design — the set family wants that, the weighted family must not). */
+  private def multisetGrams(textCol: Column, k: Int): Column = {
+    val w = split(textCol, " ")
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + 1, lit(k))))).otherwise(array())
+  }
+
+  /** (id, n = capped total mass, gram, tf = capped term frequency) rows —
+    * the weighted family's shared verification frame. `tfCap ≤ 0` = no
+    * cap (n is then just the gram count, no second aggregation). */
+  private def cappedTf(df: DataFrame, idCol: Column, textCol: Column,
+                       k: Int, tfCap: Int): DataFrame = {
+    val raw = df
+      .select(idCol.as("id"), multisetGrams(textCol, k).as("gs"))
+      .where(col("id").isNotNull)
+      .select(col("id"), size(col("gs")).cast("long").as("__rawn"), explode(col("gs")).as("gram"))
+      .groupBy("id", "__rawn", "gram").agg(count(lit(1)).as("__rawtf"))
+    if (tfCap <= 0)
+      raw.select(col("id"), col("__rawn").as("n"), col("gram"), col("__rawtf").as("tf"))
+    else {
+      // Capped mass Σ min(tf, cap) needs one more id-keyed aggregate; the
+      // mass table is one row per doc — AQE broadcasts it at small scale,
+      // and it shares the id partitioning with the tf frame otherwise.
+      val capped = raw.select(col("id"), col("gram"),
+        least(col("__rawtf"), lit(tfCap.toLong)).as("tf"))
+      val mass = capped.groupBy("id").agg(sum("tf").as("n"))
+      capped.join(mass, "id").select("id", "n", "gram", "tf")
+    }
+  }
+
   def weightedJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                            k: Int, threshold: Double,
-                           maxDocFreq: Long = 0L): DataFrame = {
+                           maxDocFreq: Long = 0L, tfCap: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val thrPpm = math.round(threshold * 1e6)
-    // Multiset k-grams via column algebra (graft_shingles DEDUPES by
-    // design — the set family wants that, this operator must not).
-    val w = split(textCol, " ")
-    val grams = when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", slice(w, i + 1, lit(k))))).otherwise(array())
-    val tf = df
-      .select(idCol.as("id"), grams.as("gs"))
-      .where(col("id").isNotNull)
-      .select(col("id"), size(col("gs")).cast("long").as("n"), explode(col("gs")).as("gram"))
-      .groupBy("id", "n", "gram").agg(count(lit(1)).as("tf"))
+    val tf = cappedTf(df, idCol, textCol, k, tfCap)
     val kept =
       if (maxDocFreq <= 0L) tf
       else {
@@ -569,6 +591,68 @@ object NearDup {
         expr("(1000000 * min_sum) div (na + nb - min_sum)"))
       .filter(col("jw_ppm") >= thrPpm)
       .select("id_a", "id_b", "min_sum", "na", "nb", "jw_ppm")
+  }
+
+  /** Weighted MinHash signatures, wide form: `id, mh_0..mh_{n-1},
+    * n_grams` where `n_grams` is the CAPPED MASS `Σ min(tf, tfCap)` —
+    * computed by the native `graft_minhash_w` expression as a narrow map
+    * (no explode, no shuffle; the [[minHashSignatures]] scale contract).
+    * Component collision probability is the capped weighted Jaccard, so
+    * LSH banding over these signatures buckets by J_w. */
+  def weightedMinHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
+                                k: Int, numHashes: Int, tfCap: Int): DataFrame = {
+    require(tfCap >= 1, s"tfCap must be >= 1, got $tfCap")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(idCol.as("id"),
+        call_function("graft_minhash_w", textCol, lit(k), lit(numHashes), lit(tfCap)).as("s"))
+      .where(col("s").isNotNull)
+      .select(col("id") +:
+        (0 until numHashes).map(i => col("s.mh")(i).as(s"mh_$i")) :+
+        col("s.n_grams").cast("long").as("n_grams"): _*)
+  }
+
+  /** Full weighted-MinHash LSH near-dup: L77's scale path. Candidates
+    * from banding the [[weightedMinHashSignatures]] (same
+    * [[lshCandidates]] machinery — the bucket key only reads `mh_*`),
+    * verified with the EXACT capped weighted Jaccard ≥ threshold (ppm
+    * integer math). Mirrors [[minHashLshPairs]]'s scale choices:
+    * signatures persisted (the table a production pipeline would
+    * materialize), candidate broadcast gated on a measured count, tf
+    * rows built only for documents appearing in a candidate pair.
+    * Output: (id_a, id_b, min_sum, na, nb, jw_ppm). */
+  def weightedMinHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
+                              k: Int, numHashes: Int, rowsPerBand: Int,
+                              threshold: Double, tfCap: Int,
+                              broadcastCandidateLimit: Long = 5000000L,
+                              maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val thrPpm = math.round(threshold * 1e6)
+    val sigs = weightedMinHashSignatures(df, idCol, textCol, k, numHashes, tfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candPersisted = lshCandidates(sigs, rowsPerBand, maxBucketSize).persist()
+    val candCount = candPersisted.count()
+    val hintable = candCount <= broadcastCandidateLimit
+    val cand = if (hintable) broadcast(candPersisted) else candPersisted
+    def tfSide(pairIdCol: String): DataFrame = {
+      val idsUnhinted = candPersisted.select(col(pairIdCol).as("__cid")).distinct()
+      val ids = if (hintable) broadcast(idsUnhinted) else idsUnhinted
+      cappedTf(df.join(ids, idCol === col("__cid"), "left_semi"),
+        idCol, textCol, k, tfCap)
+        .select(col("id").as(pairIdCol), col("gram"), col("tf").as(s"__tf_$pairIdCol"))
+    }
+    val verified = tfSide("id_a")
+      .join(cand.select("id_a", "id_b", "na", "nb"), Seq("id_a"))
+      .join(tfSide("id_b"), Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(sum(least(col("__tf_id_a"), col("__tf_id_b"))).as("min_sum"))
+      .withColumn("jw_ppm",
+        expr("(1000000 * min_sum) div (na + nb - min_sum)"))
+      .filter(col("jw_ppm") >= thrPpm)
+      .select("id_a", "id_b", "min_sum", "na", "nb", "jw_ppm")
+    val out = verified.localCheckpoint(true)
+    candPersisted.unpersist(false)
+    sigs.unpersist(false)
+    out
   }
 
   def bBitAgreement(sigs: DataFrame, candidates: DataFrame,

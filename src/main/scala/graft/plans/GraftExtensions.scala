@@ -117,6 +117,12 @@ object GraftExtensions {
         require(args.length == 1, "graft_md5_fold48 takes exactly one argument")
         Md5Fold48(args.head)
       }),
+    (FunctionIdentifier("graft_minhash_w"),
+      new ExpressionInfo(classOf[WeightedMinHashSig].getName, "graft_minhash_w"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_minhash_w takes (text, k, numHashes, tfCap)")
+        WeightedMinHashSig(args.head, args(1), args(2), args(3))
+      }),
     (FunctionIdentifier("graft_tf_bucket"),
       new ExpressionInfo(classOf[TfBucket].getName, "graft_tf_bucket"),
       (args: Seq[Expression]) => {

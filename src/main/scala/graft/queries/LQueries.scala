@@ -89,6 +89,8 @@ object LQueries {
     "q145_cluster_sizes" -> ((s, d) => q145(s, d)),
     "q146_weighted_jaccard" -> ((s, d) => q146(s, d)),
     "q147_threshold_curve" -> ((s, d) => q147(s, d)),
+    "q149_weighted_lsh" -> ((s, d) => q149(s, d)),
+    "q150_weighted_dedup_eval" -> ((s, d) => q150(s, d)),
     "q135_corpus_report" -> ((s, d) => q135(s, d)),
   )
 
@@ -838,6 +840,25 @@ object LQueries {
       col("doc_id"), col("text"), k = 3,
       thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
 
+  /** L79: weighted-MinHash LSH near-dup — L77's scale path. Native
+    * graft_minhash_w signatures (each gram contributes min(tf, 4) hash
+    * copies), q18's banding, candidates verified with exact capped
+    * weighted Jaccard >= 0.5 in ppm. */
+  def q149(s: SparkSession, d: String): DataFrame =
+    NearDup.weightedMinHashLshPairs(Tables.documents(s, d), col("doc_id"),
+      col("text"), k = 3, numHashes = 8, rowsPerBand = 2,
+      threshold = 0.5, tfCap = 4)
+
+  /** L79 companion (the L62 discipline): measured precision/recall of
+    * the weighted-LSH path against the exact capped weighted baseline —
+    * the approximate path is only trusted because this row measures it. */
+  def q150(s: SparkSession, d: String): DataFrame =
+    graft.operators.DedupEval.pairSetMetrics(
+      q149(s, d).select("id_a", "id_b"),
+      NearDup.weightedJaccardPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), k = 3, threshold = 0.5, tfCap = 4)
+        .select("id_a", "id_b"))
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -1376,6 +1397,82 @@ object LQueries {
         |  GROUP BY doc_id)
         |SELECT u.doc_id, u.n_tokens, b.n_bigrams, u.uni_rarity_q, b.bi_surprisal_q
         |FROM uni u LEFT JOIN bis b USING (doc_id)""".stripMargin,
+    "q149_weighted_lsh" -> ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id AS id,
+        |             unnest(list_transform(range(len(ws) - 2), i ->
+        |               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
+        |      FROM w WHERE len(ws) >= 3),
+        |cap AS (SELECT id, gram, least(CAST(count(*) AS BIGINT), 4) AS tf
+        |        FROM g GROUP BY 1, 2),
+        |mass AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n FROM cap GROUP BY 1),
+        |ex AS (SELECT id, gram, unnest(range(tf)) AS c FROM cap),
+        |mh AS (SELECT id, i,
+        |         min(md5(CAST(i AS VARCHAR) || ':' || gram || '#' || CAST(c AS VARCHAR))) AS mh
+        |       FROM (SELECT id, gram, c, unnest(range(8)) AS i FROM ex) x GROUP BY id, i),
+        |banded AS (SELECT id, CAST(i // 2 AS INT) AS band,
+        |                  md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || mh, '|'
+        |                                 ORDER BY lpad(CAST(i AS VARCHAR), 2, '0'))) AS bucket
+        |           FROM mh GROUP BY id, CAST(i // 2 AS INT)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+        |         JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |inter AS (SELECT c.id_a, c.id_b, CAST(sum(least(ca.tf, cb.tf)) AS BIGINT) AS min_sum
+        |          FROM cand c JOIN cap ca ON ca.id = c.id_a
+        |               JOIN cap cb ON cb.id = c.id_b AND cb.gram = ca.gram
+        |          GROUP BY 1, 2),
+        |appx AS (SELECT i.id_a, i.id_b, i.min_sum, ma.n AS na, mb.n AS nb,
+        |           CAST((1000000 * min_sum) // (ma.n + mb.n - min_sum) AS BIGINT) AS jw_ppm
+        |         FROM inter i JOIN mass ma ON ma.id = i.id_a JOIN mass mb ON mb.id = i.id_b
+        |         WHERE (1000000 * min_sum) // (ma.n + mb.n - min_sum) >= 500000)
+        |SELECT id_a, id_b, min_sum, na, nb, jw_ppm FROM appx""".stripMargin),
+    "q150_weighted_dedup_eval" -> ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id AS id,
+        |             unnest(list_transform(range(len(ws) - 2), i ->
+        |               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
+        |      FROM w WHERE len(ws) >= 3),
+        |cap AS (SELECT id, gram, least(CAST(count(*) AS BIGINT), 4) AS tf
+        |        FROM g GROUP BY 1, 2),
+        |mass AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n FROM cap GROUP BY 1),
+        |ex AS (SELECT id, gram, unnest(range(tf)) AS c FROM cap),
+        |mh AS (SELECT id, i,
+        |         min(md5(CAST(i AS VARCHAR) || ':' || gram || '#' || CAST(c AS VARCHAR))) AS mh
+        |       FROM (SELECT id, gram, c, unnest(range(8)) AS i FROM ex) x GROUP BY id, i),
+        |banded AS (SELECT id, CAST(i // 2 AS INT) AS band,
+        |                  md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || mh, '|'
+        |                                 ORDER BY lpad(CAST(i AS VARCHAR), 2, '0'))) AS bucket
+        |           FROM mh GROUP BY id, CAST(i // 2 AS INT)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+        |         JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |inter AS (SELECT c.id_a, c.id_b, CAST(sum(least(ca.tf, cb.tf)) AS BIGINT) AS min_sum
+        |          FROM cand c JOIN cap ca ON ca.id = c.id_a
+        |               JOIN cap cb ON cb.id = c.id_b AND cb.gram = ca.gram
+        |          GROUP BY 1, 2),
+        |appx AS (SELECT i.id_a, i.id_b, i.min_sum, ma.n AS na, mb.n AS nb,
+        |           CAST((1000000 * min_sum) // (ma.n + mb.n - min_sum) AS BIGINT) AS jw_ppm
+        |         FROM inter i JOIN mass ma ON ma.id = i.id_a JOIN mass mb ON mb.id = i.id_b
+        |         WHERE (1000000 * min_sum) // (ma.n + mb.n - min_sum) >= 500000),
+        |exint AS (SELECT a.id AS id_a, b.id AS id_b,
+        |            CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS min_sum
+        |          FROM cap a JOIN cap b ON a.gram = b.gram AND a.id < b.id
+        |          GROUP BY 1, 2),
+        |exact AS (SELECT e.id_a, e.id_b
+        |          FROM exint e JOIN mass ma ON ma.id = e.id_a JOIN mass mb ON mb.id = e.id_b
+        |          WHERE (1000000 * e.min_sum) // (ma.n + mb.n - e.min_sum) >= 500000),
+        |ap AS (SELECT DISTINCT id_a, id_b FROM appx),
+        |j AS (SELECT coalesce(e.id_a, a.id_a) AS id_a,
+        |             CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS ine,
+        |             CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END AS ina
+        |      FROM exact e FULL OUTER JOIN ap a
+        |        ON a.id_a = e.id_a AND a.id_b = e.id_b),
+        |m AS (SELECT CAST(sum(ine) AS BIGINT) AS n_exact,
+        |             CAST(sum(ina) AS BIGINT) AS n_approx,
+        |             CAST(sum(ine * ina) AS BIGINT) AS tp
+        |      FROM j)
+        |SELECT n_exact, n_approx, tp,
+        |       CAST(n_approx - tp AS BIGINT) AS fp,
+        |       CAST(n_exact - tp AS BIGINT) AS fn,
+        |       CAST(CASE WHEN n_approx = 0 THEN 0 ELSE (1000000 * tp) // n_approx END AS BIGINT) AS precision_ppm,
+        |       CAST(CASE WHEN n_exact = 0 THEN 0 ELSE (1000000 * tp) // n_exact END AS BIGINT) AS recall_ppm
+        |FROM m""".stripMargin),
     "q147_threshold_curve" -> (grams +
       """,
         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter

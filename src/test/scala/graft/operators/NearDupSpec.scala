@@ -232,6 +232,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("weightedMinHashSignatures: capped mass and cap-1 set-degeneration") {
+    val df = Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text")
+    val s4 = NearDup.weightedMinHashSignatures(df, col("doc_id"), col("text"),
+      k = 1, numHashes = 4, tfCap = 4)
+    val mass = s4.select("id", "n_grams").as[(Long, Long)].collect().toMap
+    assert(mass == Map(1L -> 4L, 2L -> 2L), s"capped mass is sum(min(tf,cap)): $mass")
+    // cap = 1 ignores multiplicity: both docs have identical signatures.
+    val s1 = NearDup.weightedMinHashSignatures(df, col("doc_id"), col("text"),
+      k = 1, numHashes = 4, tfCap = 1)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(s1(1L) == s1(2L), "cap-1 weighted minhash must degenerate to set minhash")
+  }
+
+  test("weightedJaccardPairs tfCap: capped masses drive the score") {
+    val df = Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text")
+    def run(cap: Int) = NearDup.weightedJaccardPairs(df, col("doc_id"), col("text"),
+      k = 1, threshold = 0.4, tfCap = cap)
+      .select("min_sum", "na", "nb", "jw_ppm").as[(Long, Long, Long, Long)].head()
+    assert(run(4) == ((2L, 4L, 2L, 500000L)), "cap above tf: full multiset semantics")
+    assert(run(1) == ((2L, 2L, 2L, 1000000L)), "cap 1: set semantics, J = 1")
+  }
+
+  test("weightedMinHashLshPairs verifies banded candidates with capped weighted Jaccard") {
+    val text = "a b c d e f g h i j a b c d"
+    val docs = Seq((1L, text), (2L, text), (3L, "z y x w v u t s r q p o n m"))
+      .toDF("doc_id", "text")
+    val out = NearDup.weightedMinHashLshPairs(docs, col("doc_id"), col("text"),
+      k = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5, tfCap = 4)
+      .select("id_a", "id_b", "jw_ppm").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1000000L)), s"identical docs only, at J_w = 1: $out")
+  }
+
   test("weightedJaccardPairs stop-gram cap is a lower bound that drops hot-gram pairs") {
     // "t t t" gram appears in all 4 docs; cap at 3 removes it from the
     // intersection but NOT from the sizes — scores can only go down.
