@@ -81,6 +81,7 @@ object RQueries {
     "q138_cpf_audit" -> ((s, d) => q138(s, d)),
     "q141_rfm" -> ((s, d) => q141(s, d)),
     "q148_blocklist_sweep" -> ((s, d) => q148(s, d)),
+    "q151_wave_schedule" -> ((s, d) => q151(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
   )
@@ -127,6 +128,15 @@ object RQueries {
   def q148(s: SparkSession, d: String): DataFrame =
     graft.operators.Blocklist.thresholdSweep(Tables.events(s, d),
       col("user_id"), col("event_type"), Seq("error"), maxThreshold = 6)
+
+  /** R77: capacity-constrained wave scheduling — per-customer debt
+    * totals ranked biggest-first (custkey tiebreak), cut into waves of
+    * 500; the dialer-capacity complement of the R37 hour-slot pivot. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    val debts = Tables.orders(s, d).groupBy(col("o_custkey").as("cpf"))
+      .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("debt_cents"))
+    Waves.assign(debts, Seq(col("debt_cents").desc, col("cpf").asc), capacity = 500L)
+  }
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -1415,6 +1425,16 @@ object RQueries {
         |SELECT r.user_id, r.hh AS best_hour, r.n AS n_events,
         |       CAST((1000000 * r.n) // t.tt AS BIGINT) AS share_ppm
         |FROM r JOIN t ON t.user_id = r.user_id WHERE r.rn = 1""".stripMargin,
+    "q151_wave_schedule" ->
+      """WITH debts AS (SELECT o_custkey AS cpf,
+        |                CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS debt_cents
+        |              FROM orders GROUP BY 1),
+        |r AS (SELECT cpf, debt_cents,
+        |        CAST(row_number() OVER (ORDER BY debt_cents DESC, cpf ASC) AS BIGINT) AS ordinal
+        |      FROM debts)
+        |SELECT cpf, debt_cents, ordinal,
+        |       CAST((ordinal - 1) // 500 + 1 AS BIGINT) AS wave
+        |FROM r""".stripMargin,
     "q148_blocklist_sweep" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events
         |             WHERE lower(trim(event_type)) = 'error' GROUP BY 1),

@@ -105,6 +105,17 @@ class PrioritizeSegmentationSpec extends SparkSpec {
     assert(h2.count() == 1 && r2.count() == 1)
   }
 
+  test("waves: capacity cuts the global priority order into bounded waves") {
+    val df = (1L to 23L).map(i => (i, 1000L - i)).toDF("id", "score")
+    val out = Waves.assign(df, Seq(col("score").desc, col("id").asc), capacity = 10L)
+      .select("id", "ordinal", "wave").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // score desc == id asc here, so ordinal == id.
+    assert(out.forall { case (id, ord, _) => ord == id })
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes == Map(1L -> 10, 2L -> 10, 3L -> 3), s"got $sizes")
+    assert(out.forall { case (_, ord, w) => w == (ord - 1) / 10 + 1 })
+  }
+
   test("blocklist thresholdSweep: cumulative counts from one log pass") {
     // u1: 4 criticals, u2: 2, u3: 1, u4: only non-critical noise.
     val log = (Seq.fill(4)((1L, "ERROR")) ++ Seq.fill(2)((2L, " error ")) ++

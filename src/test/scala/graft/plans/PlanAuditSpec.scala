@@ -92,6 +92,9 @@ class PlanAuditSpec extends SparkSpec {
     "q108_neg_sample" -> ("Contrastive rides GlobalRank for its dense ordinals; " +
       "the same partition-count offsets frame plans under both join branches " +
       "of the partner self-join, hence two bounded-metadata window nodes"),
+    "q151_wave_schedule" -> ("Waves rides GlobalRank — the same " +
+      "partition-count offsets frame as q107; wave id is arithmetic on " +
+      "the ordinal"),
     "q127_concurrency" -> ("Intervals' sweep runs over the CALENDAR-GRAIN " +
       "boundary-event frame (2 rows per interval, bounded by the day spine " +
       "domain at any scale the report is readable at); the scale contract " +
