@@ -161,6 +161,31 @@ class AudioMetaSpec extends SparkSpec {
     assert(m.getString(0) == "mp3" && m.getInt(2) == 22050 && m.getLong(5) == 1000L)
   }
 
+  test("a real-world MP3 (public gsutil test asset) parses to sane metadata") {
+    // Every other MP3 case in this suite is synthesized by the same code
+    // under test's mental model; this one is a REAL encoder's bitstream
+    // (Apache-2.0 gsutil test data shipped with the host's cloud SDK):
+    // ID3v2 header, MPEG-2 LSF Layer III, 22050 Hz mono, 64 kbps.
+    val path = java.nio.file.Paths.get(
+      "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+    assume(java.nio.file.Files.exists(path), "host asset not present; skipping")
+    GraftExtensions.register(ss)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val m = Seq((1L, bytes)).toDF("id", "bin")
+      .select(call_function("graft_audio_meta", col("bin")).as("m")).head.getStruct(0)
+    assert(m != null, "a real encoder's MP3 must be recognized")
+    assert(m.getString(0) == "mp3" && m.getInt(1) == 1 && m.getInt(2) == 22050)
+    // n_frames is PCM sample-frames (the wav convention): 9404 payload
+    // bytes at 64 kbps, 22.05 kHz ⇒ 9404·8·22050/64000 ≈ 25.9k samples
+    // ≈ 1.18 s. Pin the derivation, not a guess.
+    val payload = bytes.length - 32 // 10-byte ID3 header + 22-byte tag body
+    val expectSamples = payload.toLong * 8L * 22050L / 64000L
+    assert(m.getLong(4) == expectSamples,
+      s"sample count: ${m.getLong(4)} vs derived $expectSamples")
+    assert(m.getLong(5) == expectSamples * 1000L / 22050L,
+      s"duration: ${m.getLong(5)} ms")
+  }
+
   test("audioMeta helper and SQL surface agree; codegen path compiles") {
     val df = Seq((1L, wav(2, 22050, 16, 22050))).toDF("id", "bin")
     val viaHelper = df.select(graft.operators.Multimodal.audioMeta(df, col("bin")).as("m"))
