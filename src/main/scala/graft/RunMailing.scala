@@ -96,8 +96,15 @@ object RunMailing {
       println(s"HUMAN=${s.human} ROBOT=${s.robot} ZIP_ENTRIES=${s.zipEntries}")
       println(s"STATE=${state.status.getOrElse("?")} METRICS=${state.lastMetrics.toSeq.sorted.mkString(",")}")
     } catch {
-      case _: Throwable =>
-        // main.py:94 — friendly message to the operator, detail in the log.
+      case e: Throwable =>
+        // main.py:94 — friendly message to the operator on stdout; the
+        // detail goes to stderr AND the state file, so a failure BEFORE
+        // execute() builds its run log (e.g. a malformed config.ini)
+        // still leaves diagnostics somewhere findable. execute()'s own
+        // failures already saved the same state — the re-save is
+        // idempotent.
+        System.err.println(s"ERRO CRITICO: ${e.getMessage}")
+        state.saveFailure(e.getMessage)
         println(OperatorFailureMessage)
         spark.stop()
         sys.exit(1)

@@ -48,6 +48,15 @@ object Blocklist {
     * mojibake repair + normalization — the reference's bloqueio filter with
     * its rejected-rows side report.
     * Ref: `/root/reference/src/processing_pipeline.py:195-222`. */
+  def filterWithRejects(df: DataFrame, statusCol: Column, toRemove: Set[String]): (DataFrame, DataFrame) = {
+    val norm = TextClean.normKey(TextClean.fixMojibake(statusCol))
+    val flagged = df.withColumn("__remove", norm.isin(toRemove.map(_.toLowerCase).toSeq: _*))
+    val kept = flagged.filter(!col("__remove")).drop("__remove")
+    val rejected = flagged.filter(col("__remove")).drop("__remove")
+      .withColumn("motivo_remocao", statusCol)
+    (kept, rejected)
+  }
+
   /** What-if sweep of the blocklist threshold (R8's dial): for each
     * candidate threshold 1..`maxThreshold`, how many keys WOULD be
     * blocked (critical-status count ≥ threshold). The reference hardcodes
@@ -71,14 +80,5 @@ object Blocklist {
     spine.join(hist, col("__n") >= col("threshold"), "left")
       .groupBy("threshold")
       .agg(sum(coalesce(col("__cnt"), lit(0L))).as("n_blocked"))
-  }
-
-  def filterWithRejects(df: DataFrame, statusCol: Column, toRemove: Set[String]): (DataFrame, DataFrame) = {
-    val norm = TextClean.normKey(TextClean.fixMojibake(statusCol))
-    val flagged = df.withColumn("__remove", norm.isin(toRemove.map(_.toLowerCase).toSeq: _*))
-    val kept = flagged.filter(!col("__remove")).drop("__remove")
-    val rejected = flagged.filter(col("__remove")).drop("__remove")
-      .withColumn("motivo_remocao", statusCol)
-    (kept, rejected)
   }
 }

@@ -210,56 +210,58 @@ object NearDup {
     *   unconditional broadcast of that would OOM the driver — so the hint is
     *   gated on the real count (one extra cheap job) and AQE handles the
     *   shuffle-join path otherwise. */
-  def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
-                      k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
-                      broadcastCandidateLimit: Long = 5000000L,
-                      maxBucketSize: Long = Long.MaxValue): DataFrame = {
-    // Persist the SIGNATURES (not the shingles): the banded self-join reads
-    // its subtree twice, and unpersisted that re-scans the corpus and
-    // re-hashes every shingle per side. Signatures are rows × numHashes
-    // hex strings — a compact derived projection (what a production
-    // pipeline would materialize as a table), unlike the shingle explosion,
-    // which outgrows the corpus and stays uncached. Spill-safe
-    // MEMORY_AND_DISK; released below with the candidates.
-    val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candUnhinted = lshCandidates(sigs, rowsPerBand, maxBucketSize)
-    // MEMORY_AND_DISK persist (spill-safe) only for the duration of the gate
-    // count + verification join; released via unpersist below.
-    val candPersisted = candUnhinted.persist()
-    val candCount = candPersisted.count()
-    val hintable = candCount <= broadcastCandidateLimit
+  /** Shared LSH orchestration for the banded-signature pair family:
+    * persist the SIGNATURES (not shingles — the banded self-join reads
+    * its subtree twice, and signatures are the compact derived projection
+    * a production pipeline would materialize as a table, unlike the
+    * shingle explosion, which outgrows the corpus and stays uncached),
+    * gate the candidate broadcast hint on a MEASURED count (a
+    * duplicate-heavy corpus can put O(n²) pairs in one hot bucket and an
+    * unconditional broadcast would OOM the driver), narrow per-side
+    * verification inputs to candidate docs via left-semi joins, then
+    * localCheckpoint the (tiny) verified pairs so both persists release
+    * deterministically instead of leaking until session end.
+    * `verify(cand, narrowed)` builds the verification frame from the
+    * hinted candidate pairs and the suspects-only corpus subset. */
+  private def lshVerifyHarness(df: DataFrame, idCol: Column, sigs0: DataFrame,
+                               rowsPerBand: Int, maxBucketSize: Long,
+                               broadcastCandidateLimit: Long)(
+      verify: (DataFrame, String => DataFrame) => DataFrame): DataFrame = {
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candPersisted = lshCandidates(sigs, rowsPerBand, maxBucketSize).persist()
+    val hintable = candPersisted.count() <= broadcastCandidateLimit
     val cand = if (hintable) broadcast(candPersisted) else candPersisted
-    // Explode shingles ONLY for docs that appear in a candidate pair: the
-    // semi-join runs on the un-exploded corpus, so the (corpus-sized ×
-    // shingle-factor) explosion shrinks to the near-dup suspects. On a
-    // mostly-unique corpus that's orders of magnitude less work than
-    // shingling everything on both sides of the verification join.
-    def candSide(pairIdCol: String): DataFrame = {
+    def narrowed(pairIdCol: String): DataFrame = {
       val idsUnhinted = candPersisted.select(col(pairIdCol).as("__cid")).distinct()
       val ids = if (hintable) broadcast(idsUnhinted) else idsUnhinted
-      wordShingles(
-        df.join(ids, idCol === col("__cid"), "left_semi"), idCol, textCol, k)
+      df.join(ids, idCol === col("__cid"), "left_semi")
     }
-    // na/nb ride along on the candidate pairs (computed in the signature
-    // aggregation), so verification is just intersect-count + arithmetic —
-    // no separate sizes aggregation, no post-agg joins.
-    val verified = candSide("id_a").toDF("id_a", "gram")
-      .join(cand, Seq("id_a"))
-      .join(candSide("id_b").toDF("id_b", "gram"), Seq("id_b", "gram"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("n_inter"))
-      .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-    // Materialize the verified pairs (tiny relative to the corpus) so the
-    // candidate persist can be released deterministically instead of leaking
-    // until session end; checkpoint blocks are GC-cleaned with the frame.
-    val out = verified.localCheckpoint(true)
+    val out = verify(cand, narrowed).localCheckpoint(true)
     candPersisted.unpersist(false)
     sigs.unpersist(false)
     out
   }
+
+  def minHashLshPairs(df: DataFrame, idCol: Column, textCol: Column,
+                      k: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
+                      broadcastCandidateLimit: Long = 5000000L,
+                      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    lshVerifyHarness(df, idCol, minHashSignatures(df, idCol, textCol, k, numHashes),
+      rowsPerBand, maxBucketSize, broadcastCandidateLimit) { (cand, narrowed) =>
+      // Explode shingles ONLY for docs that appear in a candidate pair; na/nb
+      // ride along on the candidates (from the signature projection), so
+      // verification is intersect-count + arithmetic — no sizes aggregation.
+      def candSide(pairIdCol: String): DataFrame =
+        wordShingles(narrowed(pairIdCol), idCol, textCol, k)
+      candSide("id_a").toDF("id_a", "gram")
+        .join(cand, Seq("id_a"))
+        .join(candSide("id_b").toDF("id_b", "gram"), Seq("id_b", "gram"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
 
   /** Winnowing-based candidate pairs: documents sharing at least one
     * selected fingerprint ([[Winnowing.fingerprints]], the MOSS selection).
@@ -496,43 +498,6 @@ object NearDup {
         struct(col("b"), when(col("v") >= 0, lit("1")).otherwise(lit("0")).as("s")))).getField("s")).as("simhash"))
   }
 
-  /** b-bit minhash agreement (Li & König, WWW 2010): per candidate pair,
-    * the full-signature component agreement AND the b-bit estimate —
-    * signatures stored at `b` bits per component instead of a full hash
-    * are 32-128× smaller (the store-size lever for [[IncrementalDedup]]'s
-    * 100 TB signature table), at the price of random collisions the
-    * published unbiased estimator inverts:
-    * `ŝ = (m/k − 2⁻ᵇ) / (1 − 2⁻ᵇ)`, here in exact integer ppm
-    * (clamped at 0). The b bits are the low bits of each component's
-    * final hex digit — reproducible by the SQL oracle.
-    *
-    * Scale shape: two id-equi-joins of the candidate set against the
-    * signature table, all comparisons in-row — candidates ≪ corpus by
-    * LSH construction. Output: (id_a, id_b, m_full, m_bbit,
-    * agree_full_ppm, est_bbit_ppm). */
-  /** Weighted (term-frequency) Jaccard near-dup pairs — the MULTISET
-    * overlap `J_w(A,B) = Σ_g min(tf_A(g), tf_B(g)) / Σ_g max(tf_A(g),
-    * tf_B(g))` (generalized/weighted Jaccard, the quantity weighted
-    * minhash schemes like ICWS estimate). The set-based family (L4/L53)
-    * dedupes grams first, so a document that repeats a phrase 50 times
-    * and one that uses it once look identical; the weighted form scores
-    * how much of the TOKEN MASS overlaps — the right notion for
-    * template-spam and boilerplate-amplified near-dups.
-    *
-    * Identities used: grams are counted WITH multiplicity (`na`/`nb` =
-    * total gram count, not distinct), and `Σ max = na + nb − Σ min`, so
-    * one intersection pass suffices. All math integer (counts + one ppm
-    * division), hash-exact cross-engine.
-    *
-    * Scale shape: one map-side-combinable (id, gram) tf aggregation, one
-    * gram equi-self-join (the q19 shape, one shuffle), one pair groupBy.
-    * `maxDocFreq` is the same stop-gram cap as [[ngramJaccardPairs]]:
-    * grams in more than that many DOCS are dropped before the self-join
-    * (pair mass is O(df²) per gram); sizes still count all grams, so the
-    * capped score is a lower bound of the exact one.
-    *
-    * Output: (id_a, id_b, min_sum, na, nb, jw_ppm) at `jw_ppm ≥
-    * threshold` ppm, id_a < id_b. */
   /** Multiset k-grams via column algebra (graft_shingles DEDUPES by
     * design — the set family wants that, the weighted family must not). */
   private def multisetGrams(textCol: Column, k: Int): Column = {
@@ -565,6 +530,29 @@ object NearDup {
     }
   }
 
+  /** Weighted (term-frequency) Jaccard near-dup pairs — the MULTISET
+    * overlap `J_w(A,B) = Σ_g min(tf_A(g), tf_B(g)) / Σ_g max(tf_A(g),
+    * tf_B(g))` (generalized/weighted Jaccard, the quantity weighted
+    * minhash schemes like ICWS estimate). The set-based family (L4/L53)
+    * dedupes grams first, so a document that repeats a phrase 50 times
+    * and one that uses it once look identical; the weighted form scores
+    * how much of the TOKEN MASS overlaps — the right notion for
+    * template-spam and boilerplate-amplified near-dups.
+    *
+    * Identities used: grams are counted WITH multiplicity (`na`/`nb` =
+    * total gram count, not distinct), and `Σ max = na + nb − Σ min`, so
+    * one intersection pass suffices. All math integer (counts + one ppm
+    * division), hash-exact cross-engine.
+    *
+    * Scale shape: one map-side-combinable (id, gram) tf aggregation, one
+    * gram equi-self-join (the q19 shape, one shuffle), one pair groupBy.
+    * `maxDocFreq` is the same stop-gram cap as [[ngramJaccardPairs]]:
+    * grams in more than that many DOCS are dropped before the self-join
+    * (pair mass is O(df²) per gram); sizes still count all grams, so the
+    * capped score is a lower bound of the exact one.
+    *
+    * Output: (id_a, id_b, min_sum, na, nb, jw_ppm) at `jw_ppm ≥
+    * threshold` ppm, id_a < id_b. */
   def weightedJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                            k: Int, threshold: Double,
                            maxDocFreq: Long = 0L, tfCap: Int = 0): DataFrame = {
@@ -627,34 +615,38 @@ object NearDup {
                               maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val thrPpm = math.round(threshold * 1e6)
-    val sigs = weightedMinHashSignatures(df, idCol, textCol, k, numHashes, tfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candPersisted = lshCandidates(sigs, rowsPerBand, maxBucketSize).persist()
-    val candCount = candPersisted.count()
-    val hintable = candCount <= broadcastCandidateLimit
-    val cand = if (hintable) broadcast(candPersisted) else candPersisted
-    def tfSide(pairIdCol: String): DataFrame = {
-      val idsUnhinted = candPersisted.select(col(pairIdCol).as("__cid")).distinct()
-      val ids = if (hintable) broadcast(idsUnhinted) else idsUnhinted
-      cappedTf(df.join(ids, idCol === col("__cid"), "left_semi"),
-        idCol, textCol, k, tfCap)
-        .select(col("id").as(pairIdCol), col("gram"), col("tf").as(s"__tf_$pairIdCol"))
+    lshVerifyHarness(df, idCol,
+      weightedMinHashSignatures(df, idCol, textCol, k, numHashes, tfCap),
+      rowsPerBand, maxBucketSize, broadcastCandidateLimit) { (cand, narrowed) =>
+      def tfSide(pairIdCol: String): DataFrame =
+        cappedTf(narrowed(pairIdCol), idCol, textCol, k, tfCap)
+          .select(col("id").as(pairIdCol), col("gram"), col("tf").as(s"__tf_$pairIdCol"))
+      tfSide("id_a")
+        .join(cand.select("id_a", "id_b", "na", "nb"), Seq("id_a"))
+        .join(tfSide("id_b"), Seq("id_b", "gram"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(sum(least(col("__tf_id_a"), col("__tf_id_b"))).as("min_sum"))
+        .withColumn("jw_ppm",
+          expr("(1000000 * min_sum) div (na + nb - min_sum)"))
+        .filter(col("jw_ppm") >= thrPpm)
+        .select("id_a", "id_b", "min_sum", "na", "nb", "jw_ppm")
     }
-    val verified = tfSide("id_a")
-      .join(cand.select("id_a", "id_b", "na", "nb"), Seq("id_a"))
-      .join(tfSide("id_b"), Seq("id_b", "gram"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(sum(least(col("__tf_id_a"), col("__tf_id_b"))).as("min_sum"))
-      .withColumn("jw_ppm",
-        expr("(1000000 * min_sum) div (na + nb - min_sum)"))
-      .filter(col("jw_ppm") >= thrPpm)
-      .select("id_a", "id_b", "min_sum", "na", "nb", "jw_ppm")
-    val out = verified.localCheckpoint(true)
-    candPersisted.unpersist(false)
-    sigs.unpersist(false)
-    out
   }
 
+  /** b-bit minhash agreement (Li & König, WWW 2010): per candidate pair,
+    * the full-signature component agreement AND the b-bit estimate —
+    * signatures stored at `b` bits per component instead of a full hash
+    * are 32-128× smaller (the store-size lever for [[IncrementalDedup]]'s
+    * 100 TB signature table), at the price of random collisions the
+    * published unbiased estimator inverts:
+    * `ŝ = (m/k − 2⁻ᵇ) / (1 − 2⁻ᵇ)`, here in exact integer ppm
+    * (clamped at 0). The b bits are the low bits of each component's
+    * final hex digit — reproducible by the SQL oracle.
+    *
+    * Scale shape: two id-equi-joins of the candidate set against the
+    * signature table, all comparisons in-row — candidates ≪ corpus by
+    * LSH construction. Output: (id_a, id_b, m_full, m_bbit,
+    * agree_full_ppm, est_bbit_ppm). */
   def bBitAgreement(sigs: DataFrame, candidates: DataFrame,
                     numHashes: Int, b: Int): DataFrame = {
     require(b >= 1 && b <= 4, "b in 1..4 (bits of one hex digit)")

@@ -52,14 +52,15 @@ object QuantileSketch {
   /** Quantile readout at integer percentiles `qs` (e.g. Seq(50, 90, 99)).
     * Rank is the ceiling rank `⌈q·n/100⌉`; the estimate for a bucket b ≥ 1
     * (covering [2^(b−1), 2^b−1]) is the integer midpoint
-    * `(3·2^(b−1) − 1) div 2`, and 0 for bucket 0. Buckets ≥ 62 (values
-    * ≥ 2⁶¹) would overflow the midpoint formula in a Long, so they
-    * saturate to Long.MaxValue instead of going negative.
+    * `(3·2^(b−1) − 1) div 2`, and 0 for bucket 0. Buckets ≥ 63 (values
+    * ≥ 2⁶²) would overflow the midpoint formula in a Long (3·2⁶² >
+    * Long.MaxValue; bucket 62's 3·2⁶¹ still fits), so they saturate to
+    * Long.MaxValue instead of going negative.
     * Output: (grp, n, p<q>_est …) one row per group. */
   def quantiles(sk: DataFrame, qs: Seq[Int]): DataFrame =
     readout(sk, qs, b =>
       when(b <= 0, lit(0L))
-        .when(b >= 62, lit(Long.MaxValue))
+        .when(b >= 63, lit(Long.MaxValue))
         .otherwise(expr(s"(3 * shiftleft(1L, ${b.toString} - 1) - 1) div 2")))
 
   /** EXACT per-group percentiles for an integer column whose DOMAIN is

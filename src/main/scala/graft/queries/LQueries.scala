@@ -1013,6 +1013,38 @@ object LQueries {
        |     WHEN ${stopHitsSql(TextAnalysis.PtStop)} >= ${stopHitsSql(TextAnalysis.EsStop)} THEN 'pt'
        |     ELSE 'es' END""".stripMargin
 
+  /** Shared weighted-minhash CTE chain (k=3, 8 hashes, bands of 2,
+    * tfCap 4, J_w >= 0.5) ending in appx(id_a, id_b, min_sum, na, nb,
+    * jw_ppm) — the q149 pipeline, reused verbatim by q150's approx side
+    * so the two oracles can never desynchronize. */
+  private val weightedLshCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id AS id,
+        |             unnest(list_transform(range(len(ws) - 2), i ->
+        |               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
+        |      FROM w WHERE len(ws) >= 3),
+        |cap AS (SELECT id, gram, least(CAST(count(*) AS BIGINT), 4) AS tf
+        |        FROM g GROUP BY 1, 2),
+        |mass AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n FROM cap GROUP BY 1),
+        |ex AS (SELECT id, gram, unnest(range(tf)) AS c FROM cap),
+        |mh AS (SELECT id, i,
+        |         min(md5(CAST(i AS VARCHAR) || ':' || gram || '#' || CAST(c AS VARCHAR))) AS mh
+        |       FROM (SELECT id, gram, c, unnest(range(8)) AS i FROM ex) x GROUP BY id, i),
+        |banded AS (SELECT id, CAST(i // 2 AS INT) AS band,
+        |                  md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || mh, '|'
+        |                                 ORDER BY lpad(CAST(i AS VARCHAR), 2, '0'))) AS bucket
+        |           FROM mh GROUP BY id, CAST(i // 2 AS INT)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+        |         JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |inter AS (SELECT c.id_a, c.id_b, CAST(sum(least(ca.tf, cb.tf)) AS BIGINT) AS min_sum
+        |          FROM cand c JOIN cap ca ON ca.id = c.id_a
+        |               JOIN cap cb ON cb.id = c.id_b AND cb.gram = ca.gram
+        |          GROUP BY 1, 2),
+        |appx AS (SELECT i.id_a, i.id_b, i.min_sum, ma.n AS na, mb.n AS nb,
+        |           CAST((1000000 * min_sum) // (ma.n + mb.n - min_sum) AS BIGINT) AS jw_ppm
+        |         FROM inter i JOIN mass ma ON ma.id = i.id_a JOIN mass mb ON mb.id = i.id_b
+        |         WHERE (1000000 * min_sum) // (ma.n + mb.n - min_sum) >= 500000)""".stripMargin
+
   private val grams =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT DISTINCT id, gram FROM (
@@ -1195,9 +1227,9 @@ object LQueries {
         |        min(CASE WHEN cum >= (99 * tot + 99) // 100 THEN bucket END) AS b99
         |      FROM c GROUP BY lang)
         |SELECT lang, CAST(n AS BIGINT) AS n,
-        |  CAST(CASE WHEN b50 <= 0 THEN 0 WHEN b50 >= 62 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b50 - 1)) - 1) // 2 END AS BIGINT) AS p50_est,
-        |  CAST(CASE WHEN b90 <= 0 THEN 0 WHEN b90 >= 62 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b90 - 1)) - 1) // 2 END AS BIGINT) AS p90_est,
-        |  CAST(CASE WHEN b99 <= 0 THEN 0 WHEN b99 >= 62 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b99 - 1)) - 1) // 2 END AS BIGINT) AS p99_est
+        |  CAST(CASE WHEN b50 <= 0 THEN 0 WHEN b50 >= 63 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b50 - 1)) - 1) // 2 END AS BIGINT) AS p50_est,
+        |  CAST(CASE WHEN b90 <= 0 THEN 0 WHEN b90 >= 63 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b90 - 1)) - 1) // 2 END AS BIGINT) AS p90_est,
+        |  CAST(CASE WHEN b99 <= 0 THEN 0 WHEN b99 >= 63 THEN 9223372036854775807 ELSE (3 * (CAST(1 AS BIGINT) << (b99 - 1)) - 1) // 2 END AS BIGINT) AS p99_est
         |FROM p""".stripMargin,
     "q108_neg_sample" ->
       """WITH d AS (SELECT doc_id,
@@ -1397,59 +1429,9 @@ object LQueries {
         |  GROUP BY doc_id)
         |SELECT u.doc_id, u.n_tokens, b.n_bigrams, u.uni_rarity_q, b.bi_surprisal_q
         |FROM uni u LEFT JOIN bis b USING (doc_id)""".stripMargin,
-    "q149_weighted_lsh" -> ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (SELECT doc_id AS id,
-        |             unnest(list_transform(range(len(ws) - 2), i ->
-        |               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
-        |      FROM w WHERE len(ws) >= 3),
-        |cap AS (SELECT id, gram, least(CAST(count(*) AS BIGINT), 4) AS tf
-        |        FROM g GROUP BY 1, 2),
-        |mass AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n FROM cap GROUP BY 1),
-        |ex AS (SELECT id, gram, unnest(range(tf)) AS c FROM cap),
-        |mh AS (SELECT id, i,
-        |         min(md5(CAST(i AS VARCHAR) || ':' || gram || '#' || CAST(c AS VARCHAR))) AS mh
-        |       FROM (SELECT id, gram, c, unnest(range(8)) AS i FROM ex) x GROUP BY id, i),
-        |banded AS (SELECT id, CAST(i // 2 AS INT) AS band,
-        |                  md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || mh, '|'
-        |                                 ORDER BY lpad(CAST(i AS VARCHAR), 2, '0'))) AS bucket
-        |           FROM mh GROUP BY id, CAST(i // 2 AS INT)),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
-        |         JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-        |inter AS (SELECT c.id_a, c.id_b, CAST(sum(least(ca.tf, cb.tf)) AS BIGINT) AS min_sum
-        |          FROM cand c JOIN cap ca ON ca.id = c.id_a
-        |               JOIN cap cb ON cb.id = c.id_b AND cb.gram = ca.gram
-        |          GROUP BY 1, 2),
-        |appx AS (SELECT i.id_a, i.id_b, i.min_sum, ma.n AS na, mb.n AS nb,
-        |           CAST((1000000 * min_sum) // (ma.n + mb.n - min_sum) AS BIGINT) AS jw_ppm
-        |         FROM inter i JOIN mass ma ON ma.id = i.id_a JOIN mass mb ON mb.id = i.id_b
-        |         WHERE (1000000 * min_sum) // (ma.n + mb.n - min_sum) >= 500000)
+    "q149_weighted_lsh" -> (weightedLshCte + """
         |SELECT id_a, id_b, min_sum, na, nb, jw_ppm FROM appx""".stripMargin),
-    "q150_weighted_dedup_eval" -> ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (SELECT doc_id AS id,
-        |             unnest(list_transform(range(len(ws) - 2), i ->
-        |               ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS gram
-        |      FROM w WHERE len(ws) >= 3),
-        |cap AS (SELECT id, gram, least(CAST(count(*) AS BIGINT), 4) AS tf
-        |        FROM g GROUP BY 1, 2),
-        |mass AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n FROM cap GROUP BY 1),
-        |ex AS (SELECT id, gram, unnest(range(tf)) AS c FROM cap),
-        |mh AS (SELECT id, i,
-        |         min(md5(CAST(i AS VARCHAR) || ':' || gram || '#' || CAST(c AS VARCHAR))) AS mh
-        |       FROM (SELECT id, gram, c, unnest(range(8)) AS i FROM ex) x GROUP BY id, i),
-        |banded AS (SELECT id, CAST(i // 2 AS INT) AS band,
-        |                  md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || mh, '|'
-        |                                 ORDER BY lpad(CAST(i AS VARCHAR), 2, '0'))) AS bucket
-        |           FROM mh GROUP BY id, CAST(i // 2 AS INT)),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
-        |         JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-        |inter AS (SELECT c.id_a, c.id_b, CAST(sum(least(ca.tf, cb.tf)) AS BIGINT) AS min_sum
-        |          FROM cand c JOIN cap ca ON ca.id = c.id_a
-        |               JOIN cap cb ON cb.id = c.id_b AND cb.gram = ca.gram
-        |          GROUP BY 1, 2),
-        |appx AS (SELECT i.id_a, i.id_b, i.min_sum, ma.n AS na, mb.n AS nb,
-        |           CAST((1000000 * min_sum) // (ma.n + mb.n - min_sum) AS BIGINT) AS jw_ppm
-        |         FROM inter i JOIN mass ma ON ma.id = i.id_a JOIN mass mb ON mb.id = i.id_b
-        |         WHERE (1000000 * min_sum) // (ma.n + mb.n - min_sum) >= 500000),
+    "q150_weighted_dedup_eval" -> (weightedLshCte + """,
         |exint AS (SELECT a.id AS id_a, b.id AS id_b,
         |            CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS min_sum
         |          FROM cap a JOIN cap b ON a.gram = b.gram AND a.id < b.id

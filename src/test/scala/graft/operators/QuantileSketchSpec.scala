@@ -75,12 +75,19 @@ class QuantileSketchSpec extends SparkSpec {
     assert(out._4 >= 512L && out._4 <= 1023L, s"p99 est ${out._4} outside its bucket")
   }
 
-  test("buckets >= 62 saturate to Long.MaxValue instead of overflowing negative") {
+  test("buckets >= 63 saturate to Long.MaxValue; bucket 62 keeps its exact midpoint") {
     // 2^62 lands in bucket 63; the naive midpoint 3*2^62 overflows a Long.
     val df = Seq(("g", 1L << 62), ("g", 1L << 62)).toDF("g", "x")
     val out = QuantileSketch.groupQuantiles(df, col("g"), col("x"), Seq(50))
       .as[(String, Long, Long)].head()
     assert(out == (("g", 2L, Long.MaxValue)),
       s"saturated estimate expected, got ${out._3}")
+    // Bucket 62 ([2^61, 2^62)): 3*2^61 still fits a Long — the midpoint
+    // must NOT be saturated (the round-11 guard was off by one at 62).
+    val df62 = Seq(("g", 1L << 61)).toDF("g", "x")
+    val out62 = QuantileSketch.groupQuantiles(df62, col("g"), col("x"), Seq(50))
+      .as[(String, Long, Long)].head()
+    assert(out62 == (("g", 1L, (3L * (1L << 61) - 1L) / 2L)),
+      s"bucket-62 midpoint expected, got ${out62._3}")
   }
 }

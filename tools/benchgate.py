@@ -3,6 +3,11 @@
 per-query pins and fail on quiet-capture regressions past the threshold.
 
 Usage: python3 tools/benchgate.py [BENCH_LOCAL.json] [BASELINE.md] [--ratio 2.0]
+                                  [--full]
+Pass --full when gating a COMMITTED full-suite artifact: a pinned query
+absent from the capture then FAILS instead of printing a note (subset
+re-time captures omit it). Without --full the gate is closed only under
+capture; with it, under registration in both directions.
 
 Exit codes: 0 = pass, 1 = regression(s) or crashed queries, 2 = unusable
 inputs (missing/hot capture — a hot capture cannot adjudicate a gate; re-run
@@ -36,11 +41,14 @@ def main(argv):
     # collecting positionals, so the space-separated value is never
     # mistaken for the bench-file path.
     ratio = 2.0
+    full = False
     args = []
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--ratio"):
+        if a == "--full":
+            full = True
+        elif a.startswith("--ratio"):
             if "=" in a:
                 ratio = float(a.split("=", 1)[1])
             else:
@@ -82,7 +90,12 @@ def main(argv):
         t = queries.get(q)
         if t is None:
             if not any(q.startswith(e) or e.startswith(q) for e in errs):
-                print(f"note   {q}: pinned {pin:.2f}s but absent from capture")
+                if full:
+                    failures.append(
+                        f"ABSENT {q}: pinned {pin:.2f}s but missing from the full "
+                        "capture (--full requires every pinned query timed)")
+                else:
+                    print(f"note   {q}: pinned {pin:.2f}s but absent from capture")
             continue
         r = t / pin if pin > 0 else float("inf")
         if r > ratio:

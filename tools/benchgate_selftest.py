@@ -57,6 +57,14 @@ def main():
     ok &= run_case("pass_custom_ratio", PINS,
                    {**quiet, "queries": {"q01_agg": 2.5, "q02_x": 2.0}},
                    argv_extra=("--ratio", "3"), expect=0)
+    # 8b. --full: a pinned query absent from the capture fails.
+    ok &= run_case("fail_full_absent", PINS,
+                   {**quiet, "queries": {"q01_agg": 1.0}},
+                   argv_extra=("--full",), expect=1)
+    # 8c. --full passes when every pinned query is present.
+    ok &= run_case("pass_full_complete", PINS,
+                   {**quiet, "queries": {"q01_agg": 1.0, "q02_x": 2.0}},
+                   argv_extra=("--full",), expect=0)
     # 8. Dangling --ratio is a usage error, not a traceback.
     ok &= run_case("usage_dangling_ratio", PINS,
                    {**quiet, "queries": {"q01_agg": 1.0}},
@@ -64,7 +72,7 @@ def main():
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (8 cases)")
+    print("SELFTEST PASS (10 cases)")
     return 0
 
 

@@ -81,7 +81,8 @@ def main(argv):
         print(f"GATE UNUSABLE: no sf1: pins parsed from {base_path}")
         return 2
 
-    load = cap.get("load", [None])[0]
+    load_arr = cap.get("load") or [None]
+    load = load_arr[0] if load_arr else None
     if cap.get("hot") or (load is not None and load > 1.5):
         print(f"GATE UNUSABLE: capture is hot (start load {load}) — re-run quiet")
         return 2
@@ -95,9 +96,10 @@ def main(argv):
             failures.append(f"UNPINNED {q}: {t:.2f}s at sf1 but no sf1: pin row")
             continue
         p01, p1 = pins[q]
-        if p1 > 0 and t / p1 > ratio:
+        r = t / p1 if p1 > 0 else float("inf")
+        if r > ratio:
             failures.append(
-                f"REGRESS {q}: {t:.2f}s vs sf1 pin {p1:.2f}s = {t / p1:.2f}x (> {ratio}x)")
+                f"REGRESS {q}: {t:.2f}s vs sf1 pin {p1:.2f}s = {r:.2f}x (> {ratio}x)")
     for q, (p01, p1) in sorted(pins.items()):
         scale = p1 / p01 if p01 > 0 else float("inf")
         if scale > max_scale:
