@@ -90,6 +90,7 @@ object LQueries {
     "q146_weighted_jaccard" -> ((s, d) => q146(s, d)),
     "q147_threshold_curve" -> ((s, d) => q147(s, d)),
     "q149_weighted_lsh" -> ((s, d) => q149(s, d)),
+    "q152_corpus_delta" -> ((s, d) => q152(s, d)),
     "q150_weighted_dedup_eval" -> ((s, d) => q150(s, d)),
     "q135_corpus_report" -> ((s, d) => q135(s, d)),
   )
@@ -859,6 +860,24 @@ object LQueries {
         col("text"), k = 3, threshold = 0.5, tfCap = 4)
         .select("id_a", "id_b"))
 
+  /** L80: corpus snapshot delta card — two deterministic corpus
+    * versions derived from the documents table (the q69 snapshot
+    * convention: % 11 residues add/remove ids, % 13 rewrites content,
+    * % 17 appends one word), classified added / removed / unchanged /
+    * touched / rewritten by content fingerprint + simhash hamming. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldDf = docs.filter(col("doc_id") % 11 =!= 4)
+      .select(col("doc_id"), col("text"))
+    val newDf = docs.filter(col("doc_id") % 11 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, translate(col("text"), "ae", "xq"))
+          .when(col("doc_id") % 17 === 0, concat(col("text"), lit(" touched")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.CorpusDiff.deltaCard(oldDf, newDf,
+      col("doc_id"), col("text"), hamMax = 10)
+  }
+
   /** Shared quantization CTE for the int8 oracles, ending in
     * c(vec_id, i, code) — mirrors `Quantize.scalarQuantize` bit-exactly
     * (float→double widening, one left-associated IEEE shape, floor,
@@ -1429,6 +1448,51 @@ object LQueries {
         |  GROUP BY doc_id)
         |SELECT u.doc_id, u.n_tokens, b.n_bigrams, u.uni_rarity_q, b.bi_surprisal_q
         |FROM uni u LEFT JOIN bis b USING (doc_id)""".stripMargin,
+    "q152_corpus_delta" ->
+      """WITH oldt AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 4),
+        |newt AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 13 = 0 THEN translate(text, 'ae', 'xq')
+        |                WHEN doc_id % 17 = 0 THEN text || ' touched'
+        |                ELSE text END AS text
+        |         FROM documents WHERE doc_id % 11 <> 7),
+        |u AS (SELECT 'o' AS ver, doc_id, text FROM oldt
+        |      UNION ALL SELECT 'n', doc_id, text FROM newt),
+        |words AS (SELECT DISTINCT ver, doc_id, w FROM (
+        |    SELECT ver, doc_id, unnest(string_split(lower(text), ' ')) AS w FROM u) x
+        |  WHERE w <> ''),
+        |bits AS (SELECT ver, doc_id, b,
+        |           CASE WHEN CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1)
+        |                           / power(2, 3 - b % 4)) AS INT) % 2 = 1 THEN 1 ELSE -1 END AS vote
+        |         FROM (SELECT ver, doc_id, md5(w) AS h, unnest(range(64)) AS b FROM words) y),
+        |votes AS (SELECT ver, doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2, 3),
+        |sh AS (SELECT ver, doc_id,
+        |         string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS fp
+        |       FROM votes GROUP BY 1, 2),
+        |meta AS (SELECT u.ver, u.doc_id,
+        |           md5(regexp_replace(lower(trim(u.text)), '\s+', ' ', 'g')) AS cfp,
+        |           CAST(length(u.text) AS BIGINT) AS chars,
+        |           s.fp AS shfp
+        |         FROM u LEFT JOIN sh s ON s.ver = u.ver AND s.doc_id = u.doc_id),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS id,
+        |        o.cfp AS fp_old, o.shfp AS sh_old, o.chars AS chars_old,
+        |        n.cfp AS fp_new, n.shfp AS sh_new, n.chars AS chars_new
+        |      FROM (SELECT * FROM meta WHERE ver = 'o') o
+        |      FULL OUTER JOIN (SELECT * FROM meta WHERE ver = 'n') n
+        |        ON n.doc_id = o.doc_id),
+        |c AS (SELECT CASE
+        |        WHEN fp_old IS NULL THEN 'added'
+        |        WHEN fp_new IS NULL THEN 'removed'
+        |        WHEN fp_old = fp_new THEN 'unchanged'
+        |        WHEN sh_old IS NOT NULL AND sh_new IS NOT NULL
+        |             AND len(list_filter(range(64), i -> sh_old[i + 1] <> sh_new[i + 1])) <= 10
+        |          THEN 'touched'
+        |        ELSE 'rewritten' END AS change_class,
+        |        chars_old, chars_new
+        |      FROM j)
+        |SELECT change_class, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(coalesce(chars_old, 0)) AS BIGINT) AS chars_old,
+        |       CAST(sum(coalesce(chars_new, 0)) AS BIGINT) AS chars_new
+        |FROM c GROUP BY 1""".stripMargin,
     "q149_weighted_lsh" -> (weightedLshCte + """
         |SELECT id_a, id_b, min_sum, na, nb, jw_ppm FROM appx""".stripMargin),
     "q150_weighted_dedup_eval" -> (weightedLshCte + """,
