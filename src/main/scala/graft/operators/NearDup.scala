@@ -668,4 +668,38 @@ object NearDup {
       .withColumn("est_bbit_ppm", greatest(lit(0L),
         expr(s"(1000000 * (m_bbit * $m - $numHashes)) div ${numHashes * (m - 1)}")))
   }
+
+  /** LSH banding S-curve planner — the table an engineer reads BEFORE
+    * picking `rowsPerBand`: for every divisor split (r rows/band × b
+    * bands = numHashes) and every Jaccard level j on a 1%-grid, the
+    * candidate probability `p = 1 − (1 − jʳ)ᵇ`. Computed in ppm
+    * FIXED-POINT (each power step is `(acc · x) div 10⁶` — pure integer,
+    * so the table is bit-identical everywhere; each multiply truncates
+    * < 1 ppm, and the truncations compose in both directions through
+    * the two nested powers, so |p − exact| < r + b ppm — far inside any
+    * planning tolerance, and the spec bounds it against double math). Bounded
+    * metadata (divisors × 99 rows) built driver-side — this is a
+    * planning table, not a data operator.
+    * Output: (rows_per_band, bands, j_pct, p_cand_ppm). */
+  def lshTuning(spark: org.apache.spark.sql.SparkSession,
+                numHashes: Int): DataFrame = {
+    require(numHashes >= 1, s"numHashes >= 1, got $numHashes")
+    def powPpm(base: Long, e: Int): Long = {
+      var acc = 1000000L
+      var i = 0
+      while (i < e) { acc = acc * base / 1000000L; i += 1 }
+      acc
+    }
+    val rows = for {
+      r <- (1 to numHashes) if numHashes % r == 0
+      b = numHashes / r
+      jPct <- 1 to 99
+    } yield {
+      val j = jPct * 10000L // percent -> ppm
+      val pCand = 1000000L - powPpm(1000000L - powPpm(j, r), b)
+      (r, b, jPct, pCand)
+    }
+    import spark.implicits._
+    rows.toDF("rows_per_band", "bands", "j_pct", "p_cand_ppm")
+  }
 }

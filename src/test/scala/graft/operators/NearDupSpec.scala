@@ -264,6 +264,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1000000L)), s"identical docs only, at J_w = 1: $out")
   }
 
+  test("lshTuning: S-curve table matches closed-form math and orders bands correctly") {
+    val t = NearDup.lshTuning(ss, numHashes = 8)
+      .as[(Int, Int, Int, Long)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    // All divisor splits of 8 present, 99 grid points each.
+    assert(t.size == 4 * 99, s"${t.size} rows")
+    // Fixed-point vs closed-form double: under-estimate bounded tightly.
+    for (r <- Seq(1, 2, 4, 8); j <- Seq(10, 30, 50, 70, 90)) {
+      val b = 8 / r
+      val exact = (1.0 - math.pow(1.0 - math.pow(j / 100.0, r), b)) * 1e6
+      val got = t((r, j)).toDouble
+      assert(math.abs(got - exact) < 200,
+        s"r=$r j=$j: fixed-point $got vs exact $exact")
+    }
+    // Monotone in j for every split.
+    for (r <- Seq(1, 2, 4, 8); j <- 2 to 99)
+      assert(t((r, j)) >= t((r, j - 1)), s"non-monotone at r=$r j=$j")
+    // More bands (smaller r) => higher candidate probability at low j
+    // (the high-recall/low-precision end of the dial).
+    assert(t((1, 20)) > t((2, 20)) && t((2, 20)) > t((4, 20)))
+    // The shipped q18 config (r=2, b=4) crosses 50% near j ~ 0.40
+    // ((1-j^2)^4 = 0.5 at j = sqrt(1 - 0.5^0.25) ~ 0.399).
+    assert(t((2, 35)) < 500000L && t((2, 45)) > 500000L)
+  }
+
   test("weightedJaccardPairs stop-gram cap is a lower bound that drops hot-gram pairs") {
     // "t t t" gram appears in all 4 docs; cap at 3 removes it from the
     // intersection but NOT from the sizes — scores can only go down.
