@@ -126,13 +126,44 @@ object Bench {
   def fmtAdaptive(v: Double): String =
     if (v < 9.995) f"$v%.2f" else if (v < 99.95) f"$v%.1f" else f"$v%.0f"
 
-  /** Full-name 3-decimal timings for the committed local artifact. */
+  /** Full-name 3-decimal timings for the committed local artifact, plus the
+    * per-query BYTES block: shuffle read+write MB and spill MB. Seconds at
+    * sf0.1 are ambient-noise-limited (identical code has drifted ±15%
+    * between rounds); bytes are a property of the PLAN — deterministic run
+    * to run — so the bytes gate (`tools/benchgate.py`) catches a lost
+    * broadcast or a new exchange exactly, where the 2x seconds gate reads
+    * it as noise. */
   def renderFull(results: Seq[(String, Double)], sfDir: String, loadStart: Double, loadEnd: Double,
-                 errs: Seq[String] = Nil): String = {
+                 errs: Seq[String] = Nil,
+                 bytes: Map[String, (Long, Long, Long)] = Map.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val errField = errs.map("\"" + _ + "\"").mkString(""","err":[""", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd]$errField}"""
+    val bytesField =
+      if (bytes.isEmpty) ""
+      else results.flatMap { case (k, _) => bytes.get(k).map { case (sr, sw, sp) =>
+        "\"" + k + "\":{\"sh_mb\":" + f"${(sr + sw) / 1e6}%.2f" +
+          ",\"spill_mb\":" + f"${sp / 1e6}%.2f" + "}"
+      }}.mkString(""","bytes":{""", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd]$errField$bytesField}"""
+  }
+
+  /** Cumulative shuffle/spill task-metric counters. Per-query deltas are
+    * taken between [[org.apache.spark.graftbench.BusDrain]]-fenced
+    * snapshots, so a query's tail events can't bleed into the next row. */
+  final class BytesListener extends org.apache.spark.scheduler.SparkListener {
+    private val sr = new java.util.concurrent.atomic.AtomicLong
+    private val sw = new java.util.concurrent.atomic.AtomicLong
+    private val sp = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        sp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (sr.get, sw.get, sp.get)
   }
 
   def main(args: Array[String]): Unit = {
@@ -176,21 +207,36 @@ object Bench {
 
     spark.catalog.clearCache() // drop warmup-scale cached data before timing
 
+    // Per-query shuffle/spill bytes ride along with the timings: snapshot
+    // the cumulative listener counters before and after each query, with
+    // the listener bus drained at both fences so deltas are exact.
+    val bytesListener = new BytesListener
+    spark.sparkContext.addSparkListener(bytesListener)
+    def fencedSnapshot(): (Long, Long, Long) = {
+      org.apache.spark.graftbench.BusDrain.drain(spark.sparkContext)
+      bytesListener.snapshot
+    }
+
     // Two timed passes, report the per-query MIN: a single pass is at the
     // mercy of transient host stalls (observed 2-8× outliers on individual
     // queries with identical plans); the min of two runs reflects the plan,
-    // not the noise.
-    // Each pass records (name, elapsed, succeeded). A query counts as timed
-    // only on passes where it completed; crashing is not a timing.
-    def timedPass(): Seq[(String, Double, Boolean)] =
+    // not the noise. Bytes take the per-query min total too — the plan's
+    // bytes are identical across passes, so min sheds stray concurrent
+    // events rather than averaging them in.
+    // Each pass records (name, elapsed, succeeded, bytes). A query counts
+    // as timed only on passes where it completed; crashing is not a timing.
+    def timedPass(): Seq[(String, Double, Boolean, (Long, Long, Long))] =
       queries.map { case (name, fn) =>
+        val b0 = fencedSnapshot()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
             false
         }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val b1 = fencedSnapshot()
+        (name, elapsed, ok, (b1._1 - b0._1, b1._2 - b0._2, b1._3 - b0._3))
       }
     // Release dropped checkpoint/broadcast blocks between passes so pass 2
     // measures the plans, not the first pass's garbage.
@@ -199,9 +245,15 @@ object Bench {
     val pass2 = timedPass()
     val byName = (pass1 ++ pass2).groupBy(_._1).toSeq.sortBy(_._1)
     val results = byName.flatMap { case (name, runs) =>
-      val good = runs.collect { case (_, t, true) => t }
+      val good = runs.collect { case (_, t, true, _) => t }
       if (good.nonEmpty) Some(name -> good.min) else None
     }
+    val bytesByName: Map[String, (Long, Long, Long)] = byName.flatMap {
+      case (name, runs) =>
+        val good = runs.collect { case (_, _, true, b) => b }
+        if (good.isEmpty) None
+        else Some(name -> good.minBy { case (a, b, c) => a + b + c })
+    }.toMap
     val errs = byName.collect { case (name, runs) if !runs.exists(_._3) => name }
     val loadEnd = loadAvg()
     val hot = loadStart > LoadHotThreshold
@@ -213,7 +265,7 @@ object Bench {
     val localPath = localArtifactPath(localBase, hot, subset)
     try {
       val w = new java.io.PrintWriter(localPath)
-      try w.println(renderFull(results, sfDir, loadStart, loadEnd, errs)) finally w.close()
+      try w.println(renderFull(results, sfDir, loadStart, loadEnd, errs, bytesByName)) finally w.close()
     } catch { case _: Throwable => () }
 
     // Stop Spark BEFORE printing: the JSON line must be the last thing on

@@ -39,7 +39,9 @@ object ScaleUp {
 
     def replicate(name: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      val all = (0 until replicas).map(r => xform(base, r)).reduce(_ unionAll _)
+      // unionByName: the r>0 branches select in hardcoded order; never let a
+      // source-parquet column-order difference mis-align same-typed columns
+      val all = (0 until replicas).map(r => xform(base, r)).reduce(_ unionByName _)
       all.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
       System.err.println(s"[scaleup] $name -> $out/$name.parquet")
     }

@@ -228,7 +228,9 @@ object WeightedMinHashSig {
     java.security.MessageDigest.getInstance("MD5"))
 
   def compute(text: String, k: Int, numHashes: Int, tfCap: Int): InternalRow = {
-    if (tfCap < 1) return null
+    // graft_minhash_w is SQL-callable: null out bad dials instead of letting a
+    // negative numHashes throw NegativeArraySizeException inside an executor
+    if (tfCap < 1 || numHashes < 1) return null
     val tokens = text.split(" ", -1)
     if (tokens.length < k) return null
     // tf per distinct gram, insertion-ordered (determinism of iteration

@@ -42,6 +42,14 @@ object Ingest {
   def readXlsxAll(spark: SparkSession, path: String): Map[String, DataFrame] =
     XlsxReader.readAllSheets(spark, path).map { case (k, v) => k -> normalizeColumns(v) }
 
+  /** A DIRECTORY of workbooks, parsed inside executor tasks
+    * ([[XlsxReader.readXlsxDir]]) and column-normalized — the distributed
+    * form of [[readXlsx]] for a lake of daily drops. */
+  def readXlsxDir(spark: SparkSession, dir: String, sheet: Option[String] = None,
+                  pathGlob: String = "*.xlsx",
+                  sourceFileColumn: Option[String] = None): DataFrame =
+    normalizeColumns(XlsxReader.readXlsxDir(spark, dir, sheet, pathGlob, sourceFileColumn))
+
   /** Newest workbook matching `glob` under `dir` ([[InputResolver]]) →
     * normalized frame; the reference's find-latest-then-load composition
     * (`data_loader.py:12-41`). None when `optional` and nothing matches.

@@ -20,12 +20,18 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Parsed with JDK StAX — no external dependency, streaming (never
   * materializes the XML DOM).
   *
-  * Scale note: xlsx is an inherently non-splittable single-file format and
-  * the reference's input is a single mailing drop measured in MBs, so the
-  * parse runs once driver-side and the resulting frame is distributed for
-  * everything downstream — the same boundary the reference's pandas read
-  * sits at. A 100 TB pipeline lands parquet ([[Ingest.readParquet]]); this
-  * source exists for reference-compatible ingest of operator drops.
+  * Scale note: xlsx is an inherently non-splittable single-file format.
+  * For the reference's shape — ONE mailing drop measured in MBs
+  * ([[readSheet]]/[[readAllSheets]]) — the parse runs once driver-side and
+  * the resulting frame is distributed for everything downstream, the same
+  * boundary the reference's pandas read sits at. For a DIRECTORY of
+  * workbooks, [[readXlsxDir]] moves the identical StAX parse inside
+  * executor tasks over `spark.read.format("binaryFile")` — one task per
+  * workbook, the driver touching only one header for the schema — so a
+  * lake of thousands of drops parallelizes instead of serializing through
+  * the driver. A 100 TB pipeline still lands parquet
+  * ([[Ingest.readParquet]]); these sources exist for reference-compatible
+  * ingest of operator drops.
   *
   * All cells surface as strings (like [[Ingest.readCsv]] with
   * `inferSchema=false`): numerics keep their raw lexical form, booleans
@@ -34,12 +40,64 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object XlsxReader {
 
-  private val factory = {
+  // per-thread: XMLInputFactory makes no thread-safety promise, and
+  // readXlsxDir parses concurrently across executor task threads
+  private val factory = ThreadLocal.withInitial[XMLInputFactory](() => {
     val f = XMLInputFactory.newInstance()
     // no DTDs / external entities in workbook parts — also hardens the parse
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f
+  })
+
+  /** The parser's view of a workbook zip: [[FileZip]] wraps a local-path
+    * `java.util.zip.ZipFile` (driver-side single-file reads); [[BytesZip]]
+    * indexes the parse-relevant entries of an in-memory workbook (the
+    * `binaryFile` content column, executor-side). Both hand the SAME StAX
+    * code identical streams, so dir-scale and single-file reads cannot
+    * drift apart. */
+  private[sources] sealed trait ZipSource {
+    def has(entry: String): Boolean
+    def open(entry: String): InputStream
+  }
+
+  private final class FileZip(zip: ZipFile) extends ZipSource {
+    def has(entry: String): Boolean = zip.getEntry(entry) != null
+    def open(entry: String): InputStream = {
+      val e = zip.getEntry(entry)
+      require(e != null, s"missing zip entry $entry")
+      zip.getInputStream(e)
+    }
+  }
+
+  /** Parse-relevant entries of a workbook held as bytes. Only the parts the
+    * parser reads are retained (workbook/rels/sharedStrings/styles/
+    * worksheets), so memory is bounded by the workbook's own data, and a
+    * single sequential `ZipInputStream` scan suffices (no random access
+    * needed over an in-memory array anyway). */
+  private[sources] final class BytesZip(content: Array[Byte]) extends ZipSource {
+    private val wanted = Set("xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+      "xl/sharedStrings.xml", "xl/styles.xml")
+    private val entries: Map[String, Array[Byte]] = {
+      val out = mutable.Map[String, Array[Byte]]()
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(content))
+      try {
+        var e = zin.getNextEntry
+        while (e != null) {
+          val name = e.getName
+          if (wanted(name) || (name.startsWith("xl/worksheets/") && name.endsWith(".xml")))
+            out(name) = zin.readAllBytes()
+          e = zin.getNextEntry
+        }
+      } finally zin.close()
+      out.toMap
+    }
+    def has(entry: String): Boolean = entries.contains(entry)
+    def open(entry: String): InputStream = {
+      val bytes = entries.getOrElse(entry,
+        throw new IllegalArgumentException(s"missing zip entry $entry"))
+      new java.io.ByteArrayInputStream(bytes)
+    }
   }
 
   /** Sheet names in workbook order. */
@@ -48,7 +106,7 @@ object XlsxReader {
   }
 
   /** (name, relationship id) pairs in workbook order. */
-  private def parseWorkbook(zip: ZipFile): Seq[(String, String)] = {
+  private def parseWorkbook(zip: ZipSource): Seq[(String, String)] = {
     val out = mutable.ListBuffer[(String, String)]()
     eachElement(zip, "xl/workbook.xml") { r =>
       if (r.getLocalName == "sheet") {
@@ -62,7 +120,7 @@ object XlsxReader {
   }
 
   /** `<workbookPr date1904="1"/>` → the 1904 date system is in force. */
-  private def parseDate1904(zip: ZipFile): Boolean = {
+  private def parseDate1904(zip: ZipSource): Boolean = {
     var flag = false
     eachElement(zip, "xl/workbook.xml") { r =>
       if (r.getLocalName == "workbookPr")
@@ -72,7 +130,7 @@ object XlsxReader {
   }
 
   /** relationship id → worksheet zip entry path. */
-  private def parseRels(zip: ZipFile): Map[String, String] = {
+  private def parseRels(zip: ZipSource): Map[String, String] = {
     val out = mutable.Map[String, String]()
     eachElement(zip, "xl/_rels/workbook.xml.rels") { r =>
       if (r.getLocalName == "Relationship") {
@@ -92,8 +150,8 @@ object XlsxReader {
     * EXCEPT text inside phonetic runs (`<rPh><t>…</t></rPh>`, furigana
     * annotations in Japanese workbooks): openpyxl/pandas exclude those, so
     * including them would duplicate text relative to `pd.read_excel`. */
-  private def parseSharedStrings(zip: ZipFile): IndexedSeq[String] = {
-    if (zip.getEntry("xl/sharedStrings.xml") == null) return IndexedSeq.empty
+  private def parseSharedStrings(zip: ZipSource): IndexedSeq[String] = {
+    if (!zip.has("xl/sharedStrings.xml")) return IndexedSeq.empty
     val out = mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
     var inT = false
@@ -128,8 +186,8 @@ object XlsxReader {
     * whose code (ignoring quoted text, escapes and [$…] locale prefixes)
     * contains day/month/year/hour/second tokens — the same detection
     * openpyxl/pandas apply. Missing styles part → nothing is a date. */
-  private def parseDateStyles(zip: ZipFile): IndexedSeq[Boolean] = {
-    if (zip.getEntry("xl/styles.xml") == null) return IndexedSeq.empty
+  private def parseDateStyles(zip: ZipSource): IndexedSeq[Boolean] = {
+    if (!zip.has("xl/styles.xml")) return IndexedSeq.empty
     val builtinDate = (14 to 22).toSet ++ (45 to 47).toSet
     val customDate = mutable.Set[Int]()
     val xfIds = mutable.ArrayBuffer[Int]()
@@ -193,7 +251,7 @@ object XlsxReader {
   /** One worksheet part → rows of (possibly null) cell strings. Numeric
     * cells whose style is a date format are rendered as ISO date/timestamp
     * strings (what `pd.read_excel` hands the reference). */
-  private def parseSheet(zip: ZipFile, entry: String, shared: IndexedSeq[String],
+  private def parseSheet(zip: ZipSource, entry: String, shared: IndexedSeq[String],
                          dateStyles: IndexedSeq[Boolean], date1904: Boolean): Seq[Array[String]] = {
     val rows = mutable.ListBuffer[Array[String]]()
     var row: mutable.ArrayBuffer[String] = null
@@ -253,17 +311,97 @@ object XlsxReader {
     * an all-string DataFrame, first row as header. */
   def readSheet(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame =
     withZip(path) { zip =>
-      val sheets = parseWorkbook(zip)
-      require(sheets.nonEmpty, s"no sheets in $path")
-      val (name, rid) = sheet match {
-        case Some(s) => sheets.find(_._1 == s)
-          .getOrElse(throw new IllegalArgumentException(
-            s"sheet '$s' not in $path (has: ${sheets.map(_._1).mkString(", ")})"))
-        case None => sheets.head
-      }
-      toDf(spark, zip, parseRels(zip), parseSharedStrings(zip),
-        parseDateStyles(zip), parseDate1904(zip), rid, name)
+      val (header, rows) = tableOf(zip, sheet, path)
+      tableToDf(spark, header, rows)
     }
+
+  /** Resolve the requested sheet (first sheet when None) and parse its
+    * header + data rows. Pure of Spark — runs identically on the driver
+    * (single-file reads) and inside executor tasks ([[readXlsxDir]]). */
+  private def tableOf(zip: ZipSource, sheet: Option[String],
+                      desc: String): (Array[String], Seq[Array[String]]) = {
+    val sheets = parseWorkbook(zip)
+    require(sheets.nonEmpty, s"no sheets in $desc")
+    val (name, rid) = sheet match {
+      case Some(s) => sheets.find(_._1 == s)
+        .getOrElse(throw new IllegalArgumentException(
+          s"sheet '$s' not in $desc (has: ${sheets.map(_._1).mkString(", ")})"))
+      case None => sheets.head
+    }
+    sheetTable(zip, parseRels(zip), parseSharedStrings(zip),
+      parseDateStyles(zip), parseDate1904(zip), rid, name)
+  }
+
+  /** Directory-scale ingest: every workbook matching `pathGlob` under
+    * `dir`, parsed INSIDE executor tasks over
+    * `spark.read.format("binaryFile")` — the distributed form of
+    * [[readSheet]] for a lake of daily drops. The driver reads exactly one
+    * workbook's header (the lexicographically first match) to fix the
+    * frame's schema; every task then aligns its workbook's columns BY NAME
+    * to that header — a column missing in some workbook reads null, and a
+    * column the schema-fixing workbook lacks fails fast with the file and
+    * column names (silent drop would hide schema drift; [[SchemaDrift]] is
+    * the diagnosis tool for that situation). Workbooks whose header order
+    * merely differs align correctly.
+    *
+    * `sourceFileColumn` (e.g. `Some("_src_file")`) appends each row's
+    * originating file path — per-drop provenance for the audit reports.
+    *
+    * Scale shape: one task per workbook (xlsx is non-splittable), no
+    * driver-side data loop, no shuffle — parallelism = file count, the
+    * best possible for this format. */
+  def readXlsxDir(spark: SparkSession, dir: String, sheet: Option[String] = None,
+                  pathGlob: String = "*.xlsx",
+                  sourceFileColumn: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val pattern = new Path(dir, pathGlob)
+    val fs = pattern.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(pattern)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getPath).sortBy(_.toString)
+    require(files.nonEmpty, s"no files match $pattern")
+    val header: Array[String] = {
+      val in = fs.open(files.head)
+      val bytes = try in.readAllBytes() finally in.close()
+      tableOf(new BytesZip(bytes), sheet, files.head.toString)._1
+    }
+    require(header.nonEmpty,
+      s"${files.head} has an empty sheet — cannot fix the directory's schema from it")
+    val base = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val schema = sourceFileColumn.fold(base)(c => base.add(StructField(c, StringType)))
+
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob).load(dir)
+      .select("path", "content")
+    val hdr = header // capture the plain array, not the surrounding state
+    val sheetSel = sheet
+    val withSrc = sourceFileColumn.isDefined
+    val rows = bin.rdd.flatMap { row =>
+      val path = row.getString(0)
+      val (h, data) = tableOf(new BytesZip(row.getAs[Array[Byte]](1)), sheetSel, path)
+      if (h.isEmpty) Iterator.empty
+      else {
+        // identical headers (the normal lake case) align positionally, which
+        // also tolerates duplicate column names; otherwise align by name
+        val idx: Array[Int] =
+          if (h.sameElements(hdr)) Array.tabulate(h.length)(identity)
+          else {
+            val pos = hdr.zipWithIndex.toMap
+            val unknown = h.filterNot(pos.contains)
+            require(unknown.isEmpty, s"$path: columns not in the schema-fixing " +
+              s"workbook (${unknown.mkString(", ")}) — reconcile with SchemaDrift")
+            h.map(pos)
+          }
+        data.iterator.map { r =>
+          val out = new Array[Any](hdr.length + (if (withSrc) 1 else 0))
+          var i = 0
+          while (i < r.length) { out(idx(i)) = r(i); i += 1 }
+          if (withSrc) out(hdr.length) = path
+          Row.fromSeq(out.toIndexedSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Every sheet, workbook order preserved — `pd.read_excel(sheet_name=None)`.
     * The rels part and the shared-string table (which typically holds most
@@ -279,29 +417,45 @@ object XlsxReader {
       }: _*)
     }
 
-  private def toDf(spark: SparkSession, zip: ZipFile, rels: Map[String, String],
+  private def toDf(spark: SparkSession, zip: ZipSource, rels: Map[String, String],
                    shared: IndexedSeq[String], dateStyles: IndexedSeq[Boolean],
                    date1904: Boolean, rid: String, name: String): DataFrame = {
+    val (header, rows) = sheetTable(zip, rels, shared, dateStyles, date1904, rid, name)
+    tableToDf(spark, header, rows)
+  }
+
+  /** Header (blank/missing names → `_cN`) + width-padded data rows of one
+    * sheet. Pure of Spark so [[readXlsxDir]] can run it inside tasks. */
+  private def sheetTable(zip: ZipSource, rels: Map[String, String],
+                         shared: IndexedSeq[String], dateStyles: IndexedSeq[Boolean],
+                         date1904: Boolean, rid: String,
+                         name: String): (Array[String], Seq[Array[String]]) = {
     val entry = rels.getOrElse(rid,
       throw new IllegalArgumentException(s"unresolvable sheet relationship $rid for '$name'"))
     val rows = parseSheet(zip, entry, shared, dateStyles, date1904)
-    if (rows.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
+    if (rows.isEmpty) return (Array.empty, Seq.empty)
     val width = rows.map(_.length).max
     val header = rows.head.padTo(width, null: String).zipWithIndex.map {
       case (h, i) => if (h == null || h.trim.isEmpty) s"_c$i" else h
     }
+    (header, rows.tail.map(_.padTo(width, null: String)))
+  }
+
+  private def tableToDf(spark: SparkSession, header: Array[String],
+                        rows: Seq[Array[String]]): DataFrame = {
+    if (header.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    val data = new java.util.ArrayList[Row](rows.size - 1)
-    rows.tail.foreach(r => data.add(Row.fromSeq(r.padTo(width, null: String).toSeq)))
+    val data = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(r => data.add(Row.fromSeq(r.toIndexedSeq)))
     spark.createDataFrame(data, schema)
   }
 
   // --- plumbing ---
 
-  private def withZip[A](path: String)(f: ZipFile => A): A = {
+  private def withZip[A](path: String)(f: ZipSource => A): A = {
     val zip = new ZipFile(path)
-    try f(zip) finally zip.close()
+    try f(new FileZip(zip)) finally zip.close()
   }
 
   private def attr(r: XMLStreamReader, local: String): Option[String] = {
@@ -314,18 +468,16 @@ object XlsxReader {
   }
 
   /** Stream every event of a zip entry through `f`. */
-  private def stream(zip: ZipFile, entry: String)(f: XMLStreamReader => Unit): Unit = {
-    val e = zip.getEntry(entry)
-    require(e != null, s"missing zip entry $entry")
-    val in: InputStream = zip.getInputStream(e)
-    val r = factory.createXMLStreamReader(in)
+  private def stream(zip: ZipSource, entry: String)(f: XMLStreamReader => Unit): Unit = {
+    val in: InputStream = zip.open(entry)
+    val r = factory.get().createXMLStreamReader(in)
     try {
       while (r.hasNext) { r.next(); f(r) }
     } finally { r.close(); in.close() }
   }
 
   /** Start-elements only. */
-  private def eachElement(zip: ZipFile, entry: String)(f: XMLStreamReader => Unit): Unit =
+  private def eachElement(zip: ZipSource, entry: String)(f: XMLStreamReader => Unit): Unit =
     stream(zip, entry) { r =>
       if (r.getEventType == XMLStreamConstants.START_ELEMENT) f(r)
     }

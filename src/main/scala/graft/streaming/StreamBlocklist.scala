@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import graft.functions.TextClean
 
 /** Streaming blocklist maintenance (SURVEY §2b S22): the reference's
@@ -36,14 +37,17 @@ object StreamBlocklist {
   /** The blocked-key set at `threshold`, read off the latest store
     * version — the frame [[graft.operators.Blocklist.removeByStatusThreshold]]
     * derives from the full log, without the log. Empty frame when no
-    * batch has committed yet (nobody blocked before evidence exists). */
-  def blockedKeys(spark: SparkSession, baseDir: String, threshold: Int): DataFrame =
+    * batch has committed yet (nobody blocked before evidence exists).
+    * `keyType` fixes the no-committed-batch frame's schema — it must
+    * match the `keyCol` fed to [[sink]], or the empty and non-empty
+    * store states would hand downstream joins different key types. */
+  def blockedKeys(spark: SparkSession, baseDir: String, threshold: Int,
+                  keyType: DataType = LongType): DataFrame =
     readLatestCounts(spark, baseDir)
       .map(_.filter(col("n_critical") >= threshold).select("key"))
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[Long].toDF("key")
-      }
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("key", keyType)))))
 
   /** One micro-batch: count the batch's critical statuses per key, merge
     * into the latest counts, publish `b<batchId>`. Replay-idempotent.

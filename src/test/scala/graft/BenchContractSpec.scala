@@ -92,4 +92,22 @@ class BenchContractSpec extends AnyFunSuite {
     val full = Bench.renderFull(res, "/root/testdata/sf0.1", 0.1, 0.2, errs = Seq("q04_blocklist"))
     assert(full.contains(""""err":["q04_blocklist"]"""))
   }
+
+  test("renderFull carries per-query shuffle/spill MB; bytes omitted when not captured") {
+    val res = Seq("q01_agg" -> 0.391, "q02_x" -> 1.5)
+    val bytes = Map(
+      "q01_agg" -> ((10_500_000L, 2_000_000L, 0L)), // 12.5 MB shuffle r+w
+      "q02_x" -> ((0L, 0L, 64_000_000L)))           // spill-only
+    val full = Bench.renderFull(res, "sf0.1", 0.1, 0.2, bytes = bytes)
+    assert(full.contains(""""q01_agg":{"sh_mb":12.50,"spill_mb":0.00}"""), full)
+    assert(full.contains(""""q02_x":{"sh_mb":0.00,"spill_mb":64.00}"""), full)
+    // valid JSON with the expected structure (jackson ships with Spark)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    val parsed = om.readTree(full)
+    assert(parsed.get("bytes").get("q01_agg").get("sh_mb").asDouble == 12.5)
+    // legacy form (no bytes captured): field absent entirely, still JSON
+    val bare = Bench.renderFull(res, "sf0.1", 0.1, 0.2)
+    assert(!bare.contains("\"bytes\""))
+    om.readTree(bare)
+  }
 }

@@ -243,6 +243,12 @@ class SimilaritySpec extends SparkSpec {
       k = 1, numHashes = 4, tfCap = 1)
       .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
     assert(s1(1L) == s1(2L), "cap-1 weighted minhash must degenerate to set minhash")
+    // graft_minhash_w is SQL-callable: bad dials null out instead of throwing
+    // (a negative numHashes used to NegativeArraySizeException in executors)
+    import graft.plans.WeightedMinHashSig
+    assert(WeightedMinHashSig.compute("x y", 1, -1, 4) == null)
+    assert(WeightedMinHashSig.compute("x y", 1, 0, 4) == null)
+    assert(WeightedMinHashSig.compute("x y", 1, 4, 0) == null)
   }
 
   test("weightedJaccardPairs tfCap: capped masses drive the score") {

@@ -82,8 +82,8 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Queries allowed an unpartitioned WindowExec (single-partition window),
     * with why each frame is BOUNDED METADATA, not data-scale. These are the
-    * only two sites that may emit Spark's "No Partition Defined for Window
-    * operation" WARN — seeing it anywhere else is a 100TB cliff. */
+    * only ALLOWLISTED sites that may emit Spark's "No Partition Defined for
+    * Window operation" WARN — seeing it anywhere else is a 100TB cliff. */
   private val globalWindowAllowed: Map[String, String] = Map(
     "q107_global_rank" -> ("GlobalRank's prefix-sum frame is the PER-PARTITION " +
       "COUNT table (spark.sql.shuffle.partitions rows, not data rows) — the " +
@@ -107,7 +107,7 @@ class PlanAuditSpec extends SparkSpec {
       "global ranks, fine to ~1e7 customers; Rfm.segment(approx = true) is " +
       "the sketch-ranked no-single-partition scale path"))
 
-  test("unpartitioned windows appear only at the two documented bounded-metadata sites") {
+  test("unpartitioned windows appear only at the allowlisted bounded-metadata sites") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec

@@ -122,6 +122,92 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  // One-sheet workbook ("S"), inline strings only — the knob the dir-read
+  // tests need is header/row content per file, not cell-type coverage
+  // (writeFixtureXlsx owns that).
+  private def writeSimpleXlsx(path: java.nio.file.Path, header: Seq[String],
+                              rows: Seq[Seq[String]]): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    def row(r: Int, cells: Seq[String]) = cells.zipWithIndex.collect {
+      case (v, i) if v != null =>
+        s"""<c r="${('A' + i).toChar}$r" t="inlineStr"><is><t>$v</t></is></c>"""
+    }.mkString(s"""<row r="$r">""", "", "</row>")
+    val body = (header +: rows).zipWithIndex
+      .map { case (cells, i) => row(i + 1, cells) }.mkString
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData>$body</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
+
+  test("readXlsxDir: distributed parse equals union of per-file readSheet") {
+    val dir = Files.createTempDirectory("xlsxdir")
+    writeSimpleXlsx(dir.resolve("a.xlsx"), Seq("Empresa", "NCPF", "Valor"),
+      Seq(Seq("Ana", "1", "10"), Seq("Bea", "2", "20")))
+    writeSimpleXlsx(dir.resolve("b.xlsx"), Seq("Empresa", "NCPF", "Valor"),
+      Seq(Seq("Cid", "3", "30")))
+    // c: same columns, DIFFERENT order, one column missing → aligned by
+    // name, missing reads null
+    writeSimpleXlsx(dir.resolve("c.xlsx"), Seq("Valor", "Empresa"),
+      Seq(Seq("40", "Didi")))
+    Files.write(dir.resolve("ignored.csv"), "Empresa\nzz\n".getBytes("UTF-8"))
+
+    val df = XlsxReader.readXlsxDir(ss, dir.toString)
+    assert(df.columns.toSeq == Seq("Empresa", "NCPF", "Valor"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // oracle: per-file readSheet, aligned to a's header by name
+    val expect = Set(("Ana", "1", "10"), ("Bea", "2", "20"), ("Cid", "3", "30"),
+      ("Didi", null, "40"))
+    assert(got == expect)
+    val perFile = Seq("a", "b").flatMap { f =>
+      XlsxReader.readSheet(ss, dir.resolve(s"$f.xlsx").toString)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    }.toSet ++ Set(("Didi", null, "40"))
+    assert(got == perFile, "dir read must equal the union of per-file reads")
+
+    // parse runs as a TRANSFORMATION over the distributed binaryFile scan —
+    // the lineage bottoms out in FileScanRDD, not a driver-parallelized
+    // collection (which would print ParallelCollectionRDD)
+    val lineage = df.rdd.toDebugString
+    assert(lineage.contains("FileScanRDD"), s"expected scan-rooted lineage:\n$lineage")
+    assert(!lineage.contains("ParallelCollectionRDD"), s"driver-side parse:\n$lineage")
+
+    // provenance column + Ingest normalization wrapper
+    val src = Ingest.readXlsxDir(ss, dir.toString, sourceFileColumn = Some("_src_file"))
+    assert(src.columns.toSeq == Seq("empresa", "ncpf", "valor", "_src_file"))
+    val bySrc = src.collect().map(r => (r.getString(0), new java.io.File(r.getString(3)).getName))
+    assert(bySrc.toSet == Set(("Ana", "a.xlsx"), ("Bea", "a.xlsx"),
+      ("Cid", "b.xlsx"), ("Didi", "c.xlsx")))
+
+    // schema drift (a column the schema-fixing workbook lacks) fails fast,
+    // naming the file and the column
+    writeSimpleXlsx(dir.resolve("d.xlsx"), Seq("Empresa", "Sorpresa"),
+      Seq(Seq("Eva", "x")))
+    val e = intercept[Exception] {
+      XlsxReader.readXlsxDir(ss, dir.toString).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("d.xlsx") && all.contains("Sorpresa"), s"got: $all")
+  }
+
   test("SchemaValidator flags missing and extra columns") {
     val df = Seq((1, "x")).toDF("ncpf", "surprise")
     val r = SchemaValidator.check(df, Seq("ncpf", "valor"))

@@ -48,6 +48,22 @@ class StreamBlocklistSpec extends SparkSpec {
     assert(StreamBlocklist.blockedKeys(ss, base, 5).as[Long].collect().isEmpty)
   }
 
+  test("empty-store frame schema follows keyType (string keys join cleanly)") {
+    import org.apache.spark.sql.types.StringType
+    val base = tmp()
+    val empty = StreamBlocklist.blockedKeys(ss, base, 1, keyType = StringType)
+    assert(empty.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("key", StringType)))
+    // and once a string-keyed batch commits, the schemas agree
+    StreamBlocklist.applyBatch(
+      Seq(("11999990000", "error"), ("11999990000", "error"))
+        .toDF("phone", "event_type"),
+      col("phone"), col("event_type"), Seq("error"), base, 0L)
+    val full = StreamBlocklist.blockedKeys(ss, base, 1, keyType = StringType)
+    assert(full.schema == empty.schema && full.as[String].collect().toSeq ==
+      Seq("11999990000"))
+  }
+
   test("replayed batch ids are skipped; empty store blocks nobody") {
     val base = tmp()
     assert(StreamBlocklist.blockedKeys(ss, base, 1).isEmpty,

@@ -19,6 +19,25 @@ always fail the gate; a pinned query absent from the capture is only noted
 (subset captures are legitimate), but a CAPTURED query with no pin FAILS —
 the gate is closed under registration, so a new query cannot ship
 ungoverned. Self-test: python3 tools/benchgate_selftest.py.
+
+BYTES GATE: seconds at sf0.1 are ambient-noise-limited (identical code has
+drifted +/-15% between rounds), but a query's shuffle/spill bytes are a
+property of its PLAN — deterministic run to run — so a lost broadcast or a
+new exchange moves bytes exactly where seconds read as noise. BASELINE.md
+pins them as `| bytes:qNN | <shuffle_mb> | <spill_mb> |` rows; the capture
+carries them under "bytes" (written by graft.Bench). Verdicts:
+  - BYTES:   captured shuffle MB > pin * --bytes-ratio (default 1.5) + 8 MB
+    absolute slack (sub-MB rows are all slack, honestly so).
+  - SPILL:   captured spill MB > pin * 2 + 64 (spill should be ~0; any
+    sustained appearance is a memory-pressure/plan regression).
+  - UNPINNED-BYTES: captured bytes with no bytes: pin row (closed under
+    registration, same rule as seconds).
+  - ABSENT-BYTES (--full only): a bytes-pinned query timed in the capture
+    but missing from its bytes block.
+A capture with NO "bytes" key at all skips the bytes gate with a note
+(pre-bytes artifacts stay adjudicable) — except under --full when bytes
+pins exist, where it fails: the committed artifact must carry the evidence
+its pins claim.
 """
 import json
 import re
@@ -36,11 +55,63 @@ def parse_baseline(path):
     return pins
 
 
+def parse_bytes_pins(path):
+    """{query: (shuffle_mb, spill_mb)} from `| bytes:qNN | a | b |` rows."""
+    pins = {}
+    row = re.compile(r"^\|\s*bytes:(q\w+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|")
+    with open(path) as f:
+        for line in f:
+            m = row.match(line)
+            if m:
+                pins[m.group(1)] = (float(m.group(2)), float(m.group(3)))
+    return pins
+
+
+def check_bytes(cap, bytes_pins, full, bytes_ratio, failures, notes):
+    """Bytes-gate verdicts appended to `failures`; informational lines to
+    `notes`. Shuffle slack: pin*ratio + 8 MB absolute (sub-MB rows are all
+    slack). Spill slack: pin*2 + 64 MB."""
+    cap_bytes = cap.get("bytes")
+    if cap_bytes is None:
+        if bytes_pins and full:
+            failures.append(
+                "NO-BYTES: BASELINE.md carries bytes: pins but the capture has "
+                "no bytes block (--full: committed evidence must back the pins)")
+        elif bytes_pins:
+            notes.append("note   bytes: pins exist but capture has no bytes "
+                         "block (pre-bytes artifact) — bytes gate skipped")
+        return
+    queries = cap.get("queries", {})
+    for q, b in sorted(cap_bytes.items()):
+        sh, sp = b.get("sh_mb", 0.0), b.get("spill_mb", 0.0)
+        if q not in bytes_pins:
+            failures.append(
+                f"UNPINNED-BYTES {q}: {sh:.2f} MB shuffled but no bytes: pin "
+                "(pin it alongside the seconds pin)")
+            continue
+        psh, psp = bytes_pins[q]
+        if sh > psh * bytes_ratio + 8.0:
+            failures.append(
+                f"BYTES {q}: {sh:.2f} MB shuffle vs pin {psh:.2f} MB "
+                f"(> {bytes_ratio}x + 8 MB) — plan regression (lost broadcast / "
+                "new exchange?)")
+        if sp > psp * 2 + 64.0:
+            failures.append(
+                f"SPILL {q}: {sp:.2f} MB spilled vs pin {psp:.2f} MB — "
+                "memory-pressure or plan regression")
+    if full:
+        for q in sorted(set(bytes_pins) & set(queries) - set(cap_bytes)):
+            failures.append(
+                f"ABSENT-BYTES {q}: bytes-pinned and timed, but missing from "
+                "the capture's bytes block")
+
+
 def main(argv):
     # Consume --ratio (both "--ratio=3" and "--ratio 3" forms) BEFORE
     # collecting positionals, so the space-separated value is never
     # mistaken for the bench-file path.
     ratio = 2.0
+    bytes_ratio = 1.5
     full = False
     args = []
     i = 0
@@ -48,6 +119,17 @@ def main(argv):
         a = argv[i]
         if a == "--full":
             full = True
+        elif a.startswith("--bytes-ratio"):
+            if "=" in a:
+                bytes_ratio = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    print("usage: benchgate.py [BENCH.json] [BASELINE.md]"
+                          " [--ratio N] [--bytes-ratio N]"
+                          " (missing value for --bytes-ratio)")
+                    return 2
+                bytes_ratio = float(argv[i + 1])
+                i += 1
         elif a.startswith("--ratio"):
             if "=" in a:
                 ratio = float(a.split("=", 1)[1])
@@ -108,6 +190,11 @@ def main(argv):
         failures.append(
             f"UNPINNED {q}: {queries[q]:.2f}s in capture but no BASELINE.md pin "
             "(pin it min-of-two before committing)")
+
+    notes = []
+    check_bytes(cap, parse_bytes_pins(base_path), full, bytes_ratio, failures, notes)
+    for n in notes:
+        print(n)
 
     total = sum(queries.values())
     pinned_total = sum(pins[q] for q in pins if q in queries)

@@ -69,10 +69,53 @@ def main():
     ok &= run_case("usage_dangling_ratio", PINS,
                    {**quiet, "queries": {"q01_agg": 1.0}},
                    argv_extra=("--ratio",), expect=2)
+
+    # --- bytes gate ---
+    BPINS = PINS + "| bytes:q01_agg | 10.00 | 0.00 |\n| bytes:q02_x | 500.00 | 0.00 |\n"
+    times = {"queries": {"q01_agg": 1.0, "q02_x": 2.0}}
+    good_bytes = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0},
+                  "q02_x": {"sh_mb": 510.0, "spill_mb": 0.0}}
+    # 11. Bytes within ratio+slack pass (510 vs 500: inside 1.5x).
+    ok &= run_case("pass_bytes", BPINS,
+                   {**quiet, **times, "bytes": good_bytes}, expect=0)
+    # 12. THE POINT: an injected broadcast-loss blows bytes past the gate
+    #     while its seconds stay inside the 2x noise band.
+    lost_broadcast = {"q01_agg": {"sh_mb": 900.0, "spill_mb": 0.0},
+                      "q02_x": good_bytes["q02_x"]}
+    ok &= run_case("fail_bytes_broadcast_loss", BPINS,
+                   {**quiet, "queries": {"q01_agg": 1.4, "q02_x": 2.0},
+                    "bytes": lost_broadcast}, expect=1)
+    # 13. Sustained spill where the pin has none fails.
+    ok &= run_case("fail_spill", BPINS,
+                   {**quiet, **times,
+                    "bytes": {**good_bytes,
+                              "q02_x": {"sh_mb": 510.0, "spill_mb": 200.0}}},
+                   expect=1)
+    # 14. Bytes captured for a query with no bytes pin fails (registration).
+    ok &= run_case("fail_unpinned_bytes", PINS,
+                   {**quiet, **times,
+                    "bytes": {"q01_agg": {"sh_mb": 1.0, "spill_mb": 0.0}}},
+                   expect=1)
+    # 15. Pre-bytes capture (no bytes block) still passes without --full...
+    ok &= run_case("pass_legacy_no_bytes", BPINS, {**quiet, **times}, expect=0)
+    # 16. ...but --full demands the evidence behind existing bytes pins.
+    ok &= run_case("fail_full_no_bytes", BPINS, {**quiet, **times},
+                   argv_extra=("--full",), expect=1)
+    # 17. --full: a timed, bytes-pinned query missing from the bytes block fails.
+    ok &= run_case("fail_full_bytes_hole", BPINS,
+                   {**quiet, **times,
+                    "bytes": {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0}}},
+                   argv_extra=("--full",), expect=1)
+    # 18. --bytes-ratio is honored (2.2x shuffle passes at 3).
+    ok &= run_case("pass_custom_bytes_ratio", BPINS,
+                   {**quiet, **times,
+                    "bytes": {**good_bytes,
+                              "q02_x": {"sh_mb": 1100.0, "spill_mb": 0.0}}},
+                   argv_extra=("--bytes-ratio", "3"), expect=0)
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (10 cases)")
+    print("SELFTEST PASS (18 cases)")
     return 0
 
 

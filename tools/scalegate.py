@@ -17,10 +17,15 @@ Verdicts, per query in the capture:
     rows are fixed-cost-dominated, so generous headroom is honest).
   - UNPINNED: a captured query with no sf1 pin row (closed under
     registration, the benchgate rule).
+  - UNCAPTURED (--full only): an sf1-pinned query absent from the
+    capture — closes the gate in the OTHER direction, so a pin can
+    never outlive the evidence behind it (round-11 shipped a q149 pin
+    whose committed capture lacked the row; --full makes that a
+    failure, mirroring benchgate --full).
   - CRASH:    a query in the capture's err array.
 
 Usage: python3 tools/scalegate.py [BENCH_SF1.json] [BASELINE.md]
-                                  [--ratio 2.0] [--max-scale 30]
+                                  [--ratio 2.0] [--max-scale 30] [--full]
 Exit codes: 0 pass, 1 failures, 2 unusable inputs.
 Self-test: python3 tools/scalegate_selftest.py
 """
@@ -42,11 +47,15 @@ def parse_sf1_pins(path):
 
 
 def main(argv):
-    ratio, max_scale = 2.0, 30.0
+    ratio, max_scale, full = 2.0, 30.0, False
     args = []
     i = 0
     while i < len(argv):
         a = argv[i]
+        if a == "--full":
+            full = True
+            i += 1
+            continue
         for flag, setter in (("--ratio", "ratio"), ("--max-scale", "max_scale")):
             if a.startswith(flag):
                 if "=" in a:
@@ -107,7 +116,12 @@ def main(argv):
                 f"SUPERLIN {q}: pinned scaling {p1:.2f}/{p01:.2f} = {scale:.1f}x "
                 f"for 10x data (> {max_scale}x)")
         if q not in queries:
-            print(f"note   {q}: sf1-pinned but absent from capture")
+            if full:
+                failures.append(
+                    f"UNCAPTURED {q}: sf1-pinned but absent from capture "
+                    f"(--full: pins must carry committed evidence)")
+            else:
+                print(f"note   {q}: sf1-pinned but absent from capture")
 
     if failures:
         print("\n".join(failures))

@@ -60,10 +60,17 @@ def main():
     ok &= run_case("usage_dangling", PINS,
                    {**quiet, "queries": {"q01_agg": 9.0}},
                    argv_extra=("--ratio",), expect=2)
+    # 9. --full: an sf1-pinned query missing from the capture fails.
+    ok &= run_case("fail_uncaptured_full", PINS,
+                   {**quiet, "queries": {"q01_agg": 9.0}},
+                   argv_extra=("--full",), expect=1)
+    # 10. Same capture without --full only notes the missing pin row.
+    ok &= run_case("pass_uncaptured_default", PINS,
+                   {**quiet, "queries": {"q01_agg": 9.0}}, expect=0)
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (8 cases)")
+    print("SELFTEST PASS (10 cases)")
     return 0
 
 
