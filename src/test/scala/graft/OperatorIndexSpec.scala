@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the generated operator index (docs/OPERATORS.md): stale copies and
+  * dangling references fail. No Spark session needed — the registry and
+  * the filesystem are the ground truth. */
+class OperatorIndexSpec extends AnyFunSuite {
+
+  private def read(p: String) = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+  private lazy val survey = read("SURVEY.md")
+  private lazy val rows = OperatorIndex.parse(survey)
+
+  test("committed docs/OPERATORS.md matches regeneration from SURVEY.md") {
+    val expected = OperatorIndex.render(survey)
+    val actual = read("docs/OPERATORS.md")
+    assert(actual == expected,
+      "docs/OPERATORS.md is stale — regenerate: sbt \"runMain graft.OperatorIndex\"")
+  }
+
+  test("every §2 row parsed, ids unique, families as surveyed") {
+    assert(rows.length >= 191, s"parsed only ${rows.length} §2 rows")
+    assert(rows.map(_.id).distinct.length == rows.length, "duplicate row ids")
+    val families = rows.map(_.id.head).toSet
+    assert(families == Set('R', 'L', 'S', 'B', 'C'), s"families: $families")
+  }
+
+  test("every verify key in the index exists in SparkEntry.queries") {
+    val known = SparkEntry.queries.keySet + "entry"
+    val dangling = rows.flatMap(r => r.verify.filterNot(known).map(k => s"${r.id}: $k"))
+    assert(dangling.isEmpty, s"dangling verify keys:\n${dangling.mkString("\n")}")
+  }
+
+  test("every API entry point resolves to a source file") {
+    import scala.jdk.CollectionConverters._
+    val missing = rows.filter(_.api.nonEmpty).flatMap { r =>
+      val Array(pkg, obj) = r.api.split("\\.", 3).take(2)
+      val exact = Paths.get(s"src/main/scala/graft/$pkg/$obj.scala")
+      // symbols hosted in a sibling file (e.g. plans.TopKRewriteRule lives
+      // in TopKRewrite.scala) resolve by declaration grep
+      def declared = Files.list(Paths.get(s"src/main/scala/graft/$pkg")).iterator.asScala
+        .filter(_.toString.endsWith(".scala"))
+        .exists(p => new String(Files.readAllBytes(p), "UTF-8")
+          .matches(s"(?s).*\\b(object|class|trait) $obj\\b.*"))
+      if (Files.exists(exact) || declared) None
+      else Some(s"${r.id}: ${r.api} -> $exact")
+    }
+    assert(missing.isEmpty, s"dangling API refs:\n${missing.mkString("\n")}")
+    // ...and composition rows (no single entry point) stay the exception;
+    // every one must at least carry a verify query as its recipe
+    val blank = rows.filter(_.api.isEmpty)
+    assert(blank.length <= 12, s"too many rows without an API ref: ${blank.map(_.id)}")
+    val recipeless = blank.filter(_.verify.isEmpty).map(_.id)
+    assert(recipeless.isEmpty, s"composition rows with no verify recipe: $recipeless")
+  }
+}
