@@ -76,6 +76,52 @@ object ScaleUp {
       df.withColumn("p_partkey", col("p_partkey") + r * Shift)
     }
 
+    // Round-12 widening (VERDICT task 2): the windowed/join/funnel/
+    // governance families need the rest of the schema at sf1. Same
+    // disjoint-replica discipline — keys shift in lockstep with their
+    // foreign keys (orders.o_custkey moves WITH customer.c_custkey, so
+    // every replica is a self-contained, sf0.1-isomorphic universe), and
+    // event time is untouched: the time-window count stays the sf0.1
+    // window count with 10x rows per window, which is exactly how a 10x
+    // corpus over the same wall-clock behaves in production.
+    replicate("orders") { (df, r) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + r * Shift)
+        .withColumn("o_custkey", col("o_custkey") + r * Shift)
+    }
+
+    replicate("events") { (df, r) =>
+      df.withColumn("event_id", col("event_id") + r * Shift)
+        .withColumn("user_id", col("user_id") + r * Shift)
+    }
+
+    replicate("supplier") { (df, r) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + r * Shift)
+    }
+
+    // embeddings: ids shift; each replica's vectors CYCLE by 7r positions
+    // so replicas do not stack 10 exact copies onto every ANN bucket
+    // (norms and pairwise structure within a replica are preserved —
+    // rotation is an isometry of the coordinate permutation group)
+    replicate("embeddings") { (df, r) =>
+      if (r == 0) df
+      else {
+        val dim = size(col("embedding"))
+        val rot = transform(sequence(lit(0), dim - 1),
+          i => element_at(col("embedding"), (i + lit(7 * r)) % dim + 1))
+        df.select((col("vec_id") + r * Shift).as("vec_id"),
+          rot.as("embedding"), col("label"))
+      }
+    }
+
+    // fixed-domain dims are SHARED, not replicated: nation/region are the
+    // same 25/5 rows at any scale factor, so every replica joins the one
+    // copy (the realistic 100 TB shape: facts grow, enums don't)
+    Seq("nation", "region").foreach { name =>
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[scaleup] $name -> $out/$name.parquet (shared dim)")
+    }
+
     spark.stop()
   }
 }

@@ -82,6 +82,7 @@ object RQueries {
     "q141_rfm" -> ((s, d) => q141(s, d)),
     "q148_blocklist_sweep" -> ((s, d) => q148(s, d)),
     "q151_wave_schedule" -> ((s, d) => q151(s, d)),
+    "q153_mailing_pipeline" -> ((s, d) => q153(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
   )
@@ -136,6 +137,29 @@ object RQueries {
     val debts = Tables.orders(s, d).groupBy(col("o_custkey").as("cpf"))
       .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("debt_cents"))
     Waves.assign(debts, Seq(col("debt_cents").desc, col("cpf").asc), capacity = 500L)
+  }
+
+  /** R27, oracle-keyed (VERDICT r12): the END-TO-END mailing pipeline —
+    * blocklist → dedup → debt aggregates → top-4 contact enrichment →
+    * flag → status filter → localization → layout → priority →
+    * segmentation — BOTH segments, every stage live in one plan. The
+    * oracle recomposes the whole chain as one CTE query, so the flagship
+    * is hash-checked end to end, not just smoke-checked (`entry`) and
+    * stage-by-stage (q02–q14). `Data_de_Importacao` (current_date) is the
+    * one canonical column left out: a midnight boundary between the Spark
+    * run and the DuckDB run would hash-mismatch on nothing. */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val r = graft.pipeline.MailingPipeline.full(s, d)
+    r.human.unionByName(r.robot).select(
+      col("CPF").as("cpf"), col("NOME_CLIENTE").as("nome_cliente"),
+      col("PRODUTO").as("produto"),
+      col("parcelasEmAtrado").as("parcelas"),
+      col("LOCALIDADE").as("localidade"),
+      col("valorDivida").as("valor_divida"),
+      col("Cliente_Regulariza").as("cliente_regulariza"),
+      col("CONTATO_01").as("contato_01"), col("CONTATO_02").as("contato_02"),
+      col("CONTATO_03").as("contato_03"), col("CONTATO_04").as("contato_04"),
+      col("priority_level"), col("segmento"))
   }
 
   /** R73: RFM quintile segmentation of customers from their orders,
@@ -1435,6 +1459,44 @@ object RQueries {
         |SELECT cpf, debt_cents, ordinal,
         |       CAST((ordinal - 1) // 500 + 1 AS BIGINT) AS wave
         |FROM r""".stripMargin,
+    "q153_mailing_pipeline" ->
+      ("""WITH blocked AS (
+        |  SELECT user_id FROM events WHERE lower(trim(event_type)) = 'error'
+        |  GROUP BY user_id HAVING count(*) >= 3),
+        |debts AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS valor_divida,
+        |         CAST(count(*) AS BIGINT) AS parcelas,
+        |         strftime(max(o_orderdate), '%Y-%m-%d') AS ultima_fatura
+        |  FROM orders GROUP BY o_custkey),
+        |contacts AS (
+        |  SELECT o_custkey,
+        |         max(CASE WHEN rn = 1 THEN CAST(o_orderkey AS VARCHAR) END) AS contato_01,
+        |         max(CASE WHEN rn = 2 THEN CAST(o_orderkey AS VARCHAR) END) AS contato_02,
+        |         max(CASE WHEN rn = 3 THEN CAST(o_orderkey AS VARCHAR) END) AS contato_03,
+        |         max(CASE WHEN rn = 4 THEN CAST(o_orderkey AS VARCHAR) END) AS contato_04
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |        FROM orders) t
+        |  WHERE rn <= 4 GROUP BY o_custkey)
+        |SELECT c.c_custkey AS cpf, c.c_name AS nome_cliente,
+        |       c.c_mktsegment AS produto,
+        |       CAST(coalesce(d.parcelas, 0) AS BIGINT) AS parcelas,
+        |       n.n_name AS localidade,
+        |       coalesce(d.valor_divida, 0.0) AS valor_divida,
+        |       CASE WHEN d.ultima_fatura < '1997-06-01' THEN 'SIM' ELSE '""".stripMargin + NAO + """' END AS cliente_regulariza,
+        |       k.contato_01, k.contato_02, k.contato_03, k.contato_04,
+        |       CASE WHEN upper(trim(c.c_mktsegment)) = 'BUILDING' THEN 0
+        |            WHEN upper(trim(c.c_mktsegment)) = 'MACHINERY' THEN 1
+        |            WHEN upper(trim(c.c_mktsegment)) = 'HOUSEHOLD' THEN 2
+        |            ELSE 3 END AS priority_level,
+        |       CASE WHEN coalesce(d.valor_divida, 0.0) >= 1500000.0
+        |            THEN 'HUMANO' ELSE 'ROBO' END AS segmento
+        |FROM customer c
+        |LEFT JOIN debts d ON c.c_custkey = d.o_custkey
+        |LEFT JOIN contacts k ON c.c_custkey = k.o_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey NOT IN (SELECT user_id FROM blocked)
+        |  AND lower(trim(c.c_mktsegment)) NOT IN ('automobile')""".stripMargin),
     "q148_blocklist_sweep" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events
         |             WHERE lower(trim(event_type)) = 'error' GROUP BY 1),
