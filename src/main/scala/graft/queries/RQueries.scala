@@ -83,6 +83,8 @@ object RQueries {
     "q148_blocklist_sweep" -> ((s, d) => q148(s, d)),
     "q151_wave_schedule" -> ((s, d) => q151(s, d)),
     "q153_mailing_pipeline" -> ((s, d) => q153(s, d)),
+    "q154_ar_aging" -> ((s, d) => q154(s, d)),
+    "q155_dunning" -> ((s, d) => q155(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
   )
@@ -161,6 +163,23 @@ object RQueries {
       col("CONTATO_03").as("contato_03"), col("CONTATO_04").as("contato_04"),
       col("priority_level"), col("segmento"))
   }
+
+  /** R78: accounts-receivable aging report — open invoices (status O/P)
+    * bucketed by days past due as of a fixed date, 30-day terms. */
+  def q154(s: SparkSession, d: String): DataFrame =
+    Aging.report(Tables.orders(s, d), col("o_custkey"), col("o_orderdate"),
+      col("o_totalprice"), col("o_orderstatus"), Seq("O", "P"),
+      asOf = "1996-01-01", termsDays = 30)
+
+  /** R79: dunning next action — the aging ladder gated by the q137
+    * contact policy (windowDays=7, maxInWindow=10, cooldown 24h). */
+  def q155(s: SparkSession, d: String): DataFrame =
+    Aging.dunningNextAction(Tables.orders(s, d), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"), col("o_orderstatus"),
+      Seq("O", "P"), asOf = "1996-01-01", termsDays = 30,
+      contacts = Tables.events(s, d), contactKeyCol = col("user_id"),
+      contactTsCol = col("ts"), contactAsOf = "2024-01-25 00:00:00",
+      windowDays = 7, maxInWindow = 10L, cooldownHours = 24L)
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -1529,6 +1548,62 @@ object RQueries {
         |       CAST(m_score AS BIGINT) AS m_score,
         |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
         |FROM sc""".stripMargin,
+    "q154_ar_aging" ->
+      """WITH open_inv AS (
+        |  SELECT o_custkey AS key,
+        |         date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') - 30 AS past_due,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderstatus IN ('O', 'P')
+        |    AND CAST(o_orderdate AS DATE) <= DATE '1996-01-01')
+        |SELECT key,
+        |  CAST(coalesce(sum(CASE WHEN past_due <= 0 THEN cents END), 0) AS BIGINT) AS current_cents,
+        |  CAST(coalesce(sum(CASE WHEN past_due BETWEEN 1 AND 30 THEN cents END), 0) AS BIGINT) AS d1_30_cents,
+        |  CAST(coalesce(sum(CASE WHEN past_due BETWEEN 31 AND 60 THEN cents END), 0) AS BIGINT) AS d31_60_cents,
+        |  CAST(coalesce(sum(CASE WHEN past_due BETWEEN 61 AND 90 THEN cents END), 0) AS BIGINT) AS d61_90_cents,
+        |  CAST(coalesce(sum(CASE WHEN past_due > 90 THEN cents END), 0) AS BIGINT) AS d90_plus_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_open_cents,
+        |  CAST(count(*) AS BIGINT) AS n_open,
+        |  CAST(greatest(max(past_due), 0) AS BIGINT) AS worst_days_past_due
+        |FROM open_inv GROUP BY key""".stripMargin,
+    "q155_dunning" ->
+      """WITH aged AS (
+        |  SELECT o_custkey AS key,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_open_cents,
+        |         CAST(greatest(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') - 30), 0) AS BIGINT)
+        |           AS worst_days_past_due
+        |  FROM orders
+        |  WHERE o_orderstatus IN ('O', 'P')
+        |    AND CAST(o_orderdate AS DATE) <= DATE '1996-01-01'
+        |  GROUP BY o_custkey),
+        |hist AS (SELECT user_id AS key,
+        |           CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
+        |                         THEN 1 ELSE 0 END) AS BIGINT) AS n_window,
+        |           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+        |         FROM events
+        |         WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+        |         GROUP BY user_id),
+        |elig AS (SELECT a.key,
+        |           CASE WHEN COALESCE(h.n_window, 0) < 10
+        |                 AND (COALESCE((CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00')) AS BIGINT)
+        |                                - h.last_epoch) // 3600, -1) = -1
+        |                      OR COALESCE((CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00')) AS BIGINT)
+        |                                   - h.last_epoch) // 3600, -1) >= 24)
+        |            THEN 1 ELSE 0 END AS eligible
+        |         FROM aged a LEFT JOIN hist h ON h.key = a.key),
+        |lad AS (SELECT a.key, a.worst_days_past_due, a.total_open_cents, e.eligible,
+        |          CASE WHEN a.worst_days_past_due <= 0 THEN 'NONE'
+        |               WHEN a.worst_days_past_due <= 30 THEN 'REMINDER'
+        |               WHEN a.worst_days_past_due <= 60 THEN 'WARNING'
+        |               WHEN a.worst_days_past_due <= 90 THEN 'FINAL_NOTICE'
+        |               ELSE 'HANDOFF' END AS ladder_action
+        |        FROM aged a JOIN elig e ON e.key = a.key)
+        |SELECT key, worst_days_past_due, total_open_cents, ladder_action,
+        |       CAST(eligible AS BIGINT) AS eligible,
+        |       CASE WHEN ladder_action = 'NONE' THEN 'NONE'
+        |            WHEN eligible = 1 THEN ladder_action
+        |            ELSE 'HOLD' END AS next_action
+        |FROM lad""".stripMargin,
     "q137_contact_policy" ->
       """WITH hist AS (SELECT user_id AS key,
         |                CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
