@@ -8,11 +8,13 @@ import graft.sources.Tables
 /** Dev profiling harness: time the sub-stages of a slow query in isolation
   * (each timed twice — cold then warm — so codegen compile cost is visible
   * separately from steady-state). Usage:
-  * `sbt "runMain graft.Prof <sfDir>"`. */
+  * `sbt "runMain graft.Prof <sfDir> [cpus]"` — pass cpus=32 when stage
+  * numbers must be comparable to bench captures. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = GraftSession.local("graft-prof", 8)
+    val cpus = if (args.length > 1) args(1).toInt else 8
+    val spark = GraftSession.local("graft-prof", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     def time(name: String)(mk: => DataFrame): Unit = {
@@ -71,12 +73,58 @@ object Prof {
       NearDup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
     }
 
-    // q126 k-core stages: how much is the edge build vs the peel rounds
-    val und = graft.operators.Graph.coOccurrenceEdges(
-      Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey")
+    // q126 k-core stages: how much is the edge build vs the peel rounds.
+    // NOTE coOccurrenceEdges ends in an EAGER localCheckpoint — the build
+    // cost lands at the CALL, so `edge_build_fresh` wraps the call itself
+    // (its run2 pays the build again; the *_reuse stages below read the
+    // one materialized frame, which is what the graph ops share in a
+    // single query but NOT across bench queries — each bench query
+    // rebuilds).
+    var undV: org.apache.spark.sql.DataFrame = null
+    time("edge_build_fresh") {
+      undV = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey")
+      undV
+    }
+    val und = undV
     time("kcore_edge_build") { und }
     time("kcore_1_round") { graft.operators.Graph.kCorePeel(und, 80, 1) }
     time("kcore_5_rounds") { graft.operators.Graph.kCorePeel(und, 80, 5) }
+
+    // q103 triangle stages (BASELINE.md sf1 table's steepest ratio): the
+    // sf1 graph is 10 DISJOINT isomorphic copies of sf0.1's, so true
+    // triangle work is exactly 10x — the per-stage ratios below attribute
+    // the observed aggregate to heavy stages scaling ~10x vs the
+    // edge-build / scheduling floor amortizing. Stages mirror
+    // Graph.triangleCounts exactly (same broadcast hints).
+    {
+      import org.apache.spark.sql.functions.{broadcast => bcast}
+      val u = und // coOccurrenceEdges is already eagerly checkpointed
+      time("tri_edge_build") { u }
+      val deg = graft.operators.Graph.symmetrize(u)
+        .groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+      time("tri_degrees") { deg }
+      def directed = {
+        val dl = bcast(deg)
+        val withDeg = u
+          .join(dl.select(col("n").as("u2"), col("d").as("du")), col("u") === col("u2"))
+          .join(dl.select(col("n").as("v2"), col("d").as("dv")), col("v") === col("v2"))
+        withDeg.select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u")).otherwise(col("v")).as("lo"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v")).otherwise(col("u")).as("hi"))
+      }
+      time("tri_direct_edges") { directed }
+      val adj = directed.groupBy(col("lo").as("n")).agg(collect_list(col("hi")).as("nbrs"))
+      time("tri_adjacency") { adj }
+      time("tri_intersect_close") {
+        directed
+          .join(bcast(adj).select(col("n").as("n1"), col("nbrs").as("nb1")), col("lo") === col("n1"))
+          .join(bcast(adj).select(col("n").as("n2"), col("nbrs").as("nb2")), col("hi") === col("n2"))
+          .select(col("lo"), col("hi"),
+            explode(array_intersect(col("nb1"), col("nb2"))).as("w"))
+      }
+      time("q103_full") { graft.operators.Graph.triangleCounts(u) }
+    }
     spark.stop()
   }
 }
