@@ -26,6 +26,7 @@ object LQueries {
     "q31_bucketed_join" -> ((s, d) => q31(s, d)),
     "q32_simhash_hamming" -> ((s, d) => q32(s, d)),
     "q33_ivf_ann" -> ((s, d) => q33(s, d)),
+    "q156_ann_recall" -> ((s, d) => q156(s, d)),
     "q34_dedup_events" -> ((s, d) => q34(s, d)),
     "q35_topk_native" -> ((s, d) => q35(s, d)),
     "q36_hash_split" -> ((s, d) => q36(s, d)),
@@ -710,6 +711,20 @@ object LQueries {
   /** L62: dedup-evaluation harness — precision/recall of the LSH near-dup
     * pass (q52's shape) against the exact brute-force baseline (q29's
     * shape) on the same embeddings. */
+  /** L82: ANN recall harness — measured list-recall and top-1 agreement of
+    * the IVF (q33) and LSH-bucketed (q26) methods against the exact
+    * brute-force baseline (q20) on the same queries/k. The q113/q150
+    * measure-first discipline applied to the similarity family. */
+  def q156(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pred = col("vec_id") % 1000 === 0
+    graft.operators.AnnEval.topKOverlap(
+      Seq(
+        "ivf" -> Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5, centroidMod = 31),
+        "lsh" -> Similarity.lshCosineTopK(emb, "vec_id", "embedding", pred, k = 5, planes = 6)),
+      exact = Similarity.cosineTopK(emb, "vec_id", "embedding", pred, k = 5))
+  }
+
   def q113(s: SparkSession, d: String): DataFrame =
     graft.operators.DedupEval.pairSetMetrics(
       approx = q52(s, d).select("id_a", "id_b"),
@@ -1126,6 +1141,86 @@ object LQueries {
         |       CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_q
         |FROM cand c JOIN w x ON x.vec_id = c.id_a JOIN w y ON y.vec_id = c.id_b
         |WHERE CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) >= 4000""".stripMargin
+
+  /** q20/q26/q33 oracle texts live in named vals so the q156 ANN-recall
+    * oracle can recompose them as subqueries — the harness's oracle is BY
+    * CONSTRUCTION the same baselines the per-method oracles check. */
+  private val cosineTopKOracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+      |             round(list_dot_product(q.v, n.v)
+      |                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 3) AS sim
+      |      FROM e q JOIN e n ON q.vec_id % 1000 = 0 AND q.vec_id <> n.vec_id)
+      |SELECT qid, nid, sim, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank FROM s) t
+      |WHERE rank <= 5""".stripMargin
+
+  private val ivfTopKOracle =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |              FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM base WHERE vec_id % 31 = 0),
+      |assigned AS (SELECT vec_id, v, nrm, cid FROM (
+      |    SELECT b.vec_id, b.v, b.nrm, c.cid,
+      |           row_number() OVER (PARTITION BY b.vec_id
+      |             ORDER BY CAST(floor(list_dot_product(b.v, c.cv) / (b.nrm * c.cnrm) * 10000) AS BIGINT) DESC,
+      |                      c.cid ASC) AS rn
+      |    FROM base b CROSS JOIN cent c) t
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid FROM assigned WHERE vec_id % 1000 = 0),
+      |s AS (SELECT q.qid, n.vec_id AS nid,
+      |             CAST(floor(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) * 10000) AS BIGINT) AS sim_q
+      |      FROM assigned n JOIN q ON n.cid = q.cid AND q.qid <> n.vec_id)
+      |SELECT qid, nid, sim_q, CAST(rank AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_q DESC, nid ASC) AS rank FROM s) t
+      |WHERE rank <= 5""".stripMargin
+
+  private val lshTopKOracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |planes AS (
+      |  SELECT j, list_transform(range(64), d ->
+      |    CASE WHEN strpos('0123456789abcdef',
+      |                     substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) <= 8
+      |         THEN 1.0 ELSE -1.0 END) AS p
+      |  FROM (SELECT unnest(range(6)) AS j) js),
+      |b AS (SELECT vec_id,
+      |             string_agg(CASE WHEN list_dot_product(v, p) >= 0 THEN '1' ELSE '0' END, ''
+      |                        ORDER BY j) AS bucket
+      |      FROM e CROSS JOIN planes GROUP BY vec_id),
+      |eb AS (SELECT e.vec_id, e.v, b.bucket, sqrt(list_dot_product(e.v, e.v)) AS nrm
+      |       FROM e JOIN b USING (vec_id)),
+      |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+      |             round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 3) AS sim
+      |      FROM eb q JOIN eb n ON q.bucket = n.bucket
+      |       AND q.vec_id % 1000 = 0 AND q.vec_id <> n.vec_id)
+      |SELECT qid, nid, sim, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+      |      FROM s) t
+      |WHERE rank <= 5""".stripMargin
+
+  /** L82 oracle: the three list oracles as subqueries + the same
+    * full-outer-join overlap arithmetic as [[graft.operators.AnnEval]].
+    * Composed by concatenation (the inner texts are pre-stripped — no
+    * outer stripMargin). */
+  private val annRecallOracle: String = {
+    def metric(name: String, ap: String) =
+      s"""m_$name AS (
+         |  SELECT '$name' AS method,
+         |    CAST(sum(CASE WHEN e.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |    CAST(sum(CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
+         |    CAST(sum(CASE WHEN e.rank IS NOT NULL AND a.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    CAST(sum(CASE WHEN e.rank = 1 AND a.rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits
+         |  FROM ex e FULL OUTER JOIN $ap a ON e.qid = a.qid AND e.nid = a.nid)""".stripMargin
+    "WITH ex AS (SELECT qid, nid, rank FROM (" + cosineTopKOracle + ") t),\n" +
+      "ap_ivf AS (SELECT qid, nid, rank FROM (" + ivfTopKOracle + ") t),\n" +
+      "ap_lsh AS (SELECT qid, nid, rank FROM (" + lshTopKOracle + ") t),\n" +
+      metric("ivf", "ap_ivf") + ",\n" + metric("lsh", "ap_lsh") + "\n" +
+      """SELECT method, n_exact, n_approx, hits,
+        |  CASE WHEN n_exact = 0 THEN 0
+        |       ELSE (1000000 * hits) // n_exact END AS recall_ppm,
+        |  top1_hits
+        |FROM (SELECT * FROM m_ivf UNION ALL SELECT * FROM m_lsh) u""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q102_pagerank" -> pagerankOracle,
@@ -1585,25 +1680,8 @@ object LQueries {
         |       CAST(len(list_filter(range(64), i -> fp_a[i + 1] <> fp_b[i + 1])) AS BIGINT) AS hamming
         |FROM cand
         |WHERE len(list_filter(range(64), i -> fp_a[i + 1] <> fp_b[i + 1])) <= 3""".stripMargin),
-    "q33_ivf_ann" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |                     sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |              FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM base WHERE vec_id % 31 = 0),
-        |assigned AS (SELECT vec_id, v, nrm, cid FROM (
-        |    SELECT b.vec_id, b.v, b.nrm, c.cid,
-        |           row_number() OVER (PARTITION BY b.vec_id
-        |             ORDER BY CAST(floor(list_dot_product(b.v, c.cv) / (b.nrm * c.cnrm) * 10000) AS BIGINT) DESC,
-        |                      c.cid ASC) AS rn
-        |    FROM base b CROSS JOIN cent c) t
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid FROM assigned WHERE vec_id % 1000 = 0),
-        |s AS (SELECT q.qid, n.vec_id AS nid,
-        |             CAST(floor(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) * 10000) AS BIGINT) AS sim_q
-        |      FROM assigned n JOIN q ON n.cid = q.cid AND q.qid <> n.vec_id)
-        |SELECT qid, nid, sim_q, CAST(rank AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_q DESC, nid ASC) AS rank FROM s) t
-        |WHERE rank <= 5""".stripMargin,
+    "q33_ivf_ann" -> ivfTopKOracle,
+    "q156_ann_recall" -> annRecallOracle,
     "q34_dedup_events" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
         |       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS first_ts_us
@@ -1627,28 +1705,7 @@ object LQueries {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |       CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_nums
         |FROM documents""".stripMargin,
-    "q26_lsh_ann" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |planes AS (
-        |  SELECT j, list_transform(range(64), d ->
-        |    CASE WHEN strpos('0123456789abcdef',
-        |                     substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) <= 8
-        |         THEN 1.0 ELSE -1.0 END) AS p
-        |  FROM (SELECT unnest(range(6)) AS j) js),
-        |b AS (SELECT vec_id,
-        |             string_agg(CASE WHEN list_dot_product(v, p) >= 0 THEN '1' ELSE '0' END, ''
-        |                        ORDER BY j) AS bucket
-        |      FROM e CROSS JOIN planes GROUP BY vec_id),
-        |eb AS (SELECT e.vec_id, e.v, b.bucket, sqrt(list_dot_product(e.v, e.v)) AS nrm
-        |       FROM e JOIN b USING (vec_id)),
-        |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
-        |             round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 3) AS sim
-        |      FROM eb q JOIN eb n ON q.bucket = n.bucket
-        |       AND q.vec_id % 1000 = 0 AND q.vec_id <> n.vec_id)
-        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
-        |      FROM s) t
-        |WHERE rank <= 5""".stripMargin,
+    "q26_lsh_ann" -> lshTopKOracle,
     "q42_dup_clusters" -> (gramsCapped.replace("WITH ", "WITH RECURSIVE ") +
       """,
         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
@@ -2008,15 +2065,7 @@ object LQueries {
         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score_q DESC, doc_id ASC) AS rk
         |  FROM scored) z
         |WHERE rk <= 10""".stripMargin,
-    "q20_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
-        |             round(list_dot_product(q.v, n.v)
-        |                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 3) AS sim
-        |      FROM e q JOIN e n ON q.vec_id % 1000 = 0 AND q.vec_id <> n.vec_id)
-        |SELECT qid, nid, sim, CAST(rank AS INT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank FROM s) t
-        |WHERE rank <= 5""".stripMargin,
+    "q20_cosine_topk" -> cosineTopKOracle,
     "q21_lang_id" ->
       s"""SELECT doc_id,
          |       ${stopHitsSql(TextAnalysis.EnStop)} AS en_hits,

@@ -85,6 +85,7 @@ object RQueries {
     "q153_mailing_pipeline" -> ((s, d) => q153(s, d)),
     "q154_ar_aging" -> ((s, d) => q154(s, d)),
     "q155_dunning" -> ((s, d) => q155(s, d)),
+    "q157_remittance" -> ((s, d) => q157(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
   )
@@ -180,6 +181,15 @@ object RQueries {
       contacts = Tables.events(s, d), contactKeyCol = col("user_id"),
       contactTsCol = col("ts"), contactAsOf = "2024-01-25 00:00:00",
       windowDays = 7, maxInWindow = 10L, cooldownHours = 24L)
+
+  /** R80: FIFO remittance matching — purchases applied to open invoices
+    * oldest-first; per-invoice settlement (paid/outstanding/status). */
+  def q157(s: SparkSession, d: String): DataFrame =
+    Remittance.settlement(
+      Tables.orders(s, d).where(col("o_orderstatus").isin("O", "P")),
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      Tables.events(s, d).where(col("event_type") === "purchase"),
+      col("user_id"), col("event_id"), col("ts"), col("value"))
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -1548,6 +1558,36 @@ object RQueries {
         |       CAST(m_score AS BIGINT) AS m_score,
         |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
         |FROM sc""".stripMargin,
+    "q157_remittance" ->
+      """WITH inv AS (
+        |  SELECT o_custkey AS key, o_orderkey AS inv_id,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS ic,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           OVER (PARTITION BY o_custkey
+        |                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS inv_hi
+        |  FROM orders WHERE o_orderstatus IN ('O', 'P')),
+        |pay AS (
+        |  SELECT user_id AS key, event_id AS pay_id,
+        |         CAST(round(value * 100) AS BIGINT) AS pc,
+        |         sum(CAST(round(value * 100) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pay_hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |alloc AS (
+        |  SELECT i.key, i.inv_id,
+        |         least(i.inv_hi, p.pay_hi) - greatest(i.inv_hi - i.ic, p.pay_hi - p.pc) AS a
+        |  FROM inv i JOIN pay p ON i.key = p.key
+        |  WHERE least(i.inv_hi, p.pay_hi) - greatest(i.inv_hi - i.ic, p.pay_hi - p.pc) > 0),
+        |agg AS (SELECT key, inv_id, CAST(sum(a) AS BIGINT) AS paid_cents,
+        |               CAST(count(*) AS BIGINT) AS n_payments
+        |        FROM alloc GROUP BY key, inv_id)
+        |SELECT i.key, i.inv_id, i.ic AS inv_cents,
+        |       COALESCE(g.paid_cents, 0) AS paid_cents,
+        |       i.ic - COALESCE(g.paid_cents, 0) AS outstanding_cents,
+        |       COALESCE(g.n_payments, 0) AS n_payments,
+        |       CASE WHEN i.ic - COALESCE(g.paid_cents, 0) <= 0 THEN 'PAID'
+        |            WHEN COALESCE(g.paid_cents, 0) > 0 THEN 'PARTIAL'
+        |            ELSE 'OPEN' END AS status
+        |FROM inv i LEFT JOIN agg g ON g.key = i.key AND g.inv_id = i.inv_id""".stripMargin,
     "q154_ar_aging" ->
       """WITH open_inv AS (
         |  SELECT o_custkey AS key,
