@@ -32,14 +32,20 @@ object StreamExpectations {
   def checkBatch(batch: DataFrame, checks: Seq[Check], batchId: Long): DataFrame =
     Expectations.check(batch, checks).withColumn("batch_id", lit(batchId))
 
-  /** Wire a streaming frame to a verdict sink: every micro-batch is
-    * evaluated against `checks` and `sink` receives the verdict rows
-    * (check_name, metric_q, threshold_q, passed, batch_id). The returned
-    * writer still needs `.start()` — callers pick checkpoint/output opts. */
+  /** Wire a streaming frame to a verdict sink: every micro-batch WITH DATA
+    * is evaluated against `checks` and `sink` receives the verdict rows
+    * (check_name, metric_q, threshold_q, passed, batch_id). Empty
+    * micro-batches are SKIPPED: Structured Streaming fires no-data batches
+    * for bookkeeping (watermark finalization, trailing availableNow
+    * listings), and a monitor that pages "completeness FAILED" on a
+    * zero-row bookkeeping batch is a false alert — feed-went-quiet belongs
+    * to an event-time freshness check, not to verdicts on rows that don't
+    * exist. The returned writer still needs `.start()` — callers pick
+    * checkpoint/output opts. */
   def monitor(stream: DataFrame, checks: Seq[Check])
              (sink: DataFrame => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(checkBatch(batch, checks, id))
+        if (!batch.isEmpty) sink(checkBatch(batch, checks, id))
       }
 }

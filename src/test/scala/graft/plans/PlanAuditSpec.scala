@@ -16,6 +16,9 @@ class PlanAuditSpec extends SparkSpec {
   /** Queries allowed a BroadcastNestedLoopJoin, with why. */
   private val bnljAllowed: Map[String, String] = Map(
     "q20_cosine_topk" -> "tiny fixed query-vector set vs corpus (bounded side)",
+    "q156_ann_recall" -> ("runs q20/q26/q33's list plans to measure their recall — " +
+      "inherits exactly their allowlisted broadcast query-set x corpus products; " +
+      "the harness's own overlap joins are (qid, nid) equi-joins"),
     "q26_lsh_ann" -> "tiny fixed query-vector set vs corpus (bounded side)",
     "q33_ivf_ann" -> "tiny fixed query-vector set vs corpus (bounded side)",
     "q76_ivf_multiprobe" -> ("same IVF assignment shape as q33 (broadcast centroid cross for the " +
