@@ -37,7 +37,7 @@ object OperatorIndex {
       case c => cur += c
     }
     out += cur.toString.trim
-    out.result().drop(1).dropRight(0) match { // leading empty cell before first |
+    out.result().drop(1) match { // leading empty cell before first |
       case cells if cells.lastOption.contains("") => cells.dropRight(1)
       case cells => cells
     }

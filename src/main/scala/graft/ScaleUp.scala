@@ -68,8 +68,12 @@ object ScaleUp {
     }
 
     replicate("lineitem") { (df, r) =>
+      // EVERY foreign key shifts in lockstep (l_suppkey included, so a
+      // future lineitem-supplier join at sf1 measures 10 disjoint
+      // universes, not a 10x fanout into replica-0's suppliers)
       df.withColumn("l_orderkey", col("l_orderkey") + r * Shift)
         .withColumn("l_partkey", col("l_partkey") + r * Shift)
+        .withColumn("l_suppkey", col("l_suppkey") + r * Shift)
     }
 
     replicate("part") { (df, r) =>

@@ -36,14 +36,17 @@ object AnnEval {
     val per = methods.map { case (name, df) =>
       val a = df.select(col("qid").cast("long"), col("nid").cast("long"),
         col("rank").cast("long").as("arank")).distinct()
+      // coalesce(sum, 0): a global agg over ZERO rows (both lists empty —
+      // e.g. a query predicate matching nothing) yields null sums, and the
+      // contract is "empty reads zero, not null"
       e.join(a, Seq("qid", "nid"), "full_outer")
         .agg(
-          sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_approx"),
-          sum(when(col("rank").isNotNull && col("arank").isNotNull, 1L)
-            .otherwise(0L)).as("hits"),
-          sum(when(col("rank") === 1L && col("arank") === 1L, 1L)
-            .otherwise(0L)).as("top1_hits"))
+          coalesce(sum(when(col("rank").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_exact"),
+          coalesce(sum(when(col("arank").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_approx"),
+          coalesce(sum(when(col("rank").isNotNull && col("arank").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("hits"),
+          coalesce(sum(when(col("rank") === 1L && col("arank") === 1L, 1L)
+            .otherwise(0L)), lit(0L)).as("top1_hits"))
         .select(lit(name).as("method"), col("n_exact"), col("n_approx"),
           col("hits"),
           when(col("n_exact") === 0, 0L)

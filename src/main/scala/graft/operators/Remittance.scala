@@ -32,7 +32,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Remittance {
 
-  /** Allocation pairs: (key, inv_id, pay_id, alloc_cents), alloc > 0. */
+  /** Allocation pairs: (key, inv_id, pay_id, alloc_cents), alloc > 0.
+    *
+    * CONTRACT: amounts must be non-negative on both sides. The interval
+    * construction needs monotone cumulative sums — a negative payment
+    * (refund/chargeback) or negative invoice (credit memo) makes the axis
+    * fold back on itself and the same cents allocate twice. Net such
+    * adjustments upstream (they are corrections to a PRIOR allocation,
+    * not new money to apply FIFO) before calling this. Zero-amount rows
+    * are harmless: a zero-width interval overlaps nothing. */
   def allocateFifo(invoices: DataFrame, iKey: Column, invId: Column,
                    invDate: Column, invAmount: Column,
                    payments: DataFrame, pKey: Column, payId: Column,

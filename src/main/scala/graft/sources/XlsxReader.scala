@@ -76,8 +76,6 @@ object XlsxReader {
     * single sequential `ZipInputStream` scan suffices (no random access
     * needed over an in-memory array anyway). */
   private[sources] final class BytesZip(content: Array[Byte]) extends ZipSource {
-    private val wanted = Set("xl/workbook.xml", "xl/_rels/workbook.xml.rels",
-      "xl/sharedStrings.xml", "xl/styles.xml")
     private val entries: Map[String, Array[Byte]] = {
       val out = mutable.Map[String, Array[Byte]]()
       val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(content))
@@ -85,7 +83,13 @@ object XlsxReader {
         var e = zin.getNextEntry
         while (e != null) {
           val name = e.getName
-          if (wanted(name) || (name.startsWith("xl/worksheets/") && name.endsWith(".xml")))
+          // every xl/ XML part is retained (workbook, rels, sharedStrings,
+          // styles, worksheets — and chartsheets or nonstandard sheet
+          // paths a rels target may point at, so FileZip and BytesZip hand
+          // the parser the same entries); only binary parts (xl/media
+          // images etc.) are dropped, which is what bounds memory
+          if (name.startsWith("xl/") && name.endsWith(".xml") ||
+              name.endsWith(".rels"))
             out(name) = zin.readAllBytes()
           e = zin.getNextEntry
         }
@@ -353,25 +357,28 @@ object XlsxReader {
   def readXlsxDir(spark: SparkSession, dir: String, sheet: Option[String] = None,
                   pathGlob: String = "*.xlsx",
                   sourceFileColumn: Option[String] = None): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val pattern = new Path(dir, pathGlob)
-    val fs = pattern.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Option(fs.globStatus(pattern)).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.isFile).map(_.getPath).sortBy(_.toString)
-    require(files.nonEmpty, s"no files match $pattern")
-    val header: Array[String] = {
-      val in = fs.open(files.head)
-      val bytes = try in.readAllBytes() finally in.close()
-      tableOf(new BytesZip(bytes), sheet, files.head.toString)._1
-    }
-    require(header.nonEmpty,
-      s"${files.head} has an empty sheet — cannot fix the directory's schema from it")
-    val base = StructType(header.map(StructField(_, StringType, nullable = true)))
-    val schema = sourceFileColumn.fold(base)(c => base.add(StructField(c, StringType)))
-
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", pathGlob).load(dir)
       .select("path", "content")
+    // The schema-fixing workbook comes from binaryFile's OWN listing (its
+    // first path in sort order), never from a separate driver-side glob:
+    // two listings can disagree on hidden files ('_'/'.'-prefixed, which
+    // Hadoop sources skip) and directory recursion, and a schema fixed
+    // from a file the tasks never parse — or a nonempty task set behind an
+    // empty driver glob — is exactly the silent drift this method exists
+    // to prevent. Only the one schema workbook's bytes come to the driver.
+    val first = bin.select(org.apache.spark.sql.functions.min("path"))
+      .head().getString(0)
+    require(first != null, s"no files match $pathGlob under $dir")
+    val header: Array[String] = {
+      val bytes = bin.where(org.apache.spark.sql.functions.col("path") === first)
+        .select("content").head().getAs[Array[Byte]](0)
+      tableOf(new BytesZip(bytes), sheet, first)._1
+    }
+    require(header.nonEmpty,
+      s"$first has an empty sheet — cannot fix the directory's schema from it")
+    val base = StructType(header.map(StructField(_, StringType, nullable = true)))
+    val schema = sourceFileColumn.fold(base)(c => base.add(StructField(c, StringType)))
     val hdr = header // capture the plain array, not the surrounding state
     val sheetSel = sheet
     val withSrc = sourceFileColumn.isDefined
@@ -386,6 +393,16 @@ object XlsxReader {
           if (h.sameElements(hdr)) Array.tabulate(h.length)(identity)
           else {
             val pos = hdr.zipWithIndex.toMap
+            // by-name alignment is only well-defined for distinct names on
+            // BOTH sides: zipWithIndex.toMap keeps the last index per name,
+            // so a duplicate would silently route two source cells into one
+            // slot (data loss) — duplicates are fine only on the
+            // identical-header positional path above
+            require(pos.size == hdr.length, s"$path: header order differs from " +
+              s"the schema-fixing workbook, which has DUPLICATE column names — " +
+              "by-name alignment is ambiguous; make headers identical or rename")
+            require(h.distinct.length == h.length, s"$path: duplicate column " +
+              "names with a reordered header — by-name alignment is ambiguous")
             val unknown = h.filterNot(pos.contains)
             require(unknown.isEmpty, s"$path: columns not in the schema-fixing " +
               s"workbook (${unknown.mkString(", ")}) — reconcile with SchemaDrift")

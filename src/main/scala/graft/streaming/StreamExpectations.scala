@@ -46,6 +46,12 @@ object StreamExpectations {
              (sink: DataFrame => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) sink(checkBatch(batch, checks, id))
+        // persist across the two actions (emptiness probe + verdict agg)
+        // so the micro-batch's upstream lineage is evaluated once, not
+        // twice per batch on the hot streaming path
+        batch.persist()
+        try {
+          if (!batch.isEmpty) sink(checkBatch(batch, checks, id))
+        } finally batch.unpersist()
       }
 }

@@ -34,15 +34,26 @@ class OperatorIndexSpec extends AnyFunSuite {
 
   test("every API entry point resolves to a source file") {
     import scala.jdk.CollectionConverters._
+    // each package directory is read ONCE into a symbol cache (and the
+    // Files.list stream closed via Using) — the per-row declaration grep
+    // was O(rows x files) full-file re-reads with a leaked directory fd
+    // per miss
+    val declCache = scala.collection.mutable.Map.empty[String, String]
+    def pkgSource(pkg: String): String = declCache.getOrElseUpdate(pkg, {
+      scala.util.Using.resource(Files.list(Paths.get(s"src/main/scala/graft/$pkg"))) {
+        _.iterator.asScala
+          .filter(_.toString.endsWith(".scala"))
+          .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+          .mkString("\n")
+      }
+    })
     val missing = rows.filter(_.api.nonEmpty).flatMap { r =>
       val Array(pkg, obj) = r.api.split("\\.", 3).take(2)
       val exact = Paths.get(s"src/main/scala/graft/$pkg/$obj.scala")
       // symbols hosted in a sibling file (e.g. plans.TopKRewriteRule lives
-      // in TopKRewrite.scala) resolve by declaration grep
-      def declared = Files.list(Paths.get(s"src/main/scala/graft/$pkg")).iterator.asScala
-        .filter(_.toString.endsWith(".scala"))
-        .exists(p => new String(Files.readAllBytes(p), "UTF-8")
-          .matches(s"(?s).*\\b(object|class|trait) $obj\\b.*"))
+      // in TopKRewrite.scala) resolve by declaration grep over the cache
+      def declared = s"\\b(object|class|trait) ${java.util.regex.Pattern.quote(obj)}\\b"
+        .r.findFirstIn(pkgSource(pkg)).isDefined
       if (Files.exists(exact) || declared) None
       else Some(s"${r.id}: ${r.api} -> $exact")
     }

@@ -29,4 +29,12 @@ class AnnEvalSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect().head
     assert(out == (("none", 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("both lists empty reads all-zero metrics, never null") {
+    val empty = lists().limit(0)
+    val out = AnnEval.topKOverlap(Seq("none" -> empty), empty)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(out == (("none", 0L, 0L, 0L, 0L, 0L)),
+      "a zero-row agg must coalesce its null sums to 0")
+  }
 }
