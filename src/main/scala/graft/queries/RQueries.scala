@@ -86,6 +86,7 @@ object RQueries {
     "q154_ar_aging" -> ((s, d) => q154(s, d)),
     "q155_dunning" -> ((s, d) => q155(s, d)),
     "q157_remittance" -> ((s, d) => q157(s, d)),
+    "q158_benford" -> ((s, d) => q158(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
   )
@@ -190,6 +191,12 @@ object RQueries {
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
       Tables.events(s, d).where(col("event_type") === "purchase"),
       col("user_id"), col("event_id"), col("ts"), col("value"))
+
+  /** R81: Benford first-digit audit of invoice amounts per order
+    * priority — fabricated-amounts fraud screen, integer ppm. */
+  def q158(s: SparkSession, d: String): DataFrame =
+    Benford.firstDigitAudit(Tables.orders(s, d),
+      col("o_orderpriority"), col("o_totalprice"))
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -1558,6 +1565,23 @@ object RQueries {
         |       CAST(m_score AS BIGINT) AS m_score,
         |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
         |FROM sc""".stripMargin,
+    "q158_benford" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |g AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY grp, digit),
+        |t AS (SELECT grp, digit, n, sum(n) OVER (PARTITION BY grp) AS tot FROM g),
+        |e AS (SELECT grp, digit, n,
+        |        CAST((1000000 * n) // tot AS BIGINT) AS obs_ppm,
+        |        CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |                        WHEN 3 THEN 124939 WHEN 4 THEN 96910
+        |                        WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |                        WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |                        WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm
+        |      FROM t)
+        |SELECT grp, digit, n, obs_ppm, exp_ppm, obs_ppm - exp_ppm AS dev_ppm
+        |FROM e""".stripMargin,
     "q157_remittance" ->
       """WITH inv AS (
         |  SELECT o_custkey AS key, o_orderkey AS inv_id,
