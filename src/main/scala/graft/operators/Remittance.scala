@@ -44,23 +44,42 @@ object Remittance {
   def allocateFifo(invoices: DataFrame, iKey: Column, invId: Column,
                    invDate: Column, invAmount: Column,
                    payments: DataFrame, pKey: Column, payId: Column,
-                   payTs: Column, payAmount: Column): DataFrame = {
+                   payTs: Column, payAmount: Column): DataFrame =
+    allocate(
+      invoiceIntervals(invoices, iKey, invId, invDate, invAmount),
+      paymentIntervals(payments, pKey, payId, payTs, payAmount))
+
+  /** Invoices on the debtor's money axis: (key, inv_id, inv_lo, inv_hi),
+    * ordered by (date, id). Shared with the streaming form (S23), whose
+    * static invoice side is exactly this frame. */
+  def invoiceIntervals(invoices: DataFrame, iKey: Column, invId: Column,
+                       invDate: Column, invAmount: Column): DataFrame = {
     val wi = Window.partitionBy("key").orderBy(col("d"), col("inv_id"))
-    val inv = invoices.select(iKey.as("key"), invId.as("inv_id"),
+    invoices.select(iKey.as("key"), invId.as("inv_id"),
         to_date(invDate).as("d"), round(invAmount * 100).cast("long").as("ic"))
       .withColumn("inv_hi", sum(col("ic")).over(wi))
       .select(col("key"), col("inv_id"), (col("inv_hi") - col("ic")).as("inv_lo"), col("inv_hi"))
+  }
+
+  /** Payments on the same axis: (key, pay_id, pay_lo, pay_hi), ordered by
+    * (ts, id). The streaming form shifts these by the debtor's
+    * already-applied total to keep the axis continuous across batches. */
+  def paymentIntervals(payments: DataFrame, pKey: Column, payId: Column,
+                       payTs: Column, payAmount: Column): DataFrame = {
     val wp = Window.partitionBy("key").orderBy(col("ts"), col("pay_id"))
-    val pay = payments.select(pKey.as("key"), payId.as("pay_id"),
+    payments.select(pKey.as("key"), payId.as("pay_id"),
         payTs.as("ts"), round(payAmount * 100).cast("long").as("pc"))
       .withColumn("pay_hi", sum(col("pc")).over(wp))
       .select(col("key"), col("pay_id"), (col("pay_hi") - col("pc")).as("pay_lo"), col("pay_hi"))
+  }
+
+  /** Interval intersection of the two sides (both already on the axis). */
+  def allocate(inv: DataFrame, pay: DataFrame): DataFrame =
     inv.join(pay, Seq("key"))
       .select(col("key"), col("inv_id"), col("pay_id"),
         (least(col("inv_hi"), col("pay_hi")) -
           greatest(col("inv_lo"), col("pay_lo"))).as("alloc_cents"))
       .where(col("alloc_cents") > 0)
-  }
 
   /** Per-invoice settlement: paid/outstanding cents, payments touched,
     * and status PAID / PARTIAL / OPEN. Invoices no payment reached keep a

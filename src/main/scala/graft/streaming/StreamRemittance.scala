@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Remittance
+
+/** Streaming FIFO payment application (SURVEY §2b S23) — the continuous
+  * form of [[graft.operators.Remittance]]: payments stream in, each
+  * micro-batch allocates them against the static open-invoice ledger and
+  * appends the (invoice, payment, cents) allocation rows, so settlement
+  * state is always current instead of recomputed per mailing run.
+  *
+  * The cumsum-interval formulation makes the state TINY: everything the
+  * next batch needs about a debtor's payment history is its cumulative
+  * applied total — ONE long per debtor, never payment history. A batch's
+  * payments get per-key (ts, id) cumsum offsets, are shifted by the
+  * stored total so the money axis stays continuous across batches, and
+  * intersect the invoice intervals exactly as the batch operator does
+  * (same [[Remittance.allocate]] code).
+  *
+  * FIFO order across batches is ARRIVAL order (batch boundaries are the
+  * ledger's commit order — the standard treatment); within a batch it is
+  * (ts, id). When arrival respects event time, the union of the stream's
+  * allocations equals the batch operator's on the same payments
+  * (spec-pinned, the streaming-family rule).
+  *
+  * Delivery is effective-once via the [[VersionedStore]] commit markers
+  * (the S17/S19/S22 discipline): an at-least-once foreachBatch replay
+  * sees its batch id committed and skips, so allocations are never
+  * double-appended. Scale shape per batch: one per-key window over the
+  * BATCH (batch-sized), one equi-join with the debtor-sized totals
+  * store, one equi-join with the invoice ledger — nothing grows with
+  * stream history except the allocation log itself, which is the output.
+  */
+object StreamRemittance {
+
+  /** Latest committed (key, paid_cents) totals, if any batch committed. */
+  def readLatestTotals(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    VersionedStore.committedVersions(spark, baseDir).lastOption
+      .map(p => spark.read.parquet(new Path(p, "totals").toString))
+
+  /** Every allocation row committed so far (union over versions) —
+    * (key, inv_id, pay_id, alloc_cents). None before the first commit. */
+  def readAllocations(spark: SparkSession, baseDir: String): Option[DataFrame] = {
+    val dirs = VersionedStore.committedVersions(spark, baseDir)
+      .map(p => new Path(p, "alloc").toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** One micro-batch of payments against the static invoice-interval
+    * ledger (build it once with [[Remittance.invoiceIntervals]]).
+    * Replay-idempotent. Public so specs and backfills drive the exact
+    * code the stream runs. */
+  def applyBatch(batch: DataFrame, pKey: Column, payId: Column,
+                 payTs: Column, payAmount: Column,
+                 invIntervals: DataFrame, baseDir: String,
+                 batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (VersionedStore.isCommitted(spark, baseDir, batchId)) return
+    val prev = readLatestTotals(spark, baseDir)
+    val rel = Remittance.paymentIntervals(batch, pKey, payId, payTs, payAmount)
+    // shift this batch's relative intervals by the debtor's applied total
+    val pay = prev match {
+      case None => rel
+      case Some(t) => rel.join(t.select(col("key"), col("paid_cents")), Seq("key"), "left")
+        .select(col("key"), col("pay_id"),
+          (col("pay_lo") + coalesce(col("paid_cents"), lit(0L))).as("pay_lo"),
+          (col("pay_hi") + coalesce(col("paid_cents"), lit(0L))).as("pay_hi"))
+    }
+    val alloc = Remittance.allocate(invIntervals, pay).localCheckpoint(true)
+    val batchTotals = pay.groupBy("key").agg(max(col("pay_hi")).as("paid_cents"))
+    val totals = prev match {
+      case None => batchTotals
+      case Some(t) => t.unionByName(batchTotals)
+        .groupBy("key").agg(max(col("paid_cents")).as("paid_cents"))
+    }
+    val totalsOut = totals.localCheckpoint(true) // debtor-sized
+    VersionedStore.publish(spark, baseDir, batchId) { target =>
+      totalsOut.write.parquet(new Path(target, "totals").toString)
+      alloc.write.parquet(new Path(target, "alloc").toString)
+    }
+  }
+
+  /** Wire the stream: payments in, a continuously-current allocation
+    * ledger + per-debtor applied totals out. */
+  def sink(payments: DataFrame, pKey: Column, payId: Column,
+           payTs: Column, payAmount: Column,
+           invIntervals: DataFrame, baseDir: String,
+           checkpointDir: String): StreamingQuery =
+    payments.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, pKey, payId, payTs, payAmount, invIntervals, baseDir, batchId)
+      }
+      .start()
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Remittance
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamRemittanceSpec extends SparkSpec {
+  import ss.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_rem_").toString
+
+  private val invoices = Seq(
+    (1L, 101L, "2024-01-01", 10.00),
+    (1L, 102L, "2024-02-01", 20.00),
+    (2L, 201L, "2024-01-01", 5.00))
+    .toDF("cust", "inv", "d0", "amt")
+    .select(col("cust"), col("inv"), col("d0").cast("date").as("d"), col("amt"))
+
+  private def ledger = Remittance.invoiceIntervals(
+    invoices, col("cust"), col("inv"), col("d"), col("amt"))
+
+  // payments arrive in event-time order across two batches
+  private val batch1 = Seq((1L, 901L, "2024-03-01 00:00:00", 15.00))
+  private val batch2 = Seq((1L, 902L, "2024-03-02 00:00:00", 10.00),
+                           (2L, 903L, "2024-03-02 00:00:00", 7.00))
+
+  private def payDf(rows: Seq[(Long, Long, String, Double)]) =
+    rows.toDF("cust", "pid", "t0", "amt")
+      .select(col("cust"), col("pid"), col("t0").cast("timestamp").as("ts"), col("amt"))
+
+  test("streamed allocations equal the batch operator; state is one long per debtor") {
+    val base = tmp()
+    StreamRemittance.applyBatch(payDf(batch1), col("cust"), col("pid"),
+      col("ts"), col("amt"), ledger, base, batchId = 0L)
+    // replay of batch 0 must be a no-op (effective-once)
+    StreamRemittance.applyBatch(payDf(batch1), col("cust"), col("pid"),
+      col("ts"), col("amt"), ledger, base, batchId = 0L)
+    StreamRemittance.applyBatch(payDf(batch2), col("cust"), col("pid"),
+      col("ts"), col("amt"), ledger, base, batchId = 1L)
+
+    val streamed = StreamRemittance.readAllocations(ss, base).get
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Remittance.allocateFifo(
+        invoices, col("cust"), col("inv"), col("d"), col("amt"),
+        payDf(batch1 ++ batch2), col("cust"), col("pid"), col("ts"), col("amt"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // hand-check: 901 covers 101 fully (1000) + 500 of 102; 902 continues
+    // 102 from where the axis left off (1000 more); 903 covers 201 (500).
+    assert(streamed == Set((1L, 101L, 901L, 1000L), (1L, 102L, 901L, 500L),
+      (1L, 102L, 902L, 1000L), (2L, 201L, 903L, 500L)))
+
+    val totals = StreamRemittance.readLatestTotals(ss, base).get
+      .as[(Long, Long)].collect().toMap
+    assert(totals == Map(1L -> 2500L, 2L -> 700L),
+      "state is the cumulative applied total per debtor, nothing else")
+  }
+
+  test("the wired stream produces the same ledger via foreachBatch") {
+    implicit val sq = ss.sqlContext
+    val base = tmp()
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamRemittance.sink(
+      mem.toDF().toDF("cust", "pid", "t0", "amt")
+        .select(col("cust"), col("pid"), col("t0").cast("timestamp").as("ts"), col("amt")),
+      col("cust"), col("pid"), col("ts"), col("amt"), ledger, base, tmp())
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamRemittance.readAllocations(ss, base).get
+      .agg(sum("alloc_cents")).as[Long].head()
+    assert(streamed == 3000L, "all 30.00 of payments allocated")
+  }
+}
