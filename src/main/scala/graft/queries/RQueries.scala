@@ -87,6 +87,7 @@ object RQueries {
     "q155_dunning" -> ((s, d) => q155(s, d)),
     "q157_remittance" -> ((s, d) => q157(s, d)),
     "q158_benford" -> ((s, d) => q158(s, d)),
+    "q159_dup_payments" -> ((s, d) => q159(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
   )
@@ -197,6 +198,15 @@ object RQueries {
   def q158(s: SparkSession, d: String): DataFrame =
     Benford.firstDigitAudit(Tables.orders(s, d),
       col("o_orderpriority"), col("o_totalprice"))
+
+  /** R82: duplicate-payment screen — same payer, same whole-unit amount,
+    * within 30 days of the prior identical posting (floor, not round:
+    * exact cross-engine on positive 2-decimal data). */
+  def q159(s: SparkSession, d: String): DataFrame =
+    PaymentAudit.duplicatePayments(
+      Tables.events(s, d).where(col("event_type") === "purchase"),
+      col("user_id"), col("event_id"), col("ts"), floor(col("value")),
+      windowHours = 720L)
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -1565,6 +1575,20 @@ object RQueries {
         |       CAST(m_score AS BIGINT) AS m_score,
         |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
         |FROM sc""".stripMargin,
+    "q159_dup_payments" ->
+      """WITH p AS (
+        |  SELECT user_id AS key, event_id AS pay_id, ts,
+        |         CAST(floor(value) AS BIGINT) AS amount_units,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS e
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT key, amount_units, pay_id, ts, e,
+        |        lag(pay_id) OVER (PARTITION BY key, amount_units ORDER BY ts, pay_id) AS pay_id_prev,
+        |        lag(e) OVER (PARTITION BY key, amount_units ORDER BY ts, pay_id) AS e_prev
+        |      FROM p)
+        |SELECT key, amount_units, pay_id_prev, pay_id,
+        |       CAST((e - e_prev) // 3600 AS BIGINT) AS hours_apart
+        |FROM l
+        |WHERE pay_id_prev IS NOT NULL AND (e - e_prev) // 3600 <= 720""".stripMargin,
     "q158_benford" ->
       """WITH c AS (
         |  SELECT o_orderpriority AS grp,
