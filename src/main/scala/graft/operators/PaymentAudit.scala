@@ -40,8 +40,10 @@ object PaymentAudit {
         amountUnitsCol.cast("long").as("amount_units"))
       .withColumn("__e", unix_timestamp(col("ts")))
       .withColumn("pay_id_prev", lag(col("pay_id"), 1).over(w))
-      .withColumn("hours_apart",
-        expr("(__e - lag(__e, 1) OVER (PARTITION BY key, amount_units ORDER BY ts, pay_id)) div 3600"))
+      // both lags share the ONE `w` definition — an inline SQL re-spelling
+      // of the window could silently drift from it on a future edit
+      .withColumn("__e_prev", lag(col("__e"), 1).over(w))
+      .withColumn("hours_apart", expr("(__e - __e_prev) div 3600"))
       .where(col("pay_id_prev").isNotNull && col("hours_apart") <= windowHours)
       .select(col("key"), col("amount_units"), col("pay_id_prev"), col("pay_id"),
         col("hours_apart"))

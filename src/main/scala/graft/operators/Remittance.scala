@@ -23,24 +23,26 @@ import org.apache.spark.sql.expressions.Window
   * integer cents.
   *
   * Scale shape: one per-debtor sort window on each side (two shuffles on
-  * the same key), then a key-equi-join whose per-debtor pair count is
-  * bounded by that debtor's own activity (invoices + payments interleave
-  * on the money axis: a pair list is O(n_inv + n_pay) AFTER the overlap
-  * filter; the pre-filter product is per-key bounded, the same honest
-  * envelope as [[Basket]]'s per-order pairs). Nothing global, nothing
-  * quadratic in the corpus.
+  * the same key), then a BANDED join on the money axis ([[allocate]]) —
+  * the [[RangeJoin]] trick on cents instead of timestamps — so a whale
+  * debtor (10⁵ invoices × 10⁵ payments through one key) costs
+  * O(overlaps + band edges), never the per-key invoice×payment product.
+  * Nothing global, nothing quadratic.
   */
 object Remittance {
 
   /** Allocation pairs: (key, inv_id, pay_id, alloc_cents), alloc > 0.
     *
-    * CONTRACT: amounts must be non-negative on both sides. The interval
-    * construction needs monotone cumulative sums — a negative payment
-    * (refund/chargeback) or negative invoice (credit memo) makes the axis
-    * fold back on itself and the same cents allocate twice. Net such
-    * adjustments upstream (they are corrections to a PRIOR allocation,
-    * not new money to apply FIFO) before calling this. Zero-amount rows
-    * are harmless: a zero-width interval overlaps nothing. */
+    * CONTRACT (ENFORCED): amounts must be non-negative on both sides. The
+    * interval construction needs monotone cumulative sums — a negative
+    * payment (refund/chargeback) or negative invoice (credit memo) makes
+    * the axis fold back on itself and the same cents allocate twice, so a
+    * negative amount fails the job loudly (`raise_error`, the
+    * [[Intervals]] corrupt-input discipline) instead of corrupting
+    * allocations silently. Net such adjustments upstream (they are
+    * corrections to a PRIOR allocation, not new money to apply FIFO) —
+    * [[netAdjustments]] is the canonical collapse. Zero-amount rows are
+    * harmless: a zero-width interval overlaps nothing. */
   def allocateFifo(invoices: DataFrame, iKey: Column, invId: Column,
                    invDate: Column, invAmount: Column,
                    payments: DataFrame, pKey: Column, payId: Column,
@@ -48,6 +50,16 @@ object Remittance {
     allocate(
       invoiceIntervals(invoices, iKey, invId, invDate, invAmount),
       paymentIntervals(payments, pKey, payId, payTs, payAmount))
+
+  /** Fail loudly on a negative amount instead of silently folding the
+    * money axis (see [[allocateFifo]]'s contract). Evaluated per row in
+    * the interval builders — one codegen'd branch, no extra pass. */
+  private def guardedCents(cents: Column, side: String, id: Column): Column =
+    when(cents < 0, raise_error(concat(
+      lit(s"Remittance: negative $side amount at id="), id.cast("string"),
+      lit(" — refunds/credit memos reverse a PRIOR allocation and must be" +
+        " netted upstream (see Remittance.netAdjustments)"))))
+      .otherwise(cents)
 
   /** Invoices on the debtor's money axis: (key, inv_id, inv_lo, inv_hi),
     * ordered by (date, id). Shared with the streaming form (S23), whose
@@ -57,6 +69,7 @@ object Remittance {
     val wi = Window.partitionBy("key").orderBy(col("d"), col("inv_id"))
     invoices.select(iKey.as("key"), invId.as("inv_id"),
         to_date(invDate).as("d"), round(invAmount * 100).cast("long").as("ic"))
+      .withColumn("ic", guardedCents(col("ic"), "invoice", col("inv_id")))
       .withColumn("inv_hi", sum(col("ic")).over(wi))
       .select(col("key"), col("inv_id"), (col("inv_hi") - col("ic")).as("inv_lo"), col("inv_hi"))
   }
@@ -69,17 +82,87 @@ object Remittance {
     val wp = Window.partitionBy("key").orderBy(col("ts"), col("pay_id"))
     payments.select(pKey.as("key"), payId.as("pay_id"),
         payTs.as("ts"), round(payAmount * 100).cast("long").as("pc"))
+      .withColumn("pc", guardedCents(col("pc"), "payment", col("pay_id")))
       .withColumn("pay_hi", sum(col("pc")).over(wp))
       .select(col("key"), col("pay_id"), (col("pay_hi") - col("pc")).as("pay_lo"), col("pay_hi"))
   }
 
-  /** Interval intersection of the two sides (both already on the axis). */
+  /** Interval intersection of the two sides (both already on the axis).
+    * Banded ([[bandedCandidates]]) so the join never materializes a
+    * whale debtor's full invoice×payment product. */
   def allocate(inv: DataFrame, pay: DataFrame): DataFrame =
-    inv.join(pay, Seq("key"))
+    bandedCandidates(inv, pay)
       .select(col("key"), col("inv_id"), col("pay_id"),
         (least(col("inv_hi"), col("pay_hi")) -
           greatest(col("inv_lo"), col("pay_lo"))).as("alloc_cents"))
       .where(col("alloc_cents") > 0)
+
+  /** Candidate (invoice, payment) pairs by money-axis banding — the
+    * [[RangeJoin]] construction with the band width chosen PER DEBTOR:
+    * w = max(1, axis_end div (n_inv + n_pay)), so each side explodes to
+    * ≈ axis/w + n ≤ 2·(n_inv + n_pay) band rows no matter how the money
+    * splits between giant and one-cent intervals. The join runs on
+    * (key, band) equality — fine-grained shuffle keys a whale debtor
+    * spreads across, AQE-skew-splittable. An overlapping pair shares the
+    * band of `greatest(lo)` (that point lies in both half-open
+    * intervals), and requiring the match to happen in exactly that band
+    * makes the join dedup-free; non-overlapping same-band pairs (≤ band
+    * occupancy, O(1) amortized at the adaptive width) fall to the
+    * alloc > 0 filter. Exposed for the whale-debtor spec, which pins the
+    * candidate count at O(n_inv + n_pay).
+    *
+    * Both interval frames are already hash-partitioned by key from their
+    * sort windows, so the width aggregates and width join add no
+    * exchange of the data sides; the exploded (key, band) shuffle is the
+    * one new exchange — the price of never going quadratic. */
+  def bandedCandidates(inv: DataFrame, pay: DataFrame): DataFrame = {
+    val width = inv.groupBy("key").agg(count(lit(1)).as("__ni"), max("inv_hi").as("__ia"))
+      .join(pay.groupBy("key").agg(count(lit(1)).as("__np"), max("pay_hi").as("__pa")), Seq("key"))
+      .select(col("key"),
+        greatest(lit(1L), expr("greatest(__ia, __pa) div (__ni + __np)")).as("__w"))
+    def banded(side: DataFrame, lo: String, hi: String): DataFrame =
+      side.join(width, Seq("key"))
+        .where(col(hi) > col(lo)) // zero-width intervals overlap nothing
+        .withColumn("__band",
+          explode(sequence(expr(s"$lo div __w"), expr(s"($hi - 1) div __w"))))
+    banded(inv, "inv_lo", "inv_hi")
+      .join(banded(pay, "pay_lo", "pay_hi").drop("__w"), Seq("key", "__band"))
+      .where(col("__band") === expr("greatest(inv_lo, pay_lo) div __w"))
+      .select(col("key"), col("inv_id"), col("inv_lo"), col("inv_hi"),
+        col("pay_id"), col("pay_lo"), col("pay_hi"))
+  }
+
+  /** Collapse negative adjustments (refunds, chargebacks, credit memos)
+    * into their prior postings so the result satisfies [[allocateFifo]]'s
+    * non-negativity contract: within each key in (ts, id) order, the
+    * netted amounts are the increments of the 0-floored RUNNING MAX of
+    * the raw cumulative sum. A refund row nets to 0 and the reversed
+    * stretch of the axis is re-filled by subsequent postings before the
+    * axis advances — i.e. new money first re-covers what the refund took
+    * back, which is exactly what "the refund reversed part of a prior
+    * posting" means on a FIFO axis. A refund larger than everything
+    * posted so far (e.g. a leading chargeback) carries its unrecovered
+    * remainder forward against SUBSEQUENT postings — the clawed-back
+    * money is real either way — so the per-key netted total is the
+    * 0-floored final envelope, never negative.
+    *
+    * Output: (key, id, ts, net_cents, net_amount) — `net_amount` is
+    * exact decimal(38,2), ready for the interval builders' `*100` round.
+    * Row count, ids and timestamps are unchanged (zero-net rows are kept;
+    * they become harmless zero-width intervals). One sort window per key,
+    * the same shuffle the interval builders need anyway. */
+  def netAdjustments(df: DataFrame, keyCol: Column, idCol: Column,
+                     tsCol: Column, amountCol: Column): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("id"))
+    df.select(keyCol.as("key"), idCol.as("id"), tsCol.as("ts"),
+        round(amountCol * 100).cast("long").as("c"))
+      .withColumn("__cum", sum(col("c")).over(w))
+      .withColumn("__env", greatest(max(col("__cum")).over(w), lit(0L)))
+      .withColumn("net_cents",
+        col("__env") - coalesce(lag(col("__env"), 1).over(w), lit(0L)))
+      .select(col("key"), col("id"), col("ts"), col("net_cents"),
+        (col("net_cents").cast("decimal(38,2)") / 100).cast("decimal(38,2)").as("net_amount"))
+  }
 
   /** Per-invoice settlement: paid/outstanding cents, payments touched,
     * and status PAID / PARTIAL / OPEN. Invoices no payment reached keep a

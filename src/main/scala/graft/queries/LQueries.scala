@@ -708,9 +708,6 @@ object LQueries {
   def q108(s: SparkSession, d: String): DataFrame =
     graft.operators.Contrastive.negativeSample(Tables.documents(s, d), "doc_id", k = 3)
 
-  /** L62: dedup-evaluation harness — precision/recall of the LSH near-dup
-    * pass (q52's shape) against the exact brute-force baseline (q29's
-    * shape) on the same embeddings. */
   /** L82: ANN recall harness — measured list-recall and top-1 agreement of
     * the IVF (q33) and LSH-bucketed (q26) methods against the exact
     * brute-force baseline (q20) on the same queries/k. The q113/q150
@@ -725,6 +722,9 @@ object LQueries {
       exact = Similarity.cosineTopK(emb, "vec_id", "embedding", pred, k = 5))
   }
 
+  /** L62: dedup-evaluation harness — precision/recall of the LSH near-dup
+    * pass (q52's shape) against the exact brute-force baseline (q29's
+    * shape) on the same embeddings. */
   def q113(s: SparkSession, d: String): DataFrame =
     graft.operators.DedupEval.pairSetMetrics(
       approx = q52(s, d).select("id_a", "id_b"),

@@ -346,7 +346,8 @@ object XlsxReader {
     * column the schema-fixing workbook lacks fails fast with the file and
     * column names (silent drop would hide schema drift; [[SchemaDrift]] is
     * the diagnosis tool for that situation). Workbooks whose header order
-    * merely differs align correctly.
+    * merely differs align correctly. An EMPTY sheet fails fast in any
+    * workbook — schema-fixing or not — never a silent whole-file drop.
     *
     * `sourceFileColumn` (e.g. `Some("_src_file")`) appends each row's
     * originating file path — per-drop provenance for the audit reports.
@@ -385,36 +386,38 @@ object XlsxReader {
     val rows = bin.rdd.flatMap { row =>
       val path = row.getString(0)
       val (h, data) = tableOf(new BytesZip(row.getAs[Array[Byte]](1)), sheetSel, path)
-      if (h.isEmpty) Iterator.empty
-      else {
-        // identical headers (the normal lake case) align positionally, which
-        // also tolerates duplicate column names; otherwise align by name
-        val idx: Array[Int] =
-          if (h.sameElements(hdr)) Array.tabulate(h.length)(identity)
-          else {
-            val pos = hdr.zipWithIndex.toMap
-            // by-name alignment is only well-defined for distinct names on
-            // BOTH sides: zipWithIndex.toMap keeps the last index per name,
-            // so a duplicate would silently route two source cells into one
-            // slot (data loss) — duplicates are fine only on the
-            // identical-header positional path above
-            require(pos.size == hdr.length, s"$path: header order differs from " +
-              s"the schema-fixing workbook, which has DUPLICATE column names — " +
-              "by-name alignment is ambiguous; make headers identical or rename")
-            require(h.distinct.length == h.length, s"$path: duplicate column " +
-              "names with a reordered header — by-name alignment is ambiguous")
-            val unknown = h.filterNot(pos.contains)
-            require(unknown.isEmpty, s"$path: columns not in the schema-fixing " +
-              s"workbook (${unknown.mkString(", ")}) — reconcile with SchemaDrift")
-            h.map(pos)
-          }
-        data.iterator.map { r =>
-          val out = new Array[Any](hdr.length + (if (withSrc) 1 else 0))
-          var i = 0
-          while (i < r.length) { out(idx(i)) = r(i); i += 1 }
-          if (withSrc) out(hdr.length) = path
-          Row.fromSeq(out.toIndexedSeq)
+      // an empty sheet fails as loudly in EVERY workbook as it does in the
+      // schema-fixing one — a silent whole-file drop is exactly the schema
+      // drift this method exists to surface
+      require(h.nonEmpty, s"$path has an empty sheet — a lake drop with no " +
+        "header row is corrupt, not skippable; remove the file or fix the drop")
+      // identical headers (the normal lake case) align positionally, which
+      // also tolerates duplicate column names; otherwise align by name
+      val idx: Array[Int] =
+        if (h.sameElements(hdr)) Array.tabulate(h.length)(identity)
+        else {
+          val pos = hdr.zipWithIndex.toMap
+          // by-name alignment is only well-defined for distinct names on
+          // BOTH sides: zipWithIndex.toMap keeps the last index per name,
+          // so a duplicate would silently route two source cells into one
+          // slot (data loss) — duplicates are fine only on the
+          // identical-header positional path above
+          require(pos.size == hdr.length, s"$path: header order differs from " +
+            s"the schema-fixing workbook, which has DUPLICATE column names — " +
+            "by-name alignment is ambiguous; make headers identical or rename")
+          require(h.distinct.length == h.length, s"$path: duplicate column " +
+            "names with a reordered header — by-name alignment is ambiguous")
+          val unknown = h.filterNot(pos.contains)
+          require(unknown.isEmpty, s"$path: columns not in the schema-fixing " +
+            s"workbook (${unknown.mkString(", ")}) — reconcile with SchemaDrift")
+          h.map(pos)
         }
+      data.iterator.map { r =>
+        val out = new Array[Any](hdr.length + (if (withSrc) 1 else 0))
+        var i = 0
+        while (i < r.length) { out(idx(i)) = r(i); i += 1 }
+        if (withSrc) out(hdr.length) = path
+        Row.fromSeq(out.toIndexedSeq)
       }
     }
     spark.createDataFrame(rows, schema)

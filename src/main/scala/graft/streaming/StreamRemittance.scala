@@ -14,7 +14,10 @@ import graft.operators.Remittance
   *
   * The cumsum-interval formulation makes the state TINY: everything the
   * next batch needs about a debtor's payment history is its cumulative
-  * applied total — ONE long per debtor, never payment history. A batch's
+  * payment total — the money-axis offset, ONE long per debtor, never
+  * payment history. (`received_cents`, not "applied": a payment
+  * overshooting the open-invoice total still advances the axis, so the
+  * stored total can exceed what settlement reports as paid.) A batch's
   * payments get per-key (ts, id) cumsum offsets, are shifted by the
   * stored total so the money axis stays continuous across batches, and
   * intersect the invoice intervals exactly as the batch operator does
@@ -36,7 +39,7 @@ import graft.operators.Remittance
   */
 object StreamRemittance {
 
-  /** Latest committed (key, paid_cents) totals, if any batch committed. */
+  /** Latest committed (key, received_cents) totals, if any batch committed. */
   def readLatestTotals(spark: SparkSession, baseDir: String): Option[DataFrame] =
     VersionedStore.committedVersions(spark, baseDir).lastOption
       .map(p => spark.read.parquet(new Path(p, "totals").toString))
@@ -61,20 +64,20 @@ object StreamRemittance {
     if (VersionedStore.isCommitted(spark, baseDir, batchId)) return
     val prev = readLatestTotals(spark, baseDir)
     val rel = Remittance.paymentIntervals(batch, pKey, payId, payTs, payAmount)
-    // shift this batch's relative intervals by the debtor's applied total
+    // shift this batch's relative intervals by the debtor's axis offset
     val pay = prev match {
       case None => rel
-      case Some(t) => rel.join(t.select(col("key"), col("paid_cents")), Seq("key"), "left")
+      case Some(t) => rel.join(t.select(col("key"), col("received_cents")), Seq("key"), "left")
         .select(col("key"), col("pay_id"),
-          (col("pay_lo") + coalesce(col("paid_cents"), lit(0L))).as("pay_lo"),
-          (col("pay_hi") + coalesce(col("paid_cents"), lit(0L))).as("pay_hi"))
+          (col("pay_lo") + coalesce(col("received_cents"), lit(0L))).as("pay_lo"),
+          (col("pay_hi") + coalesce(col("received_cents"), lit(0L))).as("pay_hi"))
     }
     val alloc = Remittance.allocate(invIntervals, pay).localCheckpoint(true)
-    val batchTotals = pay.groupBy("key").agg(max(col("pay_hi")).as("paid_cents"))
+    val batchTotals = pay.groupBy("key").agg(max(col("pay_hi")).as("received_cents"))
     val totals = prev match {
       case None => batchTotals
       case Some(t) => t.unionByName(batchTotals)
-        .groupBy("key").agg(max(col("paid_cents")).as("paid_cents"))
+        .groupBy("key").agg(max(col("received_cents")).as("received_cents"))
     }
     val totalsOut = totals.localCheckpoint(true) // debtor-sized
     VersionedStore.publish(spark, baseDir, batchId) { target =>
@@ -84,7 +87,7 @@ object StreamRemittance {
   }
 
   /** Wire the stream: payments in, a continuously-current allocation
-    * ledger + per-debtor applied totals out. */
+    * ledger + per-debtor received totals out. */
   def sink(payments: DataFrame, pKey: Column, payId: Column,
            payTs: Column, payAmount: Column,
            invIntervals: DataFrame, baseDir: String,

@@ -60,4 +60,84 @@ class RemittanceSpec extends SparkSpec {
     assert(s(101L) == ((1000L, 0L, 1L, "PAID")), "allocation capped at the invoice")
     assert(s(201L) == ((0L, 9900L, 0L, "OPEN")), "debtor 2's invoice untouched")
   }
+
+  test("the allocation join runs on (key, band), not key alone (plan shape)") {
+    val inv = invoices((1L, 101L, "2024-01-01", 10.00))
+    val pay = payments((1L, 901L, "2024-02-01 00:00:00", 10.00))
+    val df = Remittance.allocateFifo(inv, col("cust"), col("inv"), col("d"), col("amt"),
+      pay, col("cust"), col("pid"), col("ts"), col("amt"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val bandJoin = plan.linesIterator.exists(l => l.contains("Join") && l.contains("__band"))
+    assert(bandJoin, s"no join keyed on __band in the executed plan:\n${plan.take(4000)}")
+  }
+
+  test("negative amounts fail loudly instead of folding the axis (both sides)") {
+    val inv = invoices((1L, 101L, "2024-01-01", 10.00))
+    val refund = payments((1L, 901L, "2024-02-01 00:00:00", -5.00))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    val e = intercept[Throwable] { alloc(inv, refund) }
+    assert(messages(e).mkString("\n").contains("negative payment amount"),
+      s"got: ${messages(e).mkString("\n").take(500)}")
+    val creditMemo = invoices((1L, 101L, "2024-01-01", -10.00))
+    val pay = payments((1L, 901L, "2024-02-01 00:00:00", 5.00))
+    val e2 = intercept[Throwable] { alloc(creditMemo, pay) }
+    assert(messages(e2).mkString("\n").contains("negative invoice amount"),
+      s"got: ${messages(e2).mkString("\n").take(500)}")
+  }
+
+  test("netAdjustments collapses refunds into prior postings; zero-width rows stay") {
+    val raw = payments(
+      (1L, 901L, "2024-01-01 00:00:00", 100.00),
+      (1L, 902L, "2024-01-02 00:00:00", -30.00), // refund of part of 901
+      (1L, 903L, "2024-01-03 00:00:00", 50.00),  // refills 30.00, advances 20.00
+      (2L, 911L, "2024-01-01 00:00:00", -50.00), // leading chargeback: remainder
+      (2L, 912L, "2024-01-02 00:00:00", 80.00))  // carries forward → nets 30.00
+    val net = Remittance.netAdjustments(raw, col("cust"), col("pid"), col("ts"), col("amt"))
+      .as[(Long, Long, java.sql.Timestamp, Long, java.math.BigDecimal)]
+      .collect().map(r => r._2 -> r._4).toMap
+    assert(net == Map(901L -> 10000L, 902L -> 0L, 903L -> 2000L,
+      911L -> 0L, 912L -> 3000L))
+    // the netted series satisfies the contract: allocation accepts it and
+    // the per-key total applied equals the key's non-negative envelope end
+    val netDf = Remittance.netAdjustments(raw, col("cust"), col("pid"), col("ts"), col("amt"))
+    val total = Remittance.allocateFifo(
+        invoices((1L, 101L, "2024-01-01", 500.00), (2L, 201L, "2024-01-01", 500.00)),
+        col("cust"), col("inv"), col("d"), col("amt"),
+        netDf, col("key"), col("id"), col("ts"), col("net_amount"))
+      .groupBy("key").agg(sum("alloc_cents")).as[(Long, Long)].collect().toMap
+    assert(total == Map(1L -> 12000L, 2L -> 3000L))
+  }
+
+  test("whale debtor: candidates stay O(n_inv + n_pay), never the per-key product") {
+    val n = 10000L
+    // 10^4 invoices x 10^4 payments through ONE key — the shape the round-12
+    // verdict flagged: a key-only equi-join materializes 10^8 pairs here.
+    val inv = ss.range(n).select(lit(1L).as("cust"), col("id").as("inv"),
+      lit("2024-01-01").cast("date").as("d"), lit(1.00).as("amt"))
+    val pay = ss.range(n).select(lit(1L).as("cust"), col("id").as("pid"),
+      lit("2024-03-01 00:00:00").cast("timestamp").as("ts"), lit(1.00).as("amt"))
+    val ii = Remittance.invoiceIntervals(inv, col("cust"), col("inv"), col("d"), col("amt"))
+    val pi = Remittance.paymentIntervals(pay, col("cust"), col("pid"), col("ts"), col("amt"))
+    val candidates = Remittance.bandedCandidates(ii, pi).count()
+    assert(candidates >= n, s"banding lost overlaps: $candidates")
+    assert(candidates <= 10 * 2 * n,
+      s"whale debtor went quadratic: $candidates candidates for ${2 * n} rows")
+    // and the allocation itself is exact: payment i covers invoice i in full
+    val a = Remittance.allocate(ii, pi)
+    assert(a.count() == n)
+    assert(a.agg(sum("alloc_cents")).as[Long].head() == n * 100)
+
+    // one giant payment sweeping the whole axis: its interval spans ~every
+    // band, but candidates are still the n true overlaps plus band edges
+    val sweep = ss.range(1).select(lit(1L).as("cust"), lit(900001L).as("pid"),
+      lit("2024-03-01 00:00:00").cast("timestamp").as("ts"),
+      lit(n * 1.0).as("amt"))
+    val pi2 = Remittance.paymentIntervals(sweep, col("cust"), col("pid"), col("ts"), col("amt"))
+    val c2 = Remittance.bandedCandidates(ii, pi2).count()
+    assert(c2 >= n && c2 <= 10 * 2 * n, s"sweeping payment blew up: $c2")
+    val a2 = Remittance.allocate(ii, pi2)
+    assert(a2.count() == n && a2.agg(sum("alloc_cents")).as[Long].head() == n * 100)
+  }
 }

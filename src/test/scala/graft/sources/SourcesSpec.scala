@@ -208,6 +208,24 @@ class SourcesSpec extends SparkSpec {
     assert(all.contains("d.xlsx") && all.contains("Sorpresa"), s"got: $all")
   }
 
+  test("readXlsxDir: an empty sheet fails fast in ANY workbook, naming the file") {
+    val dir = Files.createTempDirectory("xlsxdir_empty")
+    writeSimpleXlsx(dir.resolve("a.xlsx"), Seq("Empresa", "Valor"),
+      Seq(Seq("Ana", "10")))
+    writeSimpleXlsx(dir.resolve("b.xlsx"), Seq.empty, Seq.empty) // empty sheet
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    // as a non-schema-fixing workbook (executor path): fails, not a silent drop
+    val e = intercept[Exception] { XlsxReader.readXlsxDir(ss, dir.toString).collect() }
+    assert(messages(e).mkString("\n").contains("b.xlsx"),
+      s"got: ${messages(e).mkString("\n")}")
+    // as the schema-fixing workbook (driver path): same verdict
+    Files.delete(dir.resolve("a.xlsx"))
+    val e2 = intercept[Exception] { XlsxReader.readXlsxDir(ss, dir.toString).collect() }
+    assert(messages(e2).mkString("\n").contains("b.xlsx"),
+      s"got: ${messages(e2).mkString("\n")}")
+  }
+
   test("SchemaValidator flags missing and extra columns") {
     val df = Seq((1, "x")).toDF("ncpf", "surprise")
     val r = SchemaValidator.check(df, Seq("ncpf", "valor"))

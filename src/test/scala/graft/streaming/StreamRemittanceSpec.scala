@@ -54,7 +54,7 @@ class StreamRemittanceSpec extends SparkSpec {
     val totals = StreamRemittance.readLatestTotals(ss, base).get
       .as[(Long, Long)].collect().toMap
     assert(totals == Map(1L -> 2500L, 2L -> 700L),
-      "state is the cumulative applied total per debtor, nothing else")
+      "state is the cumulative received total (axis offset) per debtor, nothing else")
   }
 
   test("the wired stream produces the same ledger via foreachBatch") {
