@@ -92,11 +92,25 @@ object OperatorIndex {
       // rows with no single entry point are query-level compositions of
       // other rows' operators (their verify query IS the recipe)
       val api = if (r.api.isEmpty) "composition" else s"`graft.${r.api}`"
-      val verify = if (r.verify.isEmpty) "spec" else r.verify.mkString(", ")
+      val verify =
+        if (r.verify.nonEmpty) r.verify.mkString(", ")
+        else specRef(r).fold("spec")(s => s"spec: `$s`")
       s"| ${r.id} | ${r.title} | $api | $verify |"
     }.mkString("", "\n", "\n")
     header + body
   }
+
+  /** The ScalaTest suite that pins a spec-verified STREAMING row's
+    * batch==stream equivalence: every `streaming.X` object is spec'd in
+    * `streaming/XSpec.scala` (the suite-per-object convention the whole
+    * S-family follows), so the index can NAME the evidence instead of a
+    * bare "spec" — the round-12 discoverability gap for the streaming
+    * half. `OperatorIndexSpec` validates each ref resolves to a test
+    * file, so a renamed suite fails the staleness gate, not the reader. */
+  def specRef(r: Row): Option[String] =
+    if (r.id.startsWith("S") && r.api.startsWith("streaming."))
+      Some(r.api.stripPrefix("streaming.") + "Spec")
+    else None
 
   def main(args: Array[String]): Unit = {
     val surveyPath = java.nio.file.Paths.get(args.headOption.getOrElse("SURVEY.md"))

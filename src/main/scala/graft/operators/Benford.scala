@@ -37,6 +37,37 @@ object Benford {
       case (acc, (d, ppm)) => when(digit === d, ppm).otherwise(acc)
     }
 
+  /** Nigrini first-digit MAD conformity thresholds, in ppm of proportion:
+    * MAD ≤ 0.006 close conformity, ≤ 0.012 acceptable, ≤ 0.015 marginally
+    * acceptable, above that nonconforming (Nigrini, "Benford's Law", 2012
+    * — the published audit cutoffs). */
+  val CloseMadPpm = 6000L
+  val AcceptableMadPpm = 12000L
+  val MarginalMadPpm = 15000L
+
+  /** Per-group ONE-NUMBER verdict over [[firstDigitAudit]]'s 9 digit rows:
+    * MAD = mean |obs − exp| proportion deviation in ppm (integer division
+    * by 9), scored against the Nigrini cutoffs. Digits a group never
+    * produced contribute their full expected ppm — Σ exp over all 9
+    * digits is exactly 10⁶, so the absent-digit mass is 10⁶ − Σ_present
+    * without a digit spine join. Output: (grp, n, mad_ppm, verdict) —
+    * the actionable screen row; [[firstDigitAudit]] is its drill-down.
+    * Scale shape: one further aggregate over the ≤ 9·|groups| audit
+    * frame — free at any corpus size. */
+  def conformityVerdict(df: DataFrame, groupCol: Column, amountCol: Column): DataFrame =
+    firstDigitAudit(df, groupCol, amountCol)
+      .groupBy("grp")
+      .agg(sum(col("n")).as("n"),
+        sum(abs(col("dev_ppm"))).as("__dev_present"),
+        sum(col("exp_ppm")).as("__exp_present"))
+      .select(col("grp"), col("n"),
+        expr("(__dev_present + (1000000 - __exp_present)) div 9").as("mad_ppm"))
+      .withColumn("verdict",
+        when(col("mad_ppm") <= CloseMadPpm, "CLOSE")
+          .when(col("mad_ppm") <= AcceptableMadPpm, "ACCEPTABLE")
+          .when(col("mad_ppm") <= MarginalMadPpm, "MARGINAL")
+          .otherwise("NONCONFORMING"))
+
   /** Per (group, first digit): count, observed ppm, expected ppm, and the
     * signed deviation. Non-positive amounts are excluded (they have no
     * first significant digit; refunds/zero rows are not Benford inputs). */

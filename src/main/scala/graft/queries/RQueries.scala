@@ -90,6 +90,8 @@ object RQueries {
     "q159_dup_payments" -> ((s, d) => q159(s, d)),
     "q142_send_time" -> ((s, d) => q142(s, d)),
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
+    "q160_benford_verdict" -> ((s, d) => q160(s, d)),
+    "q161_collections_e2e" -> ((s, d) => q161(s, d)),
   )
 
   /** R75: revenue-concentration (Pareto) report per market segment — the
@@ -207,6 +209,28 @@ object RQueries {
       Tables.events(s, d).where(col("event_type") === "purchase"),
       col("user_id"), col("event_id"), col("ts"), floor(col("value")),
       windowHours = 720L)
+
+  /** R81 verdict row: per-group Benford MAD in ppm vs the Nigrini
+    * conformity cutoffs — the one-number screen verdict q158's 9 digit
+    * rows drill into. The oracle re-derives the MAD independently
+    * (its own dense-digit completion arithmetic). */
+  def q160(s: SparkSession, d: String): DataFrame =
+    Benford.conformityVerdict(Tables.orders(s, d),
+      col("o_orderpriority"), col("o_totalprice"))
+
+  /** The collections flagship (VERDICT r12 task 7): the reference
+    * domain's FULL decision loop in ONE plan — R78 aging → R72 contact
+    * policy → R79 dunning ladder (all inside q155's dunningNextAction)
+    * → R77 capacity waves over the actionable debtors, priority =
+    * (most past due, largest debt, key). Each stage is verified alone
+    * (q154/q137/q155/q151); this row hash-checks their COMPOSITION, the
+    * oracle recomposing the four proven subqueries. */
+  def q161(s: SparkSession, d: String): DataFrame =
+    Waves.assign(
+      q155(s, d).where(!col("next_action").isin("NONE", "HOLD")),
+      Seq(col("worst_days_past_due").desc, col("total_open_cents").desc,
+        col("key").asc),
+      capacity = 100L)
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -980,6 +1004,48 @@ object RQueries {
        |       CAST((1000000 * sum(ok)) // count(*) AS BIGINT) AS valid_ppm
        |FROM g7 GROUP BY segment""".stripMargin
 
+  /** q155's oracle, shared VERBATIM with q161's recomposition (the
+    * flagship oracle wraps the proven dunning oracle in the wave rank —
+    * one text, no drift). */
+  private val Q155DunningSql: String =
+    """WITH aged AS (
+      |  SELECT o_custkey AS key,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_open_cents,
+      |         CAST(greatest(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') - 30), 0) AS BIGINT)
+      |           AS worst_days_past_due
+      |  FROM orders
+      |  WHERE o_orderstatus IN ('O', 'P')
+      |    AND CAST(o_orderdate AS DATE) <= DATE '1996-01-01'
+      |  GROUP BY o_custkey),
+      |hist AS (SELECT user_id AS key,
+      |           CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
+      |                         THEN 1 ELSE 0 END) AS BIGINT) AS n_window,
+      |           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+      |         FROM events
+      |         WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+      |         GROUP BY user_id),
+      |elig AS (SELECT a.key,
+      |           CASE WHEN COALESCE(h.n_window, 0) < 10
+      |                 AND (COALESCE((CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00')) AS BIGINT)
+      |                                - h.last_epoch) // 3600, -1) = -1
+      |                      OR COALESCE((CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00')) AS BIGINT)
+      |                                   - h.last_epoch) // 3600, -1) >= 24)
+      |            THEN 1 ELSE 0 END AS eligible
+      |         FROM aged a LEFT JOIN hist h ON h.key = a.key),
+      |lad AS (SELECT a.key, a.worst_days_past_due, a.total_open_cents, e.eligible,
+      |          CASE WHEN a.worst_days_past_due <= 0 THEN 'NONE'
+      |               WHEN a.worst_days_past_due <= 30 THEN 'REMINDER'
+      |               WHEN a.worst_days_past_due <= 60 THEN 'WARNING'
+      |               WHEN a.worst_days_past_due <= 90 THEN 'FINAL_NOTICE'
+      |               ELSE 'HANDOFF' END AS ladder_action
+      |        FROM aged a JOIN elig e ON e.key = a.key)
+      |SELECT key, worst_days_past_due, total_open_cents, ladder_action,
+      |       CAST(eligible AS BIGINT) AS eligible,
+      |       CASE WHEN ladder_action = 'NONE' THEN 'NONE'
+      |            WHEN eligible = 1 THEN ladder_action
+      |            ELSE 'HOLD' END AS next_action
+      |FROM lad""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q02_per_key_totals" ->
       """SELECT o_orderkey, o_custkey,
@@ -1654,44 +1720,43 @@ object RQueries {
         |  CAST(count(*) AS BIGINT) AS n_open,
         |  CAST(greatest(max(past_due), 0) AS BIGINT) AS worst_days_past_due
         |FROM open_inv GROUP BY key""".stripMargin,
-    "q155_dunning" ->
-      """WITH aged AS (
-        |  SELECT o_custkey AS key,
-        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_open_cents,
-        |         CAST(greatest(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') - 30), 0) AS BIGINT)
-        |           AS worst_days_past_due
-        |  FROM orders
-        |  WHERE o_orderstatus IN ('O', 'P')
-        |    AND CAST(o_orderdate AS DATE) <= DATE '1996-01-01'
-        |  GROUP BY o_custkey),
-        |hist AS (SELECT user_id AS key,
-        |           CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY
-        |                         THEN 1 ELSE 0 END) AS BIGINT) AS n_window,
-        |           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
-        |         FROM events
-        |         WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
-        |         GROUP BY user_id),
-        |elig AS (SELECT a.key,
-        |           CASE WHEN COALESCE(h.n_window, 0) < 10
-        |                 AND (COALESCE((CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00')) AS BIGINT)
-        |                                - h.last_epoch) // 3600, -1) = -1
-        |                      OR COALESCE((CAST(floor(epoch(TIMESTAMP '2024-01-25 00:00:00')) AS BIGINT)
-        |                                   - h.last_epoch) // 3600, -1) >= 24)
-        |            THEN 1 ELSE 0 END AS eligible
-        |         FROM aged a LEFT JOIN hist h ON h.key = a.key),
-        |lad AS (SELECT a.key, a.worst_days_past_due, a.total_open_cents, e.eligible,
-        |          CASE WHEN a.worst_days_past_due <= 0 THEN 'NONE'
-        |               WHEN a.worst_days_past_due <= 30 THEN 'REMINDER'
-        |               WHEN a.worst_days_past_due <= 60 THEN 'WARNING'
-        |               WHEN a.worst_days_past_due <= 90 THEN 'FINAL_NOTICE'
-        |               ELSE 'HANDOFF' END AS ladder_action
-        |        FROM aged a JOIN elig e ON e.key = a.key)
-        |SELECT key, worst_days_past_due, total_open_cents, ladder_action,
-        |       CAST(eligible AS BIGINT) AS eligible,
-        |       CASE WHEN ladder_action = 'NONE' THEN 'NONE'
-        |            WHEN eligible = 1 THEN ladder_action
-        |            ELSE 'HOLD' END AS next_action
-        |FROM lad""".stripMargin,
+    "q155_dunning" -> Q155DunningSql,
+    "q160_benford_verdict" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |g AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY grp, digit),
+        |t AS (SELECT grp, digit, n, sum(n) OVER (PARTITION BY grp) AS tot FROM g),
+        |e AS (SELECT grp, digit, n,
+        |        CAST((1000000 * n) // tot AS BIGINT) AS obs_ppm,
+        |        CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |                        WHEN 3 THEN 124939 WHEN 4 THEN 96910
+        |                        WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |                        WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |                        WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm
+        |      FROM t),
+        |s AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n,
+        |        sum(abs(obs_ppm - exp_ppm)) AS devp, sum(exp_ppm) AS expp
+        |      FROM e GROUP BY grp)
+        |SELECT grp, n,
+        |       CAST((devp + (1000000 - expp)) // 9 AS BIGINT) AS mad_ppm,
+        |       CASE WHEN (devp + (1000000 - expp)) // 9 <= 6000 THEN 'CLOSE'
+        |            WHEN (devp + (1000000 - expp)) // 9 <= 12000 THEN 'ACCEPTABLE'
+        |            WHEN (devp + (1000000 - expp)) // 9 <= 15000 THEN 'MARGINAL'
+        |            ELSE 'NONCONFORMING' END AS verdict
+        |FROM s""".stripMargin,
+    "q161_collections_e2e" ->
+      ("""SELECT key, worst_days_past_due, total_open_cents, ladder_action,
+        |       eligible, next_action, ordinal,
+        |       CAST((ordinal - 1) // 100 + 1 AS BIGINT) AS wave
+        |FROM (SELECT *,
+        |        CAST(row_number() OVER (ORDER BY worst_days_past_due DESC,
+        |                                total_open_cents DESC, key ASC) AS BIGINT) AS ordinal
+        |      FROM (
+        |""".stripMargin + Q155DunningSql + """
+        |) dun
+        |      WHERE next_action NOT IN ('NONE', 'HOLD')) r""".stripMargin),
     "q137_contact_policy" ->
       """WITH hist AS (SELECT user_id AS key,
         |                CAST(sum(CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 7 DAY

@@ -32,6 +32,20 @@ class OperatorIndexSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"dangling verify keys:\n${dangling.mkString("\n")}")
   }
 
+  test("every streaming spec ref resolves to a test suite file") {
+    val specRows = rows.filter(r => r.id.startsWith("S") && r.verify.isEmpty)
+    assert(specRows.nonEmpty, "no spec-verified S rows parsed — layout drift?")
+    val missing = specRows.flatMap { r =>
+      OperatorIndex.specRef(r) match {
+        case None => Some(s"${r.id}: no spec ref derivable from api '${r.api}'")
+        case Some(spec) =>
+          val p = Paths.get(s"src/test/scala/graft/streaming/$spec.scala")
+          if (Files.exists(p)) None else Some(s"${r.id}: $p missing")
+      }
+    }
+    assert(missing.isEmpty, s"dangling streaming spec refs:\n${missing.mkString("\n")}")
+  }
+
   test("every API entry point resolves to a source file") {
     import scala.jdk.CollectionConverters._
     // each package directory is read ONCE into a symbol cache (and the
