@@ -127,34 +127,51 @@ object Bench {
     if (v < 9.995) f"$v%.2f" else if (v < 99.95) f"$v%.1f" else f"$v%.0f"
 
   /** Full-name 3-decimal timings for the committed local artifact, plus the
-    * per-query BYTES block: shuffle read+write MB and spill MB. Seconds at
-    * sf0.1 are ambient-noise-limited (identical code has drifted ±15%
-    * between rounds); bytes are a property of the PLAN — deterministic run
-    * to run — so the bytes gate (`tools/benchgate.py`) catches a lost
-    * broadcast or a new exchange exactly, where the 2x seconds gate reads
-    * it as noise. */
+    * per-query BYTES block: shuffle read+write MB, spill MB, and the task
+    * SKEW pair (max / median task seconds). Seconds at sf0.1 are
+    * ambient-noise-limited (identical code has drifted ±15% between
+    * rounds); bytes are a property of the PLAN — deterministic run to run
+    * — so the bytes gate (`tools/benchgate.py`) catches a lost broadcast
+    * or a new exchange exactly, where the 2x seconds gate reads it as
+    * noise. The skew pair catches the remaining plan-regression class
+    * bytes can't: a whale key funneling a partition's work through one
+    * task moves max/median where totals and bytes look healthy (the q157
+    * pre-banding shape) — benchgate fails max > 3x median + 1 s. */
   def renderFull(results: Seq[(String, Double)], sfDir: String, loadStart: Double, loadEnd: Double,
                  errs: Seq[String] = Nil,
-                 bytes: Map[String, (Long, Long, Long)] = Map.empty): String = {
+                 bytes: Map[String, (Long, Long, Long)] = Map.empty,
+                 skew: Map[String, (Long, Long)] = Map.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val errField = errs.map("\"" + _ + "\"").mkString(""","err":[""", ",", "]")
     val bytesField =
       if (bytes.isEmpty) ""
       else results.flatMap { case (k, _) => bytes.get(k).map { case (sr, sw, sp) =>
+        val skewField = skew.get(k).fold("") { case (mx, md) =>
+          ",\"max_task_s\":" + f"${mx / 1e3}%.3f" + ",\"med_task_s\":" + f"${md / 1e3}%.3f"
+        }
         "\"" + k + "\":{\"sh_mb\":" + f"${(sr + sw) / 1e6}%.2f" +
-          ",\"spill_mb\":" + f"${sp / 1e6}%.2f" + "}"
+          ",\"spill_mb\":" + f"${sp / 1e6}%.2f" + skewField + "}"
       }}.mkString(""","bytes":{""", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd]$errField$bytesField}"""
   }
 
-  /** Cumulative shuffle/spill task-metric counters. Per-query deltas are
-    * taken between [[org.apache.spark.graftbench.BusDrain]]-fenced
-    * snapshots, so a query's tail events can't bleed into the next row. */
+  /** (max_ms, median_ms) of one query's task-duration window; (0, 0) for
+    * an empty window (fully cached / metadata-only). Median is the upper
+    * middle — bias AGAINST flagging, never toward it. */
+  def taskSkew(durationsMs: Seq[Long]): (Long, Long) =
+    if (durationsMs.isEmpty) (0L, 0L)
+    else { val s = durationsMs.sorted; (s.last, s(s.size / 2)) }
+
+  /** Cumulative shuffle/spill task-metric counters plus the task-duration
+    * log. Per-query deltas are taken between
+    * [[org.apache.spark.graftbench.BusDrain]]-fenced snapshots, so a
+    * query's tail events can't bleed into the next row. */
   final class BytesListener extends org.apache.spark.scheduler.SparkListener {
     private val sr = new java.util.concurrent.atomic.AtomicLong
     private val sw = new java.util.concurrent.atomic.AtomicLong
     private val sp = new java.util.concurrent.atomic.AtomicLong
+    private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -162,8 +179,16 @@ object Bench {
         sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         sp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
+      if (te.taskInfo != null) durs.add(te.taskInfo.duration)
     }
     def snapshot: (Long, Long, Long) = (sr.get, sw.get, sp.get)
+    /** Copy of the duration log; a query's window is the slice between
+      * its two fenced snapshot lengths. */
+    def durations: Vector[Long] = {
+      val b = Vector.newBuilder[Long]
+      durs.forEach(d => b += d.longValue)
+      b.result()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -212,9 +237,9 @@ object Bench {
     // the listener bus drained at both fences so deltas are exact.
     val bytesListener = new BytesListener
     spark.sparkContext.addSparkListener(bytesListener)
-    def fencedSnapshot(): (Long, Long, Long) = {
+    def fencedSnapshot(): ((Long, Long, Long), Int) = {
       org.apache.spark.graftbench.BusDrain.drain(spark.sparkContext)
-      bytesListener.snapshot
+      (bytesListener.snapshot, bytesListener.durations.size)
     }
 
     // Two timed passes, report the per-query MIN: a single pass is at the
@@ -223,11 +248,12 @@ object Bench {
     // not the noise. Bytes take the per-query min total too — the plan's
     // bytes are identical across passes, so min sheds stray concurrent
     // events rather than averaging them in.
-    // Each pass records (name, elapsed, succeeded, bytes). A query counts
-    // as timed only on passes where it completed; crashing is not a timing.
-    def timedPass(): Seq[(String, Double, Boolean, (Long, Long, Long))] =
+    // Each pass records (name, elapsed, succeeded, bytes, task skew). A
+    // query counts as timed only on passes where it completed; crashing is
+    // not a timing.
+    def timedPass(): Seq[(String, Double, Boolean, (Long, Long, Long), (Long, Long))] =
       queries.map { case (name, fn) =>
-        val b0 = fencedSnapshot()
+        val (b0, n0) = fencedSnapshot()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
@@ -235,8 +261,9 @@ object Bench {
             false
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        val b1 = fencedSnapshot()
-        (name, elapsed, ok, (b1._1 - b0._1, b1._2 - b0._2, b1._3 - b0._3))
+        val (b1, n1) = fencedSnapshot()
+        val skew = taskSkew(bytesListener.durations.slice(n0, n1))
+        (name, elapsed, ok, (b1._1 - b0._1, b1._2 - b0._2, b1._3 - b0._3), skew)
       }
     // Release dropped checkpoint/broadcast blocks between passes so pass 2
     // measures the plans, not the first pass's garbage.
@@ -245,14 +272,22 @@ object Bench {
     val pass2 = timedPass()
     val byName = (pass1 ++ pass2).groupBy(_._1).toSeq.sortBy(_._1)
     val results = byName.flatMap { case (name, runs) =>
-      val good = runs.collect { case (_, t, true, _) => t }
+      val good = runs.collect { case (_, t, true, _, _) => t }
       if (good.nonEmpty) Some(name -> good.min) else None
     }
     val bytesByName: Map[String, (Long, Long, Long)] = byName.flatMap {
       case (name, runs) =>
-        val good = runs.collect { case (_, _, true, b) => b }
+        val good = runs.collect { case (_, _, true, b, _) => b }
         if (good.isEmpty) None
         else Some(name -> good.minBy { case (a, b, c) => a + b + c })
+    }.toMap
+    // Skew from the pass with the SMALLER max task — a transient host
+    // stall inflates one pass's max; the plan's real hot task shows up in
+    // both (the min-of-two discipline applied to the skew pair).
+    val skewByName: Map[String, (Long, Long)] = byName.flatMap {
+      case (name, runs) =>
+        val good = runs.collect { case (_, _, true, _, s) => s }
+        if (good.isEmpty) None else Some(name -> good.minBy(_._1))
     }.toMap
     val errs = byName.collect { case (name, runs) if !runs.exists(_._3) => name }
     val loadEnd = loadAvg()
@@ -265,7 +300,7 @@ object Bench {
     val localPath = localArtifactPath(localBase, hot, subset)
     try {
       val w = new java.io.PrintWriter(localPath)
-      try w.println(renderFull(results, sfDir, loadStart, loadEnd, errs, bytesByName)) finally w.close()
+      try w.println(renderFull(results, sfDir, loadStart, loadEnd, errs, bytesByName, skewByName)) finally w.close()
     } catch { case _: Throwable => () }
 
     // Stop Spark BEFORE printing: the JSON line must be the last thing on

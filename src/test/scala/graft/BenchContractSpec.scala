@@ -110,4 +110,24 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!bare.contains("\"bytes\""))
     om.readTree(bare)
   }
+
+  test("renderFull carries the task-skew pair when captured (whale-key gate feed)") {
+    val res = Seq("q01_agg" -> 0.391)
+    val bytes = Map("q01_agg" -> ((10_500_000L, 2_000_000L, 0L)))
+    val skew = Map("q01_agg" -> ((4_210L, 350L))) // ms → s in the artifact
+    val full = Bench.renderFull(res, "sf0.1", 0.1, 0.2, bytes = bytes, skew = skew)
+    assert(full.contains(
+      """"q01_agg":{"sh_mb":12.50,"spill_mb":0.00,"max_task_s":4.210,"med_task_s":0.350}"""),
+      full)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    assert(om.readTree(full).get("bytes").get("q01_agg").get("max_task_s").asDouble == 4.21)
+  }
+
+  test("taskSkew: max and upper-median of the window; empty window reads (0,0)") {
+    assert(Bench.taskSkew(Nil) == ((0L, 0L)))
+    assert(Bench.taskSkew(Seq(100L)) == ((100L, 100L)))
+    // even count: upper middle (biases against flagging)
+    assert(Bench.taskSkew(Seq(10L, 20L, 30L, 4000L)) == ((4000L, 30L)))
+    assert(Bench.taskSkew(Seq(5L, 1L, 9L)) == ((9L, 5L)))
+  }
 }

@@ -38,6 +38,17 @@ A capture with NO "bytes" key at all skips the bytes gate with a note
 (pre-bytes artifacts stay adjudicable) — except under --full when bytes
 pins exist, where it fails: the committed artifact must carry the evidence
 its pins claim.
+
+SKEW GATE: a whale key funneling a partition's work through one task is
+the plan-regression class neither seconds nor total bytes see (the q157
+pre-banding shape: totals healthy, one task owns the key). The capture's
+bytes entries carry max_task_s/med_task_s (written by graft.Bench, skew
+taken from the less-stalled of the two passes); the gate fails
+  SKEW: max_task_s > --skew-ratio (default 3.0) x med_task_s + 1 s
+unless the query carries a `| skew-ok:qNN | <reason> |` allowlist row in
+BASELINE.md (for documented, deliberately-skewed shapes). Entries without
+the skew fields (pre-skew artifacts) are skipped silently — the bytes
+--full closure already forces fresh captures when pins exist.
 """
 import json
 import re
@@ -65,6 +76,33 @@ def parse_bytes_pins(path):
             if m:
                 pins[m.group(1)] = (float(m.group(2)), float(m.group(3)))
     return pins
+
+
+def parse_skew_allowlist(path):
+    """{query} from `| skew-ok:qNN | reason |` rows."""
+    allow = set()
+    row = re.compile(r"^\|\s*skew-ok:(q\w+)\s*\|")
+    with open(path) as f:
+        for line in f:
+            m = row.match(line)
+            if m:
+                allow.add(m.group(1))
+    return allow
+
+
+def check_skew(cap, allow, skew_ratio, failures):
+    """Whale-key verdicts: max task > ratio x median + 1 s fails unless
+    allowlisted. Sub-second maxes can never fail (the +1 s absolute slack
+    exempts fixed-cost and single-task-by-construction queries)."""
+    for q, b in sorted((cap.get("bytes") or {}).items()):
+        if "max_task_s" not in b:
+            continue
+        mx, md = b.get("max_task_s", 0.0), b.get("med_task_s", 0.0)
+        if mx > skew_ratio * md + 1.0 and q not in allow:
+            failures.append(
+                f"SKEW {q}: max task {mx:.2f}s vs median {md:.2f}s "
+                f"(> {skew_ratio}x + 1 s) — whale key / hot task "
+                "(salt it, band it, or add a skew-ok row with the reason)")
 
 
 def check_bytes(cap, bytes_pins, full, bytes_ratio, failures, notes):
@@ -112,6 +150,7 @@ def main(argv):
     # mistaken for the bench-file path.
     ratio = 2.0
     bytes_ratio = 1.5
+    skew_ratio = 3.0
     full = False
     args = []
     i = 0
@@ -119,6 +158,16 @@ def main(argv):
         a = argv[i]
         if a == "--full":
             full = True
+        elif a.startswith("--skew-ratio"):
+            if "=" in a:
+                skew_ratio = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    print("usage: benchgate.py [BENCH.json] [BASELINE.md]"
+                          " [--skew-ratio N]  (missing value for --skew-ratio)")
+                    return 2
+                skew_ratio = float(argv[i + 1])
+                i += 1
         elif a.startswith("--bytes-ratio"):
             if "=" in a:
                 bytes_ratio = float(a.split("=", 1)[1])
@@ -193,6 +242,7 @@ def main(argv):
 
     notes = []
     check_bytes(cap, parse_bytes_pins(base_path), full, bytes_ratio, failures, notes)
+    check_skew(cap, parse_skew_allowlist(base_path), skew_ratio, failures)
     for n in notes:
         print(n)
 

@@ -112,10 +112,43 @@ def main():
                     "bytes": {**good_bytes,
                               "q02_x": {"sh_mb": 1100.0, "spill_mb": 0.0}}},
                    argv_extra=("--bytes-ratio", "3"), expect=0)
+    # --- skew gate ---
+    # 19. THE POINT: an injected whale key moves max/median task time where
+    #     seconds and total bytes both read healthy.
+    hot_key = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0,
+                           "max_task_s": 9.0, "med_task_s": 0.4},
+               "q02_x": good_bytes["q02_x"]}
+    ok &= run_case("fail_skew_whale_key", BPINS,
+                   {**quiet, **times, "bytes": hot_key}, expect=1)
+    # 20. Balanced tasks pass (max inside 3x median + 1 s).
+    balanced = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0,
+                            "max_task_s": 1.9, "med_task_s": 0.5},
+                "q02_x": good_bytes["q02_x"]}
+    ok &= run_case("pass_skew_balanced", BPINS,
+                   {**quiet, **times, "bytes": balanced}, expect=0)
+    # 21. Sub-second max can never fail: the +1 s slack exempts fixed-cost
+    #     and single-task-by-construction queries (median 0).
+    tiny = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0,
+                        "max_task_s": 0.9, "med_task_s": 0.0},
+            "q02_x": good_bytes["q02_x"]}
+    ok &= run_case("pass_skew_subsecond", BPINS,
+                   {**quiet, **times, "bytes": tiny}, expect=0)
+    # 22. A skew-ok allowlist row exempts a documented deliberate shape.
+    ok &= run_case("pass_skew_allowlisted",
+                   BPINS + "| skew-ok:q01_agg | deliberate single-key probe |\n",
+                   {**quiet, **times, "bytes": hot_key}, expect=0)
+    # 23. Pre-skew artifacts (no skew fields) skip the gate silently.
+    ok &= run_case("pass_skew_legacy_fields", BPINS,
+                   {**quiet, **times, "bytes": good_bytes}, expect=0)
+    # 24. --skew-ratio is honored (9x/0.4 passes at ratio 25).
+    ok &= run_case("pass_custom_skew_ratio", BPINS,
+                   {**quiet, **times, "bytes": hot_key},
+                   argv_extra=("--skew-ratio", "25"), expect=0)
+
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (18 cases)")
+    print("SELFTEST PASS (24 cases)")
     return 0
 
 
