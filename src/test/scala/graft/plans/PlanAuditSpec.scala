@@ -98,6 +98,9 @@ class PlanAuditSpec extends SparkSpec {
     "q151_wave_schedule" -> ("Waves rides GlobalRank — the same " +
       "partition-count offsets frame as q107; wave id is arithmetic on " +
       "the ordinal"),
+    "q161_collections_e2e" -> ("the flagship's wave stage is q151's Waves/" +
+      "GlobalRank — the same partition-count offsets frame; everything " +
+      "upstream (aging, policy, dunning) is debtor-partitioned aggregates"),
     "q127_concurrency" -> ("Intervals' sweep runs over the CALENDAR-GRAIN " +
       "boundary-event frame (2 rows per interval, bounded by the day spine " +
       "domain at any scale the report is readable at); the scale contract " +
