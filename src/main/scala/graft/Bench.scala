@@ -171,7 +171,7 @@ object Bench {
     private val sr = new java.util.concurrent.atomic.AtomicLong
     private val sw = new java.util.concurrent.atomic.AtomicLong
     private val sp = new java.util.concurrent.atomic.AtomicLong
-    private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+    private val durs = scala.collection.mutable.ArrayBuffer.empty[Long]
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -179,16 +179,15 @@ object Bench {
         sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         sp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
-      if (te.taskInfo != null) durs.add(te.taskInfo.duration)
+      if (te.taskInfo != null) durs.synchronized { durs += te.taskInfo.duration }
     }
     def snapshot: (Long, Long, Long) = (sr.get, sw.get, sp.get)
-    /** Copy of the duration log; a query's window is the slice between
-      * its two fenced snapshot lengths. */
-    def durations: Vector[Long] = {
-      val b = Vector.newBuilder[Long]
-      durs.forEach(d => b += d.longValue)
-      b.result()
-    }
+    /** Fence index into the duration log — O(1), no copy. */
+    def durationCount: Int = durs.synchronized(durs.size)
+    /** One query's duration window by fence indexes — O(window), copied
+      * under the lock so a late straggler append can't tear the slice. */
+    def durationWindow(from: Int, until: Int): Seq[Long] =
+      durs.synchronized(durs.slice(from, until).toVector)
   }
 
   def main(args: Array[String]): Unit = {
@@ -239,7 +238,7 @@ object Bench {
     spark.sparkContext.addSparkListener(bytesListener)
     def fencedSnapshot(): ((Long, Long, Long), Int) = {
       org.apache.spark.graftbench.BusDrain.drain(spark.sparkContext)
-      (bytesListener.snapshot, bytesListener.durations.size)
+      (bytesListener.snapshot, bytesListener.durationCount)
     }
 
     // Two timed passes, report the per-query MIN: a single pass is at the
@@ -262,7 +261,7 @@ object Bench {
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
         val (b1, n1) = fencedSnapshot()
-        val skew = taskSkew(bytesListener.durations.slice(n0, n1))
+        val skew = taskSkew(bytesListener.durationWindow(n0, n1))
         (name, elapsed, ok, (b1._1 - b0._1, b1._2 - b0._2, b1._3 - b0._3), skew)
       }
     // Release dropped checkpoint/broadcast blocks between passes so pass 2

@@ -23,11 +23,11 @@ import org.apache.spark.sql.expressions.Window
   * integer cents.
   *
   * Scale shape: one per-debtor sort window on each side (two shuffles on
-  * the same key), then a BANDED join on the money axis ([[allocate]]) —
-  * the [[RangeJoin]] trick on cents instead of timestamps — so a whale
-  * debtor (10⁵ invoices × 10⁵ payments through one key) costs
-  * O(overlaps + band edges), never the per-key invoice×payment product.
-  * Nothing global, nothing quadratic.
+  * the same key), then a MERGE-SWEEP window over the union of segment
+  * starts ([[allocate]]) — no join at all — so a whale debtor (10⁵
+  * invoices × 10⁵ payments through one key) costs one task sorting its
+  * own 2n rows, never the per-key invoice×payment product, for EVERY
+  * amount distribution. Nothing global, nothing quadratic.
   */
 object Remittance {
 
@@ -87,49 +87,56 @@ object Remittance {
       .select(col("key"), col("pay_id"), (col("pay_hi") - col("pc")).as("pay_lo"), col("pay_hi"))
   }
 
-  /** Interval intersection of the two sides (both already on the axis).
-    * Banded ([[bandedCandidates]]) so the join never materializes a
-    * whale debtor's full invoice×payment product. */
-  def allocate(inv: DataFrame, pay: DataFrame): DataFrame =
-    bandedCandidates(inv, pay)
-      .select(col("key"), col("inv_id"), col("pay_id"),
-        (least(col("inv_hi"), col("pay_hi")) -
-          greatest(col("inv_lo"), col("pay_lo"))).as("alloc_cents"))
-      .where(col("alloc_cents") > 0)
-
-  /** Candidate (invoice, payment) pairs by money-axis banding — the
-    * [[RangeJoin]] construction with the band width chosen PER DEBTOR:
-    * w = max(1, axis_end div (n_inv + n_pay)), so each side explodes to
-    * ≈ axis/w + n ≤ 2·(n_inv + n_pay) band rows no matter how the money
-    * splits between giant and one-cent intervals. The join runs on
-    * (key, band) equality — fine-grained shuffle keys a whale debtor
-    * spreads across, AQE-skew-splittable. An overlapping pair shares the
-    * band of `greatest(lo)` (that point lies in both half-open
-    * intervals), and requiring the match to happen in exactly that band
-    * makes the join dedup-free; non-overlapping same-band pairs (≤ band
-    * occupancy, O(1) amortized at the adaptive width) fall to the
-    * alloc > 0 filter. Exposed for the whale-debtor spec, which pins the
-    * candidate count at O(n_inv + n_pay).
+  /** Interval intersection of the two sides (both already on the axis) —
+    * a MERGE-SWEEP, not a join. Both sides tile the debtor's money axis
+    * contiguously from 0 (they are cumsums), so the intersection of
+    * invoice I and payment P is one contiguous stretch whose left edge
+    * `greatest(I.lo, P.lo)` is a segment START of whichever side begins
+    * later — and that stretch contains NO other start of either side
+    * (starts only happen at interval boundaries). Union the two sides'
+    * start rows, sort per key by position, and carry the currently-open
+    * interval of each side forward with `last(..., ignoreNulls)`: every
+    * overlapping pair is emitted by exactly one row (its later start),
+    * with alloc = least(open hi's) − position; a row whose position sits
+    * at or past the other side's open end yields alloc ≤ 0 and drops.
     *
-    * Both interval frames are already hash-partitioned by key from their
-    * sort windows, so the width aggregates and width join add no
-    * exchange of the data sides; the exploded (key, band) shuffle is the
-    * one new exchange — the price of never going quadratic. */
-  def bandedCandidates(inv: DataFrame, pay: DataFrame): DataFrame = {
-    val width = inv.groupBy("key").agg(count(lit(1)).as("__ni"), max("inv_hi").as("__ia"))
-      .join(pay.groupBy("key").agg(count(lit(1)).as("__np"), max("pay_hi").as("__pa")), Seq("key"))
-      .select(col("key"),
-        greatest(lit(1L), expr("greatest(__ia, __pa) div (__ni + __np)")).as("__w"))
-    def banded(side: DataFrame, lo: String, hi: String): DataFrame =
-      side.join(width, Seq("key"))
-        .where(col(hi) > col(lo)) // zero-width intervals overlap nothing
-        .withColumn("__band",
-          explode(sequence(expr(s"$lo div __w"), expr(s"($hi - 1) div __w"))))
-    banded(inv, "inv_lo", "inv_hi")
-      .join(banded(pay, "pay_lo", "pay_hi").drop("__w"), Seq("key", "__band"))
-      .where(col("__band") === expr("greatest(inv_lo, pay_lo) div __w"))
-      .select(col("key"), col("inv_id"), col("inv_lo"), col("inv_hi"),
-        col("pay_id"), col("pay_lo"), col("pay_hi"))
+    * Why not a (key, band) range-join: a fixed or per-key-adaptive money
+    * band width has a quadratic failure shape — one whale interval
+    * stretches the width until an n-interval penny cluster collapses
+    * into one band and the join regenerates the n² per-key product. The
+    * sweep has NO width heuristic and no join at all: one union, ONE
+    * per-key sort window (the same shuffle+sort class the cumsum
+    * builders already pay), O(n_inv + n_pay) rows per debtor for EVERY
+    * amount distribution. A whale debtor costs one task sorting its own
+    * 2n rows — the inherent per-key window cost, never a cross product. */
+  def allocate(inv: DataFrame, pay: DataFrame): DataFrame = {
+    val nullL = lit(null).cast("long")
+    val starts = inv.where(col("inv_hi") > col("inv_lo")) // zero-width: overlaps nothing
+      .select(col("key"), col("inv_lo").as("__pos"), lit(0).as("__side"),
+        col("inv_id"), col("inv_hi"), nullL.as("pay_id"), nullL.as("pay_hi"))
+      .unionByName(pay.where(col("pay_hi") > col("pay_lo"))
+        .select(col("key"), col("pay_lo").as("__pos"), lit(1).as("__side"),
+          nullL.as("inv_id"), nullL.as("inv_hi"), col("pay_id"), col("pay_hi")))
+    // side tag breaks the one possible tie (an invoice and a payment
+    // starting at the same position): the first of the two resolves to
+    // the other side's PREVIOUS interval, whose hi equals this position
+    // (contiguous tiling), so its alloc is 0 and only the second row
+    // emits the pair — exactly-once either way, the tag just makes the
+    // sort total (the GlobalRank determinism contract).
+    val w = Window.partitionBy("key").orderBy(col("__pos"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts
+      .withColumn("__inv", last(col("inv_id"), ignoreNulls = true).over(w))
+      .withColumn("__ihi", last(col("inv_hi"), ignoreNulls = true).over(w))
+      .withColumn("__pay", last(col("pay_id"), ignoreNulls = true).over(w))
+      .withColumn("__phi", last(col("pay_hi"), ignoreNulls = true).over(w))
+      // BOTH sides must be open: Spark's least() skips nulls, so without
+      // this a row before the other side's first start (or on a key the
+      // other side never touches) would emit a phantom half-pair.
+      .where(col("__inv").isNotNull && col("__pay").isNotNull)
+      .select(col("key"), col("__inv").as("inv_id"), col("__pay").as("pay_id"),
+        (least(col("__ihi"), col("__phi")) - col("__pos")).as("alloc_cents"))
+      .where(col("alloc_cents") > 0)
   }
 
   /** Collapse negative adjustments (refunds, chargebacks, credit memos)

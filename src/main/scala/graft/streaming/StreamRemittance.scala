@@ -39,10 +39,17 @@ import graft.operators.Remittance
   */
 object StreamRemittance {
 
-  /** Latest committed (key, received_cents) totals, if any batch committed. */
+  /** Latest committed (key, received_cents) totals, if any batch committed.
+    * Stores written before the received_cents rename carry the old
+    * `paid_cents` column name — read them through the rename so a resumed
+    * stream never wedges on its own pre-rename state (the next publish
+    * writes the new name; one-way migration, no data change — the column
+    * always held the cumulative received total). */
   def readLatestTotals(spark: SparkSession, baseDir: String): Option[DataFrame] =
     VersionedStore.committedVersions(spark, baseDir).lastOption
       .map(p => spark.read.parquet(new Path(p, "totals").toString))
+      .map(df => if (df.columns.contains("paid_cents"))
+        df.withColumnRenamed("paid_cents", "received_cents") else df)
 
   /** Every allocation row committed so far (union over versions) —
     * (key, inv_id, pay_id, alloc_cents). None before the first commit. */

@@ -61,15 +61,17 @@ class RemittanceSpec extends SparkSpec {
     assert(s(201L) == ((0L, 9900L, 0L, "OPEN")), "debtor 2's invoice untouched")
   }
 
-  test("the allocation join runs on (key, band), not key alone (plan shape)") {
+  test("allocation is a merge-sweep: NO join node in the plan at all") {
     val inv = invoices((1L, 101L, "2024-01-01", 10.00))
     val pay = payments((1L, 901L, "2024-02-01 00:00:00", 10.00))
     val df = Remittance.allocateFifo(inv, col("cust"), col("inv"), col("d"), col("amt"),
       pay, col("cust"), col("pid"), col("ts"), col("amt"))
     df.count()
     val plan = df.queryExecution.executedPlan.toString
-    val bandJoin = plan.linesIterator.exists(l => l.contains("Join") && l.contains("__band"))
-    assert(bandJoin, s"no join keyed on __band in the executed plan:\n${plan.take(4000)}")
+    // the per-key invoice x payment product is impossible by construction:
+    // union + sort window, no join operator anywhere in the plan
+    assert(!plan.contains("Join"), s"allocate must not plan a join:\n${plan.take(4000)}")
+    assert(plan.contains("Window"), s"expected the sweep window:\n${plan.take(4000)}")
   }
 
   test("negative amounts fail loudly instead of folding the axis (both sides)") {
@@ -110,34 +112,51 @@ class RemittanceSpec extends SparkSpec {
     assert(total == Map(1L -> 12000L, 2L -> 3000L))
   }
 
-  test("whale debtor: candidates stay O(n_inv + n_pay), never the per-key product") {
+  test("whale debtor: 10^4 x 10^4 through one key costs O(n), never the product") {
     val n = 10000L
-    // 10^4 invoices x 10^4 payments through ONE key — the shape the round-12
-    // verdict flagged: a key-only equi-join materializes 10^8 pairs here.
+    // the shape the round-12 verdict flagged: a key-only equi-join
+    // materializes 10^8 pairs here; the sweep processes 2n union rows.
     val inv = ss.range(n).select(lit(1L).as("cust"), col("id").as("inv"),
       lit("2024-01-01").cast("date").as("d"), lit(1.00).as("amt"))
     val pay = ss.range(n).select(lit(1L).as("cust"), col("id").as("pid"),
       lit("2024-03-01 00:00:00").cast("timestamp").as("ts"), lit(1.00).as("amt"))
     val ii = Remittance.invoiceIntervals(inv, col("cust"), col("inv"), col("d"), col("amt"))
     val pi = Remittance.paymentIntervals(pay, col("cust"), col("pid"), col("ts"), col("amt"))
-    val candidates = Remittance.bandedCandidates(ii, pi).count()
-    assert(candidates >= n, s"banding lost overlaps: $candidates")
-    assert(candidates <= 10 * 2 * n,
-      s"whale debtor went quadratic: $candidates candidates for ${2 * n} rows")
-    // and the allocation itself is exact: payment i covers invoice i in full
+    // exact: payment i covers invoice i in full, one row each
     val a = Remittance.allocate(ii, pi)
     assert(a.count() == n)
     assert(a.agg(sum("alloc_cents")).as[Long].head() == n * 100)
 
-    // one giant payment sweeping the whole axis: its interval spans ~every
-    // band, but candidates are still the n true overlaps plus band edges
+    // one giant payment sweeping the whole axis: n pair rows, one per invoice
     val sweep = ss.range(1).select(lit(1L).as("cust"), lit(900001L).as("pid"),
       lit("2024-03-01 00:00:00").cast("timestamp").as("ts"),
       lit(n * 1.0).as("amt"))
     val pi2 = Remittance.paymentIntervals(sweep, col("cust"), col("pid"), col("ts"), col("amt"))
-    val c2 = Remittance.bandedCandidates(ii, pi2).count()
-    assert(c2 >= n && c2 <= 10 * 2 * n, s"sweeping payment blew up: $c2")
     val a2 = Remittance.allocate(ii, pi2)
     assert(a2.count() == n && a2.agg(sum("alloc_cents")).as[Long].head() == n * 100)
+  }
+
+  test("adversarial mix: one whale amount + a penny cluster stays O(n) (review r13)") {
+    // The shape that broke money-WIDTH banding (one whale interval
+    // stretches any adaptive band width until the penny cluster collapses
+    // into a single band and the join regenerates the n^2 product): n
+    // one-cent invoices, then a $1M invoice, against the same payment
+    // shape. The sweep has no width heuristic — if any pair-product shape
+    // survived, 10^8 pairs would time this test out; instead it emits
+    // exactly the 2n+1 true overlaps.
+    val n = 10000L
+    val inv = ss.range(n + 1).select(lit(1L).as("cust"), col("id").as("inv"),
+      lit("2024-01-01").cast("date").as("d"),
+      when(col("id") < n, 0.01).otherwise(1000000.00).as("amt"))
+    val pay = ss.range(n + 1).select(lit(1L).as("cust"), col("id").as("pid"),
+      lit("2024-03-01 00:00:00").cast("timestamp").as("ts"),
+      when(col("id") < n, 0.01).otherwise(1000000.00).as("amt"))
+    val a = Remittance.allocate(
+      Remittance.invoiceIntervals(inv, col("cust"), col("inv"), col("d"), col("amt")),
+      Remittance.paymentIntervals(pay, col("cust"), col("pid"), col("ts"), col("amt")))
+    // pennies pair 1:1 (n rows), the whales pair with each other (1 row);
+    // ids sort the whale after the pennies on both axes, so no cross rows
+    assert(a.count() == n + 1)
+    assert(a.agg(sum("alloc_cents")).as[Long].head() == n * 1 + 100000000L)
   }
 }

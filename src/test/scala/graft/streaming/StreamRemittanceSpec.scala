@@ -57,6 +57,32 @@ class StreamRemittanceSpec extends SparkSpec {
       "state is the cumulative received total (axis offset) per debtor, nothing else")
   }
 
+  test("resuming a store written before the received_cents rename migrates on read") {
+    import org.apache.hadoop.fs.Path
+    val base = tmp()
+    // simulate a pre-rename committed batch: totals column named paid_cents
+    // (debtor 1 already has 15.00 applied), empty allocation log
+    VersionedStore.publish(ss, base, 0L) { target =>
+      Seq((1L, 1500L)).toDF("key", "paid_cents")
+        .write.parquet(new Path(target, "totals").toString)
+      Seq.empty[(Long, Long, Long, Long)].toDF("key", "inv_id", "pay_id", "alloc_cents")
+        .write.parquet(new Path(target, "alloc").toString)
+    }
+    val totals0 = StreamRemittance.readLatestTotals(ss, base).get
+    assert(totals0.columns.toSeq == Seq("key", "received_cents"),
+      "old-name store must read through the rename, not wedge the stream")
+    // the next batch resumes the money axis at the migrated offset: 10.00
+    // lands on [1500, 2500) — inside invoice 102's [1000, 3000) stretch
+    StreamRemittance.applyBatch(payDf(Seq((1L, 902L, "2024-03-02 00:00:00", 10.00))),
+      col("cust"), col("pid"), col("ts"), col("amt"), ledger, base, batchId = 1L)
+    val streamed = StreamRemittance.readAllocations(ss, base).get
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 102L, 902L, 1000L)))
+    val totals = StreamRemittance.readLatestTotals(ss, base).get
+      .as[(Long, Long)].collect().toMap
+    assert(totals == Map(1L -> 2500L))
+  }
+
   test("the wired stream produces the same ledger via foreachBatch") {
     implicit val sq = ss.sqlContext
     val base = tmp()
