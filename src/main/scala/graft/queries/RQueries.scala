@@ -92,6 +92,7 @@ object RQueries {
     "q144_revenue_pareto" -> ((s, d) => q144(s, d)),
     "q160_benford_verdict" -> ((s, d) => q160(s, d)),
     "q161_collections_e2e" -> ((s, d) => q161(s, d)),
+    "q162_net_adjustments" -> ((s, d) => q162(s, d)),
   )
 
   /** R75: revenue-concentration (Pareto) report per market segment — the
@@ -231,6 +232,20 @@ object RQueries {
       Seq(col("worst_days_past_due").desc, col("total_open_cents").desc,
         col("key").asc),
       capacity = 100L)
+
+  /** R80's upstream collapse, oracle-keyed: net refunds/chargebacks into
+    * prior postings (every 7th purchase becomes a whole-unit chargeback —
+    * the q133-style deterministic corruption — so the envelope logic is
+    * exercised on real dips, leading chargebacks included). The oracle
+    * re-derives the 0-floored running-max envelope increments in SQL. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val signed = when(col("event_id") % 7 === 0, -floor(col("value")))
+      .otherwise(col("value"))
+    Remittance.netAdjustments(
+        Tables.events(s, d).where(col("event_type") === "purchase"),
+        col("user_id"), col("event_id"), col("ts"), signed)
+      .select(col("key"), col("id"), col("net_cents"))
+  }
 
   /** R73: RFM quintile segmentation of customers from their orders,
     * as of a fixed instant. */
@@ -1721,6 +1736,21 @@ object RQueries {
         |  CAST(greatest(max(past_due), 0) AS BIGINT) AS worst_days_past_due
         |FROM open_inv GROUP BY key""".stripMargin,
     "q155_dunning" -> Q155DunningSql,
+    "q162_net_adjustments" ->
+      """WITH p AS (
+        |  SELECT user_id AS key, event_id AS id, ts,
+        |         CAST(round((CASE WHEN event_id % 7 = 0 THEN -floor(value)
+        |                          ELSE value END) * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c1 AS (SELECT key, id, ts,
+        |         sum(c) OVER (PARTITION BY key ORDER BY ts, id) AS cum
+        |       FROM p),
+        |c2 AS (SELECT key, id, ts,
+        |         greatest(max(cum) OVER (PARTITION BY key ORDER BY ts, id), 0) AS env
+        |       FROM c1)
+        |SELECT key, id,
+        |       CAST(env - coalesce(lag(env) OVER (PARTITION BY key ORDER BY ts, id), 0) AS BIGINT) AS net_cents
+        |FROM c2""".stripMargin,
     "q160_benford_verdict" ->
       """WITH c AS (
         |  SELECT o_orderpriority AS grp,
