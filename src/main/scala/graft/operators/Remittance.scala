@@ -142,31 +142,42 @@ object Remittance {
   /** Collapse negative adjustments (refunds, chargebacks, credit memos)
     * into their prior postings so the result satisfies [[allocateFifo]]'s
     * non-negativity contract: within each key in (ts, id) order, the
-    * netted amounts are the increments of the 0-floored RUNNING MAX of
-    * the raw cumulative sum. A refund row nets to 0 and the reversed
-    * stretch of the axis is re-filled by subsequent postings before the
-    * axis advances — i.e. new money first re-covers what the refund took
-    * back, which is exactly what "the refund reversed part of a prior
-    * posting" means on a FIFO axis. A refund larger than everything
-    * posted so far (e.g. a leading chargeback) carries its unrecovered
-    * remainder forward against SUBSEQUENT postings — the clawed-back
-    * money is real either way — so the per-key netted total is the
-    * 0-floored final envelope, never negative.
+    * netted amounts are the increments of the 0-floored SUFFIX-MIN
+    * envelope of the raw cumulative sum —
+    * `env(i) = max(0, min(cum(j)) for j ≥ i)`, `net(i) = env(i) −
+    * env(i−1)`. A posting nets only the cents that are never clawed back
+    * by ANY later refund: the refund row itself nets to 0 and the
+    * clawed-back stretch is deducted from the most recent prior postings
+    * (their net shrinks), so a trailing refund with no re-fill really
+    * reduces net cash. A refund larger than everything posted so far
+    * (e.g. a leading chargeback) likewise deducts its remainder from
+    * SUBSEQUENT postings. Either way the defining invariant holds:
+    * per-key `sum(net) = max(0, final cum)` — the true net cash — and
+    * `env` is non-decreasing, so every `net_cents ≥ 0` (the contract).
+    * (The previous 0-floored running-MAX form silently un-deducted a
+    * trailing refund that no later posting re-filled — round-13 review.)
     *
     * Output: (key, id, ts, net_cents, net_amount) — `net_amount` is
     * exact decimal(38,2), ready for the interval builders' `*100` round.
     * Row count, ids and timestamps are unchanged (zero-net rows are kept;
-    * they become harmless zero-width intervals). One sort window per key,
-    * the same shuffle the interval builders need anyway. */
+    * they become harmless zero-width intervals). The suffix min is a
+    * RUNNING min over the REVERSED sort order — NOT a
+    * `rowsBetween(currentRow, unboundedFollowing)` frame, which Spark's
+    * `UnboundedFollowingWindowFunctionFrame` re-aggregates from scratch
+    * per row (O(n²) per key) — so the cost is two in-partition sorts on
+    * one shuffle of the key, same class the interval builders pay. */
   def netAdjustments(df: DataFrame, keyCol: Column, idCol: Column,
                      tsCol: Column, amountCol: Column): DataFrame = {
     val w = Window.partitionBy("key").orderBy(col("ts"), col("id"))
+    val wRev = Window.partitionBy("key").orderBy(col("ts").desc, col("id").desc)
     df.select(keyCol.as("key"), idCol.as("id"), tsCol.as("ts"),
         round(amountCol * 100).cast("long").as("c"))
       .withColumn("__cum", sum(col("c")).over(w))
-      .withColumn("__env", greatest(max(col("__cum")).over(w), lit(0L)))
+      .withColumn("__env", greatest(min(col("__cum")).over(wRev), lit(0L)))
+      // prior row's env in (ts, id) order == next row's env in reversed
+      // order: stay on the reversed sort, no third window sort needed
       .withColumn("net_cents",
-        col("__env") - coalesce(lag(col("__env"), 1).over(w), lit(0L)))
+        col("__env") - coalesce(lead(col("__env"), 1).over(wRev), lit(0L)))
       .select(col("key"), col("id"), col("ts"), col("net_cents"),
         (col("net_cents").cast("decimal(38,2)") / 100).cast("decimal(38,2)").as("net_amount"))
   }

@@ -236,8 +236,10 @@ object RQueries {
   /** R80's upstream collapse, oracle-keyed: net refunds/chargebacks into
     * prior postings (every 7th purchase becomes a whole-unit chargeback —
     * the q133-style deterministic corruption — so the envelope logic is
-    * exercised on real dips, leading chargebacks included). The oracle
-    * re-derives the 0-floored running-max envelope increments in SQL. */
+    * exercised on real dips, leading chargebacks AND trailing unrecovered
+    * refunds included). The oracle re-derives the 0-floored SUFFIX-MIN
+    * envelope increments via a forward-order suffix frame — a different
+    * window formulation than the Spark side's reversed running min. */
   def q162(s: SparkSession, d: String): DataFrame = {
     val signed = when(col("event_id") % 7 === 0, -floor(col("value")))
       .otherwise(col("value"))
@@ -1746,7 +1748,8 @@ object RQueries {
         |         sum(c) OVER (PARTITION BY key ORDER BY ts, id) AS cum
         |       FROM p),
         |c2 AS (SELECT key, id, ts,
-        |         greatest(max(cum) OVER (PARTITION BY key ORDER BY ts, id), 0) AS env
+        |         greatest(min(cum) OVER (PARTITION BY key ORDER BY ts, id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 0) AS env
         |       FROM c1)
         |SELECT key, id,
         |       CAST(env - coalesce(lag(env) OVER (PARTITION BY key ORDER BY ts, id), 0) AS BIGINT) AS net_cents

@@ -36,6 +36,18 @@ import graft.operators.Remittance
   * BATCH (batch-sized), one equi-join with the debtor-sized totals
   * store, one equi-join with the invoice ledger — nothing grows with
   * stream history except the allocation log itself, which is the output.
+  *
+  * STREAM-SOURCE CONTRACT: refunds/chargebacks must be netted UPSTREAM
+  * ([[Remittance.netAdjustments]]) — netting needs the debtor's per-row
+  * payment history, which the one-long-per-debtor state deliberately does
+  * not keep. A negative row that reaches the stream anyway is routed to a
+  * per-batch `rejects` dead-letter output ([[readRejects]]) inside the
+  * same commit, NEVER raised: the batch operator's `raise_error` guard
+  * would otherwise fire on every foreachBatch retry of that micro-batch
+  * and wedge the stream permanently on one poison row (round-13 review).
+  * Versions committed before the dead-letter existed have no `rejects`
+  * dir; [[readRejects]] skips them (on-read migration, like the
+  * `received_cents` rename).
   */
 object StreamRemittance {
 
@@ -59,10 +71,22 @@ object StreamRemittance {
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
+  /** Negative (refund/chargeback) rows dead-lettered so far — (key,
+    * pay_id, ts, cents), cents < 0 — for the upstream netting job to
+    * reconcile. None before the first commit. */
+  def readRejects(spark: SparkSession, baseDir: String): Option[DataFrame] = {
+    val dirs = VersionedStore.committedVersions(spark, baseDir)
+      .map(p => new Path(p, "rejects"))
+      .filter(p => VersionedStore.fs(spark, p).exists(p)) // pre-dead-letter versions
+      .map(_.toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   /** One micro-batch of payments against the static invoice-interval
     * ledger (build it once with [[Remittance.invoiceIntervals]]).
-    * Replay-idempotent. Public so specs and backfills drive the exact
-    * code the stream runs. */
+    * Replay-idempotent. Negative rows go to the `rejects` dead-letter
+    * (see the contract above), the rest allocate. Public so specs and
+    * backfills drive the exact code the stream runs. */
   def applyBatch(batch: DataFrame, pKey: Column, payId: Column,
                  payTs: Column, payAmount: Column,
                  invIntervals: DataFrame, baseDir: String,
@@ -70,7 +94,13 @@ object StreamRemittance {
     val spark = batch.sparkSession
     if (VersionedStore.isCommitted(spark, baseDir, batchId)) return
     val prev = readLatestTotals(spark, baseDir)
-    val rel = Remittance.paymentIntervals(batch, pKey, payId, payTs, payAmount)
+    val cents = round(payAmount * 100).cast("long")
+    val rejects = batch.where(cents < 0)
+      .select(pKey.as("key"), payId.as("pay_id"), payTs.as("ts"), cents.as("cents"))
+    // null amounts stay on the main path (they become zero-width intervals
+    // and allocate nothing — the batch operator's existing behavior)
+    val clean = batch.where(cents.isNull || cents >= 0)
+    val rel = Remittance.paymentIntervals(clean, pKey, payId, payTs, payAmount)
     // shift this batch's relative intervals by the debtor's axis offset
     val pay = prev match {
       case None => rel
@@ -90,6 +120,7 @@ object StreamRemittance {
     VersionedStore.publish(spark, baseDir, batchId) { target =>
       totalsOut.write.parquet(new Path(target, "totals").toString)
       alloc.write.parquet(new Path(target, "alloc").toString)
+      rejects.write.parquet(new Path(target, "rejects").toString)
     }
   }
 

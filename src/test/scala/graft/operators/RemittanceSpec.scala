@@ -92,14 +92,16 @@ class RemittanceSpec extends SparkSpec {
   test("netAdjustments collapses refunds into prior postings; zero-width rows stay") {
     val raw = payments(
       (1L, 901L, "2024-01-01 00:00:00", 100.00),
-      (1L, 902L, "2024-01-02 00:00:00", -30.00), // refund of part of 901
-      (1L, 903L, "2024-01-03 00:00:00", 50.00),  // refills 30.00, advances 20.00
+      (1L, 902L, "2024-01-02 00:00:00", -30.00), // refund nets 901 down to 70
+      (1L, 903L, "2024-01-03 00:00:00", 50.00),  // new money after the dip: all 50 net
       (2L, 911L, "2024-01-01 00:00:00", -50.00), // leading chargeback: remainder
-      (2L, 912L, "2024-01-02 00:00:00", 80.00))  // carries forward → nets 30.00
+      (2L, 912L, "2024-01-02 00:00:00", 80.00))  // deducted from 912 → nets 30.00
     val net = Remittance.netAdjustments(raw, col("cust"), col("pid"), col("ts"), col("amt"))
       .as[(Long, Long, java.sql.Timestamp, Long, java.math.BigDecimal)]
       .collect().map(r => r._2 -> r._4).toMap
-    assert(net == Map(901L -> 10000L, 902L -> 0L, 903L -> 2000L,
+    // suffix-min envelope: the refund deducts from the PRIOR posting
+    // (901 nets 70.00), the post-dip posting 903 nets in full
+    assert(net == Map(901L -> 7000L, 902L -> 0L, 903L -> 5000L,
       911L -> 0L, 912L -> 3000L))
     // the netted series satisfies the contract: allocation accepts it and
     // the per-key total applied equals the key's non-negative envelope end
@@ -110,6 +112,46 @@ class RemittanceSpec extends SparkSpec {
         netDf, col("key"), col("id"), col("ts"), col("net_amount"))
       .groupBy("key").agg(sum("alloc_cents")).as[(Long, Long)].collect().toMap
     assert(total == Map(1L -> 12000L, 2L -> 3000L))
+  }
+
+  test("netAdjustments deducts a TRAILING unrecovered refund (review r13)") {
+    // The round-13 divergent case: running-max netting left 921 at 100.00
+    // (net cash overstated by the clawback); the suffix-min envelope nets
+    // it at 70.00. Key 4 adds a partial re-fill — the refund still nets
+    // against the PRIOR posting, the re-fill posts in full.
+    val raw = payments(
+      (3L, 921L, "2024-01-01 00:00:00", 100.00),
+      (3L, 922L, "2024-01-02 00:00:00", -30.00), // no later posting re-fills
+      (4L, 931L, "2024-01-01 00:00:00", 100.00),
+      (4L, 932L, "2024-01-02 00:00:00", -60.00),
+      (4L, 933L, "2024-01-03 00:00:00", 20.00))
+    val net = Remittance.netAdjustments(raw, col("cust"), col("pid"), col("ts"), col("amt"))
+      .as[(Long, Long, java.sql.Timestamp, Long, java.math.BigDecimal)]
+      .collect().map(r => r._2 -> r._4).toMap
+    assert(net == Map(921L -> 7000L, 922L -> 0L,
+      931L -> 4000L, 932L -> 0L, 933L -> 2000L))
+  }
+
+  test("netAdjustments invariant: per-key sum(net) = 0-floored plain sum (no window)") {
+    // Derived from the STATED invariant, not the implementation: the final
+    // cumulative IS the per-key plain sum, so sum(net) must equal
+    // max(0, sum(cents)) — checked over an adversarial deterministic mix
+    // (signs flipping at coprime strides → dips at every depth, keys that
+    // end negative, keys with no refund at all), plus net_cents >= 0 rows.
+    val raw = ss.range(2000).select(
+      (col("id") % 37).as("cust"), col("id").as("pid"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      (when(col("id") % 3 === 0, -1).otherwise(1) *
+        when(col("id") % 7 === 0, 500.0).otherwise((col("id") % 11) * 1.0)).as("amt"))
+    val net = Remittance.netAdjustments(raw, col("cust"), col("pid"), col("ts"), col("amt"))
+    assert(net.where(col("net_cents") < 0).count() == 0, "contract: net >= 0")
+    assert(net.count() == 2000, "row count preserved")
+    val got = net.groupBy("key").agg(sum("net_cents").as("t"))
+      .as[(Long, Long)].collect().toMap
+    val want = raw.groupBy("cust")
+      .agg(greatest(sum(round(col("amt") * 100).cast("long")), lit(0L)).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "sum(net) must be the true 0-floored net cash per key")
   }
 
   test("whale debtor: 10^4 x 10^4 through one key costs O(n), never the product") {

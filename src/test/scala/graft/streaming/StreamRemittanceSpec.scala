@@ -83,6 +83,49 @@ class StreamRemittanceSpec extends SparkSpec {
     assert(totals == Map(1L -> 2500L))
   }
 
+  test("a refund row dead-letters instead of poisoning the batch (review r13)") {
+    val base = tmp()
+    // one refund mixed into real payments: the batch must COMMIT (a raise
+    // would replay forever — every retry sees the same poison row), the
+    // positive rows must allocate, and the refund must land in rejects
+    val mixed = payDf(Seq(
+      (1L, 901L, "2024-03-01 00:00:00", 15.00),
+      (1L, 902L, "2024-03-01 00:01:00", -4.00), // stream can't net: no history
+      (2L, 903L, "2024-03-01 00:02:00", 5.00)))
+    StreamRemittance.applyBatch(mixed, col("cust"), col("pid"),
+      col("ts"), col("amt"), ledger, base, batchId = 0L)
+    val streamed = StreamRemittance.readAllocations(ss, base).get
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 101L, 901L, 1000L), (1L, 102L, 901L, 500L),
+      (2L, 201L, 903L, 500L)), "positive rows allocate as if the refund never arrived")
+    val rejects = StreamRemittance.readRejects(ss, base).get
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect().toList
+    assert(rejects.map(r => (r._1, r._2, r._4)) == List((1L, 902L, -400L)),
+      "the refund is preserved for upstream netting, not dropped")
+    // a later all-positive batch keeps flowing (nothing wedged)
+    StreamRemittance.applyBatch(payDf(Seq((2L, 904L, "2024-03-02 00:00:00", 1.00))),
+      col("cust"), col("pid"), col("ts"), col("amt"), ledger, base, batchId = 1L)
+    assert(StreamRemittance.readRejects(ss, base).get.count() == 1)
+  }
+
+  test("readRejects skips versions committed before the dead-letter existed") {
+    import org.apache.hadoop.fs.Path
+    val base = tmp()
+    VersionedStore.publish(ss, base, 0L) { target =>
+      Seq((1L, 1500L)).toDF("key", "received_cents")
+        .write.parquet(new Path(target, "totals").toString)
+      Seq.empty[(Long, Long, Long, Long)].toDF("key", "inv_id", "pay_id", "alloc_cents")
+        .write.parquet(new Path(target, "alloc").toString)
+      // no rejects dir — a pre-dead-letter version
+    }
+    assert(StreamRemittance.readRejects(ss, base).isEmpty,
+      "old store: no rejects anywhere → None, not a missing-path crash")
+    StreamRemittance.applyBatch(payDf(Seq((1L, 902L, "2024-03-02 00:00:00", 10.00))),
+      col("cust"), col("pid"), col("ts"), col("amt"), ledger, base, batchId = 1L)
+    assert(StreamRemittance.readRejects(ss, base).get.count() == 0,
+      "new version contributes an (empty) rejects dir; old version still skipped")
+  }
+
   test("the wired stream produces the same ledger via foreachBatch") {
     implicit val sq = ss.sqlContext
     val base = tmp()
