@@ -140,15 +140,16 @@ object Bench {
   def renderFull(results: Seq[(String, Double)], sfDir: String, loadStart: Double, loadEnd: Double,
                  errs: Seq[String] = Nil,
                  bytes: Map[String, (Long, Long, Long)] = Map.empty,
-                 skew: Map[String, (Long, Long)] = Map.empty): String = {
+                 skew: Map[String, (Long, Long, Long)] = Map.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val errField = errs.map("\"" + _ + "\"").mkString(""","err":[""", ",", "]")
     val bytesField =
       if (bytes.isEmpty) ""
       else results.flatMap { case (k, _) => bytes.get(k).map { case (sr, sw, sp) =>
-        val skewField = skew.get(k).fold("") { case (mx, md) =>
-          ",\"max_task_s\":" + f"${mx / 1e3}%.3f" + ",\"med_task_s\":" + f"${md / 1e3}%.3f"
+        val skewField = skew.get(k).fold("") { case (mx, md, pm) =>
+          ",\"max_task_s\":" + f"${mx / 1e3}%.3f" + ",\"med_task_s\":" + f"${md / 1e3}%.3f" +
+            ",\"peer_med_s\":" + f"${pm / 1e3}%.3f"
         }
         "\"" + k + "\":{\"sh_mb\":" + f"${(sr + sw) / 1e6}%.2f" +
           ",\"spill_mb\":" + f"${sp / 1e6}%.2f" + skewField + "}"
@@ -156,12 +157,24 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd]$errField$bytesField}"""
   }
 
-  /** (max_ms, median_ms) of one query's task-duration window; (0, 0) for
-    * an empty window (fully cached / metadata-only). Median is the upper
-    * middle — bias AGAINST flagging, never toward it. */
-  def taskSkew(durationsMs: Seq[Long]): (Long, Long) =
-    if (durationsMs.isEmpty) (0L, 0L)
-    else { val s = durationsMs.sorted; (s.last, s(s.size / 2)) }
+  /** (max_ms, median_ms, peer_median_ms) of one query's (stageId,
+    * duration) task window; (0, 0, 0) for an empty window (fully cached /
+    * metadata-only). `peer_median_ms` is the median duration of the tasks
+    * in the SAME STAGE as the max task — the honest whale-key comparator:
+    * a multi-stage iterative query runs hundreds of sub-100ms bookkeeping
+    * tasks that drag the whole-query median down, so max-vs-query-median
+    * flags every honest uniform heavy stage (q109's 32-task edge stages at
+    * sf1 read as 190x while no task outran its peers — round 14). A whale
+    * key shows up as max ≫ its own stage's median; a uniform stage reads
+    * ~1x. Medians are the upper middle — bias AGAINST flagging. */
+  def taskSkew(window: Seq[(Int, Long)]): (Long, Long, Long) =
+    if (window.isEmpty) (0L, 0L, 0L)
+    else {
+      val s = window.map(_._2).sorted
+      val maxStage = window.maxBy(_._2)._1
+      val peers = window.collect { case (st, d) if st == maxStage => d }.sorted
+      (s.last, s(s.size / 2), peers(peers.size / 2))
+    }
 
   /** Cumulative shuffle/spill task-metric counters plus the task-duration
     * log. Per-query deltas are taken between
@@ -171,7 +184,7 @@ object Bench {
     private val sr = new java.util.concurrent.atomic.AtomicLong
     private val sw = new java.util.concurrent.atomic.AtomicLong
     private val sp = new java.util.concurrent.atomic.AtomicLong
-    private val durs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val durs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -179,14 +192,16 @@ object Bench {
         sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         sp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
-      if (te.taskInfo != null) durs.synchronized { durs += te.taskInfo.duration }
+      if (te.taskInfo != null)
+        durs.synchronized { durs += ((te.stageId, te.taskInfo.duration)) }
     }
     def snapshot: (Long, Long, Long) = (sr.get, sw.get, sp.get)
     /** Fence index into the duration log — O(1), no copy. */
     def durationCount: Int = durs.synchronized(durs.size)
-    /** One query's duration window by fence indexes — O(window), copied
-      * under the lock so a late straggler append can't tear the slice. */
-    def durationWindow(from: Int, until: Int): Seq[Long] =
+    /** One query's (stageId, duration) window by fence indexes —
+      * O(window), copied under the lock so a late straggler append can't
+      * tear the slice. */
+    def durationWindow(from: Int, until: Int): Seq[(Int, Long)] =
       durs.synchronized(durs.slice(from, until).toVector)
   }
 
@@ -250,7 +265,7 @@ object Bench {
     // Each pass records (name, elapsed, succeeded, bytes, task skew). A
     // query counts as timed only on passes where it completed; crashing is
     // not a timing.
-    def timedPass(): Seq[(String, Double, Boolean, (Long, Long, Long), (Long, Long))] =
+    def timedPass(): Seq[(String, Double, Boolean, (Long, Long, Long), (Long, Long, Long))] =
       queries.map { case (name, fn) =>
         val (b0, n0) = fencedSnapshot()
         val t0 = System.nanoTime()
@@ -283,7 +298,7 @@ object Bench {
     // Skew from the pass with the SMALLER max task — a transient host
     // stall inflates one pass's max; the plan's real hot task shows up in
     // both (the min-of-two discipline applied to the skew pair).
-    val skewByName: Map[String, (Long, Long)] = byName.flatMap {
+    val skewByName: Map[String, (Long, Long, Long)] = byName.flatMap {
       case (name, runs) =>
         val good = runs.collect { case (_, _, true, _, s) => s }
         if (good.isEmpty) None else Some(name -> good.minBy(_._1))

@@ -18,6 +18,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalescing is byte-based and cannot see CPU-dense shuffles:
+      // an iterative op's dedup/min-agg over edge-scale input compresses
+      // to ~1MB of (node, label) partials, and the default 1MB
+      // minPartitionSize floor then funnels a multi-million-row final
+      // aggregate into ONE task (q109's 7s hot task at sf1 — round 14).
+      // A 16KB floor lets parallelismFirst spread small-byte shuffles to
+      // ~defaultParallelism tasks; large shuffles still follow the 64MB
+      // advisory, so only the tiny-byte/CPU-heavy class changes shape.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

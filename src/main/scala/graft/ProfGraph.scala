@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+import scala.collection.mutable
+
+/** Dev profiling harness for the iterative graph family: run a query's
+  * sub-stages at a given SF and print, per Spark STAGE, the task count,
+  * max task, and median task — the hot-task locator the per-query skew
+  * numbers in the bench capture can't give (they aggregate all stages).
+  * Usage: `sbt "runMain graft.ProfGraph <sfDir> [cpus] [what]"`. */
+object ProfGraph {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("data/sf1")
+    val cpus = if (args.length > 1) args(1).toInt else 32
+    val what = if (args.length > 2) args(2) else "bfs"
+    val spark = GraftSession.local("graft-prof-graph", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val durs = mutable.Map.empty[Int, mutable.ArrayBuffer[Long]]
+    val names = mutable.Map.empty[Int, String]
+    val bytes = mutable.Map.empty[Int, (Long, Long)] // shuffle (read, write)
+    val gc = mutable.Map.empty[Int, Long]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        durs.getOrElseUpdate(t.stageId, mutable.ArrayBuffer.empty) +=
+          t.taskInfo.duration
+        val m = t.taskMetrics
+        if (m != null) {
+          val (r, w) = bytes.getOrElse(t.stageId, (0L, 0L))
+          bytes(t.stageId) = (r + m.shuffleReadMetrics.totalBytesRead,
+            w + m.shuffleWriteMetrics.bytesWritten)
+          gc(t.stageId) = gc.getOrElse(t.stageId, 0L) + m.jvmGCTime
+        }
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        synchronized {
+          names(s.stageInfo.stageId) = s.stageInfo.rddInfos
+            .sortBy(_.id).map(r => r.scope.map(_.name).getOrElse(r.name))
+            .distinct.mkString(">").take(160)
+        }
+    })
+
+    def report(tag: String)(body: => Long): Unit = {
+      durs.clear(); names.clear(); bytes.clear(); gc.clear()
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"== $tag: ${sec}%.2fs rows=$n")
+      durs.toSeq.sortBy(-_._2.sum).take(20).foreach { case (sid, ds) =>
+        val s = ds.sorted
+        val (r, w) = bytes.getOrElse(sid, (0L, 0L))
+        println(f"   stage $sid%5d tasks=${s.size}%4d sum=${s.sum / 1e3}%8.2fs " +
+          f"max=${s.last / 1e3}%7.2fs med=${s(s.size / 2) / 1e3}%6.2fs " +
+          f"shR=${r / 1e6}%8.1fMB shW=${w / 1e6}%8.1fMB " +
+          f"gc=${gc.getOrElse(sid, 0L) / 1e3}%7.2fs  ${names.getOrElse(sid, "?")}")
+      }
+    }
+
+    var und: DataFrame = null
+    report("coOccurrenceEdges") {
+      und = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey")
+      und.count()
+    }
+
+    what match {
+      case "bfs" =>
+        val seeds = und.select(col("u").as("node")).union(und.select(col("v")))
+          .distinct().where(col("node") % 100 === 0)
+        report("seeds") { seeds.count() }
+        val sym = graft.operators.Graph.symmetrize(und)
+        report("bfs_3rounds") {
+          graft.operators.Graph.seedDistances(sym, seeds, maxDepth = 3).count()
+        }
+      case "kcore" =>
+        report("kcore") {
+          graft.operators.Graph.kCorePeel(und, k = 10, rounds = 5).count()
+        }
+      case "pagerank" =>
+        report("pagerank") {
+          graft.operators.Graph.pageRank(
+            graft.operators.Graph.symmetrize(und), 5).count()
+        }
+      case "symprobe" =>
+        val sym = graft.operators.Graph.symmetrize(und)
+        report("sym_count") { sym.count() }
+        report("sym_checkpoint") { sym.localCheckpoint(true).count() }
+        report("sym_persist_ser") {
+          val p = sym.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          val n = p.count(); p.unpersist(true); n
+        }
+      case _ => ()
+    }
+    spark.stop()
+  }
+}

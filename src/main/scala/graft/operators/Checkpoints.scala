@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project, Union}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Checkpoint discipline for the iterative operators ([[Graph]],
+  * [[DupClusters]]): a loop input referenced once per round must be cut
+  * from its upstream DAG exactly once — but cutting an input that is
+  * ALREADY materialized re-stores every row as deserialized JVM objects
+  * for nothing. At sf1 the BFS edge frame (24M rows, symmetrize = a
+  * union of two projections over an already-checkpointed edge set) spent
+  * 266 s of task time in GC re-materializing what one cached-block scan
+  * per round re-derives in under a second (round-14 profiling). */
+object Checkpoints {
+
+  /** `df.localCheckpoint(eager = true)` — unless the optimized plan is
+    * already scan-cheap: only narrow, shuffle-free operators (project /
+    * filter / union) over already-materialized leaves (a checkpoint's
+    * `LogicalRDD`, or a literal `LocalRelation`). Re-running such a plan
+    * costs one pass over cached blocks, so checkpointing it again buys
+    * no lineage or recompute protection worth a second full copy of the
+    * data in block storage. Anything wider — a join, an aggregate, a
+    * window, a parquet scan (re-read per round beats nothing) —
+    * checkpoints as before. */
+  def materializeOnce(df: DataFrame): DataFrame = {
+    def scanCheap(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRDD | _: LocalRelation => true
+      case _: Project | _: Filter | _: Union => p.children.forall(scanCheap)
+      case _ => false
+    }
+    if (scanCheap(df.queryExecution.optimizedPlan)) df
+    else df.localCheckpoint(eager = true)
+  }
+}

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate clustering: connected components over near-duplicate pairs,
   * assigning every involved document the MINIMUM doc id of its component —
@@ -53,9 +52,12 @@ object DupClusters {
     // execute twice just to build `sym`.
     val e0 = edges.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .localCheckpoint(true)
+    // NOT persisted: a union of two projections over e0's checkpointed
+    // blocks re-derives at scan cost once per round, which beats holding
+    // a second full deserialized copy of the edges in block storage (the
+    // object-churn GC class [[Checkpoints.materializeOnce]] documents).
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Seed with min(self, direct neighbors) — propagation round zero fused
     // into the init aggregation; diameter-1 components (plain duplicate
     // pairs, the overwhelming majority) then converge after one check.
@@ -110,7 +112,6 @@ object DupClusters {
       }
       i += 1
     }
-    sym.unpersist(false)
     (labels, i)
   }
 }

@@ -74,10 +74,11 @@ object Graph {
     * 10^4 at scale=1e6). */
   def pageRank(edges: DataFrame, iterations: Int = 5, scale: Long = 1000000L,
                dampNum: Long = 85, dampDenom: Long = 100): DataFrame = {
-    // Materialize the edge input ONCE: it feeds both the degree count and
-    // the contribution join (and a symmetrized input would otherwise run
-    // its upstream DAG once per union branch per consumer).
-    val e = edges.localCheckpoint(true)
+    // Materialize the edge input ONCE (unless already scan-cheap): it
+    // feeds both the degree count and the contribution join (and an
+    // un-cut expensive input would otherwise run its upstream DAG once
+    // per union branch per consumer).
+    val e = Checkpoints.materializeOnce(edges)
     // Edges pre-joined with out-degree once: iterations pay one join + one
     // aggregation, never a degree recount. Persisted across rounds.
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -126,15 +127,28 @@ object Graph {
     * min-aggregation at all: new labels are disjoint from old by the
     * anti-join, so the distance table grows by pure union. An exhausted
     * frontier short-circuits remaining rounds (cheap — the frontier is
-    * already materialized by the round's checkpoint cut). */
-  def seedDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    * already materialized by the round's checkpoint cut).
+    *
+    * The expansion join BROADCASTS the frontier and STREAMS the edges —
+    * explicitly: both sides are checkpoint scans whose compile-time
+    * stats are origin-plan guesses, and at sf1 the planner's guess
+    * inverted the build side, collecting the 24M-row edge set to the
+    * driver as a ~400MB hashed relation once per round (round-14
+    * profiling: the query's hot task and its GC-variance source). The
+    * frontier is bounded by the seed-reachable set — node-sized, the
+    * side a human would broadcast; on graphs where even that is too big
+    * to broadcast, pass `broadcastFrontier = false` and the planner
+    * falls back to shuffle joins (the [[triangleCounts]] flag pattern). */
+  def seedDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+                    broadcastFrontier: Boolean = true): DataFrame = {
+    val e = Checkpoints.materializeOnce(edges)
     var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
     var frontier = dist
     var r = 1
     while (r <= maxDepth && !frontier.isEmpty) {
-      val newNodes = frontier.join(e, col("node") === col("src"))
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      val newNodes = f.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
@@ -157,8 +171,8 @@ object Graph {
   def triangleCounts(und: DataFrame, broadcastDegrees: Boolean = true): DataFrame = {
     // Materialized once: the undirected set feeds degree counting (twice,
     // via symmetrize's union), edge direction, and the closing probe.
-    val u = und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-      .localCheckpoint(true)
+    val u = Checkpoints.materializeOnce(
+      und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v")))
     val deg = symmetrize(u).groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     // Direct each edge from its lower-(deg, id) endpoint. Rank packs into a
     // single struct comparison so the join condition stays codegen-simple.
@@ -230,8 +244,8 @@ object Graph {
       und: DataFrame, k: Int, rounds: Int,
       broadcastDrops: Boolean = true): (DataFrame, Int) = {
     require(k >= 1 && rounds >= 1, "k >= 1, rounds >= 1")
-    var edges = und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-      .localCheckpoint(true)
+    var edges = Checkpoints.materializeOnce(
+      und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v")))
     var executed = 0
     var fixpoint = false
     while (executed < rounds && !fixpoint) {

@@ -111,23 +111,37 @@ class BenchContractSpec extends AnyFunSuite {
     om.readTree(bare)
   }
 
-  test("renderFull carries the task-skew pair when captured (whale-key gate feed)") {
+  test("renderFull carries the task-skew triple when captured (whale-key gate feed)") {
     val res = Seq("q01_agg" -> 0.391)
     val bytes = Map("q01_agg" -> ((10_500_000L, 2_000_000L, 0L)))
-    val skew = Map("q01_agg" -> ((4_210L, 350L))) // ms → s in the artifact
+    val skew = Map("q01_agg" -> ((4_210L, 350L, 120L))) // ms → s in the artifact
     val full = Bench.renderFull(res, "sf0.1", 0.1, 0.2, bytes = bytes, skew = skew)
     assert(full.contains(
-      """"q01_agg":{"sh_mb":12.50,"spill_mb":0.00,"max_task_s":4.210,"med_task_s":0.350}"""),
+      """"q01_agg":{"sh_mb":12.50,"spill_mb":0.00,"max_task_s":4.210,"med_task_s":0.350,"peer_med_s":0.120}"""),
       full)
     val om = new com.fasterxml.jackson.databind.ObjectMapper
     assert(om.readTree(full).get("bytes").get("q01_agg").get("max_task_s").asDouble == 4.21)
+    assert(om.readTree(full).get("bytes").get("q01_agg").get("peer_med_s").asDouble == 0.12)
   }
 
-  test("taskSkew: max and upper-median of the window; empty window reads (0,0)") {
-    assert(Bench.taskSkew(Nil) == ((0L, 0L)))
-    assert(Bench.taskSkew(Seq(100L)) == ((100L, 100L)))
-    // even count: upper middle (biases against flagging)
-    assert(Bench.taskSkew(Seq(10L, 20L, 30L, 4000L)) == ((4000L, 30L)))
-    assert(Bench.taskSkew(Seq(5L, 1L, 9L)) == ((9L, 5L)))
+  test("taskSkew: max, upper-median, and same-stage peer median; empty reads (0,0,0)") {
+    assert(Bench.taskSkew(Nil) == ((0L, 0L, 0L)))
+    assert(Bench.taskSkew(Seq((1, 100L))) == ((100L, 100L, 100L)))
+    // even count: upper middle (biases against flagging); max task in
+    // stage 9 alone → its peer median is itself
+    assert(Bench.taskSkew(Seq((1, 10L), (1, 20L), (1, 30L), (9, 4000L))) ==
+      ((4000L, 30L, 4000L)))
+    // single-stage window: peer median IS the query median
+    assert(Bench.taskSkew(Seq((2, 5L), (2, 1L), (2, 9L))) == ((9L, 5L, 5L)))
+    // whale key: one 4s task among its own stage's 10ms peers — query
+    // median is diluted by another stage's mid tasks, peer median is not
+    val whale = Seq((5, 4000L), (5, 10L), (5, 12L), (5, 11L),
+      (7, 300L), (7, 310L), (7, 320L))
+    assert(Bench.taskSkew(whale) == ((4000L, 300L, 12L)))
+    // uniform heavy stage: max ~= peers even though tiny bookkeeping
+    // tasks in other stages crush the whole-query median
+    val uniform = Seq((5, 1900L), (5, 2000L), (5, 1950L),
+      (7, 5L), (7, 6L), (7, 4L), (7, 5L))
+    assert(Bench.taskSkew(uniform) == ((2000L, 6L, 1950L)))
   }
 }

@@ -42,9 +42,13 @@ its pins claim.
 SKEW GATE: a whale key funneling a partition's work through one task is
 the plan-regression class neither seconds nor total bytes see (the q157
 pre-banding shape: totals healthy, one task owns the key). The capture's
-bytes entries carry max_task_s/med_task_s (written by graft.Bench, skew
-taken from the less-stalled of the two passes); the gate fails
-  SKEW: max_task_s > --skew-ratio (default 3.0) x med_task_s + 1 s
+bytes entries carry max_task_s/med_task_s/peer_med_s (written by
+graft.Bench, skew taken from the less-stalled of the two passes);
+peer_med_s is the median task of the max task's own stage — the honest
+whale comparator (the whole-query median is diluted by bookkeeping
+tasks). The gate fails
+  SKEW: max_task_s > --skew-ratio (default 3.0) x peer_med_s + 1 s
+(falling back to med_task_s for pre-peer artifacts)
 unless the query carries a `| skew-ok:qNN | <reason> |` allowlist row in
 BASELINE.md (for documented, deliberately-skewed shapes). Entries without
 the skew fields (pre-skew artifacts) are skipped silently — the bytes
@@ -91,16 +95,23 @@ def parse_skew_allowlist(path):
 
 
 def check_skew(cap, allow, skew_ratio, failures):
-    """Whale-key verdicts: max task > ratio x median + 1 s fails unless
-    allowlisted. Sub-second maxes can never fail (the +1 s absolute slack
-    exempts fixed-cost and single-task-by-construction queries)."""
+    """Whale-key verdicts: max task > ratio x comparator + 1 s fails unless
+    allowlisted. The comparator is peer_med_s (median task of the max
+    task's OWN stage) when the capture carries it: the whole-query median
+    is diluted by bookkeeping tasks, so it flags honest uniform heavy
+    stages; a whale key is a task that outruns its own stage's peers.
+    Pre-peer artifacts fall back to med_task_s. Sub-second maxes can never
+    fail (the +1 s absolute slack exempts fixed-cost and
+    single-task-by-construction queries)."""
     for q, b in sorted((cap.get("bytes") or {}).items()):
         if "max_task_s" not in b:
             continue
-        mx, md = b.get("max_task_s", 0.0), b.get("med_task_s", 0.0)
-        if mx > skew_ratio * md + 1.0 and q not in allow:
+        mx = b.get("max_task_s", 0.0)
+        ref_name = "peer_med_s" if "peer_med_s" in b else "med_task_s"
+        ref = b.get(ref_name, 0.0)
+        if mx > skew_ratio * ref + 1.0 and q not in allow:
             failures.append(
-                f"SKEW {q}: max task {mx:.2f}s vs median {md:.2f}s "
+                f"SKEW {q}: max task {mx:.2f}s vs {ref_name} {ref:.2f}s "
                 f"(> {skew_ratio}x + 1 s) — whale key / hot task "
                 "(salt it, band it, or add a skew-ok row with the reason)")
 

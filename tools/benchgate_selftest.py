@@ -144,11 +144,28 @@ def main():
     ok &= run_case("pass_custom_skew_ratio", BPINS,
                    {**quiet, **times, "bytes": hot_key},
                    argv_extra=("--skew-ratio", "25"), expect=0)
+    # 25. peer_med_s, when present, is the comparator: a uniform heavy
+    #     stage (max ~= peer median) passes even though the whole-query
+    #     median would read as a 190x whale.
+    uniform_stage = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0,
+                                 "max_task_s": 4.5, "med_task_s": 0.02,
+                                 "peer_med_s": 3.8},
+                     "q02_x": good_bytes["q02_x"]}
+    ok &= run_case("pass_skew_uniform_stage_peer", BPINS,
+                   {**quiet, **times, "bytes": uniform_stage}, expect=0)
+    # 26. ...and a task that outruns its OWN stage's peers fails even when
+    #     the whole-query median would have excused it via the +1 s slack.
+    stage_whale = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0,
+                               "max_task_s": 4.5, "med_task_s": 1.2,
+                               "peer_med_s": 0.1},
+                   "q02_x": good_bytes["q02_x"]}
+    ok &= run_case("fail_skew_stage_whale_peer", BPINS,
+                   {**quiet, **times, "bytes": stage_whale}, expect=1)
 
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (24 cases)")
+    print("SELFTEST PASS (26 cases)")
     return 0
 
 

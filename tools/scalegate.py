@@ -22,10 +22,20 @@ Verdicts, per query in the capture:
     never outlive the evidence behind it (round-11 shipped a q149 pin
     whose committed capture lacked the row; --full makes that a
     failure, mirroring benchgate --full).
+  - SKEW:     max_task_s > --skew-ratio (default 3.0) x peer_med_s + 1 s
+    (peer_med_s = median task of the max task's own stage; falls back to
+    med_task_s for pre-peer artifacts) unless the query carries a
+    `| sf1-skew-ok:qNN | <reason> |` allowlist row — sf1's own lane, NOT
+    benchgate's sf0.1 `skew-ok` rows: hot-task concentration that grows
+    with scale is exactly what the sf0.1 +1 s grace masks, so each scale
+    point adjudicates its own exceptions (round-13 verdict). Entries
+    without skew fields are skipped (the --full closure forces fresh
+    captures when pins exist).
   - CRASH:    a query in the capture's err array.
 
 Usage: python3 tools/scalegate.py [BENCH_SF1.json] [BASELINE.md]
-                                  [--ratio 2.0] [--max-scale 30] [--full]
+                                  [--ratio 2.0] [--max-scale 30]
+                                  [--skew-ratio 3.0] [--full]
 Exit codes: 0 pass, 1 failures, 2 unusable inputs.
 Self-test: python3 tools/scalegate_selftest.py
 """
@@ -46,8 +56,36 @@ def parse_sf1_pins(path):
     return pins
 
 
+def parse_sf1_skew_allowlist(path):
+    """{query} from `| sf1-skew-ok:qNN | reason |` rows."""
+    allow = set()
+    row = re.compile(r"^\|\s*sf1-skew-ok:(q\w+)\s*\|")
+    with open(path) as f:
+        for line in f:
+            m = row.match(line)
+            if m:
+                allow.add(m.group(1))
+    return allow
+
+
+def check_skew(cap, allow, skew_ratio, failures):
+    """Whale-key verdicts at the sf1 scale point — same rule as benchgate's
+    sf0.1 gate (max > ratio x peer median + 1 s), its own allowlist."""
+    for q, b in sorted((cap.get("bytes") or {}).items()):
+        if "max_task_s" not in b:
+            continue
+        mx = b.get("max_task_s", 0.0)
+        ref_name = "peer_med_s" if "peer_med_s" in b else "med_task_s"
+        ref = b.get(ref_name, 0.0)
+        if mx > skew_ratio * ref + 1.0 and q not in allow:
+            failures.append(
+                f"SKEW {q}: max task {mx:.2f}s vs {ref_name} {ref:.2f}s at sf1 "
+                f"(> {skew_ratio}x + 1 s) — hot-task concentration at scale "
+                "(fix the plan or add an sf1-skew-ok row with the measured reason)")
+
+
 def main(argv):
-    ratio, max_scale, full = 2.0, 30.0, False
+    ratio, max_scale, skew_ratio, full = 2.0, 30.0, 3.0, False
     args = []
     i = 0
     while i < len(argv):
@@ -56,21 +94,25 @@ def main(argv):
             full = True
             i += 1
             continue
-        for flag, setter in (("--ratio", "ratio"), ("--max-scale", "max_scale")):
+        for flag, setter in (("--ratio", "ratio"), ("--max-scale", "max_scale"),
+                             ("--skew-ratio", "skew_ratio")):
             if a.startswith(flag):
                 if "=" in a:
                     val = float(a.split("=", 1)[1])
                 else:
                     if i + 1 >= len(argv):
                         print(f"usage: scalegate.py [BENCH_SF1.json] [BASELINE.md]"
-                              f" [--ratio N] [--max-scale N]  (missing value for {flag})")
+                              f" [--ratio N] [--max-scale N] [--skew-ratio N]"
+                              f"  (missing value for {flag})")
                         return 2
                     val = float(argv[i + 1])
                     i += 1
                 if setter == "ratio":
                     ratio = val
-                else:
+                elif setter == "max_scale":
                     max_scale = val
+                else:
+                    skew_ratio = val
                 break
         else:
             if not a.startswith("--"):
@@ -100,6 +142,7 @@ def main(argv):
     failures = []
     for q in cap.get("err", []):
         failures.append(f"CRASH  {q}: in err array (no timing)")
+    check_skew(cap, parse_sf1_skew_allowlist(base_path), skew_ratio, failures)
     for q, t in sorted(queries.items()):
         if q not in pins:
             failures.append(f"UNPINNED {q}: {t:.2f}s at sf1 but no sf1: pin row")
@@ -129,9 +172,12 @@ def main(argv):
         return 1
     total = sum(queries.values())
     pinned = sum(pins[q][1] for q in queries if q in pins)
+    n_skew = len([q for q, b in (cap.get("bytes") or {}).items()
+                  if "max_task_s" in b])
     print(f"GATE PASS: {len([q for q in queries if q in pins])} sf1 queries within "
           f"{ratio}x of pins; total {total:.1f}s vs pinned {pinned:.1f}s; "
-          f"all pinned scaling ratios <= {max_scale}x")
+          f"all pinned scaling ratios <= {max_scale}x; "
+          f"{n_skew} skew entries within {skew_ratio}x peer + 1 s")
     return 0
 
 

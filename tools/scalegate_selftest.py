@@ -67,10 +67,41 @@ def main():
     # 10. Same capture without --full only notes the missing pin row.
     ok &= run_case("pass_uncaptured_default", PINS,
                    {**quiet, "queries": {"q01_agg": 9.0}}, expect=0)
+    # --- sf1 skew gate (the round-13 verdict's demand: hot-task
+    #     concentration at SCALE gets its own adjudication lane) ---
+    base_q = {**quiet, "queries": {"q01_agg": 9.0, "q02_x": 24.0}}
+    # 11. A whale task at sf1 fails even though seconds are inside pins.
+    whale = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0,
+                         "max_task_s": 7.0, "med_task_s": 0.25,
+                         "peer_med_s": 0.3}}
+    ok &= run_case("fail_sf1_skew", PINS, {**base_q, "bytes": whale}, expect=1)
+    # 12. A uniform heavy stage passes: max ~= its own stage's peer median
+    #     even though the whole-query median is bookkeeping-diluted.
+    uniform = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0,
+                           "max_task_s": 7.0, "med_task_s": 0.02,
+                           "peer_med_s": 5.5}}
+    ok &= run_case("pass_sf1_uniform_stage", PINS,
+                   {**base_q, "bytes": uniform}, expect=0)
+    # 13. sf1-skew-ok allowlists the query — benchgate's skew-ok must NOT.
+    ok &= run_case("pass_sf1_skew_allowlisted",
+                   PINS + "| sf1-skew-ok:q01_agg | measured CPU-bucket shape |\n",
+                   {**base_q, "bytes": whale}, expect=0)
+    ok &= run_case("fail_sf1_skew_wrong_lane",
+                   PINS + "| skew-ok:q01_agg | sf0.1 lane must not leak |\n",
+                   {**base_q, "bytes": whale}, expect=1)
+    # 14. Pre-peer artifacts fall back to med_task_s.
+    legacy = {"q01_agg": {"sh_mb": 10.0, "spill_mb": 0.0,
+                          "max_task_s": 7.0, "med_task_s": 4.0}}
+    ok &= run_case("pass_sf1_skew_legacy_med", PINS,
+                   {**base_q, "bytes": legacy}, expect=0)
+    # 15. --skew-ratio is honored.
+    ok &= run_case("pass_sf1_custom_skew_ratio", PINS,
+                   {**base_q, "bytes": whale},
+                   argv_extra=("--skew-ratio", "30"), expect=0)
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (10 cases)")
+    print("SELFTEST PASS (16 cases)")
     return 0
 
 
