@@ -85,6 +85,63 @@ object ProfGraph {
           graft.operators.Graph.pageRank(
             graft.operators.Graph.symmetrize(und), 5).count()
         }
+      case "edgesab" =>
+        // A/B the pair-expansion strategies in ONE session (same host
+        // window, fair under ambient load): in-row HOF expansion
+        // (interpreted transform/slice/flatten) vs codegen'd self-join.
+        import org.apache.spark.sql.expressions.Window
+        def selfJoinEdges(): DataFrame = {
+          val items = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey").as("gk"), col("l_partkey").cast("long").as("item"))
+            .distinct()
+          val sized = items
+            .withColumn("__n", count(lit(1)).over(Window.partitionBy("gk")))
+            .where(col("__n").between(2, 1000)).drop("__n")
+          sized.as("a").join(sized.as("b"),
+              col("a.gk") === col("b.gk") && col("a.item") < col("b.item"))
+            .select(col("a.item").as("u"), col("b.item").as("v"))
+            .distinct()
+        }
+        (1 to 2).foreach { i =>
+          report(s"hof_expand_$i") {
+            graft.operators.Graph.coOccurrenceEdges(
+              Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey").count()
+          }
+          report(s"self_join_$i") { selfJoinEdges().count() }
+        }
+      case "plans" =>
+        // Build-side audit (load-insensitive): materialize, then print the
+        // AQE-final plan's join/broadcast lines. An edge-scale frame on the
+        // BUILD side of a BroadcastHashJoin is the q109 inversion class.
+        def joins(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          df.count()
+          val plan = df.queryExecution.executedPlan.toString
+          println(s"---- $tag ----")
+          plan.linesIterator.filter(l =>
+            l.contains("Join") || l.contains("BroadcastExchange") ||
+              l.contains("Exchange") || l.contains("Scan")).foreach(l =>
+            println("  " + l.take(150)))
+        }
+        // DupClusters round-1 one-hop push (replicated shape)
+        val e0 = und.select(col("u").as("src"), col("v").as("dst")).localCheckpoint(true)
+        val symE = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val labels = symE.groupBy(col("src").as("id"))
+          .agg(least(col("src").as("id"), min(col("dst"))).as("cluster_id"))
+          .localCheckpoint(true)
+        joins("dupclusters_push", labels.join(symE, col("id") === col("src"))
+          .select(col("dst").as("id2"), col("cluster_id")))
+        // PageRank degree join + contribution join
+        val sym2 = graft.operators.Graph.symmetrize(und)
+        val e = graft.operators.Checkpoints.materializeOnce(sym2)
+        val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        joins("pagerank_edgesDeg", e.join(deg, col("src") === col("node")))
+        val scores = deg.select(col("node"), lit(1000000L).as("score"))
+        val edgesDeg = e.join(deg, col("src") === col("node"))
+          .select(col("src"), col("dst"), col("deg"))
+        joins("pagerank_recv", scores.join(edgesDeg, col("node") === col("src")))
+        // kCore round-1 degree count + drop anti joins
+        val drop = graft.operators.Graph.kCorePeel(und, k = 10, rounds = 1)
+        joins("kcore_r1", drop)
       case "symprobe" =>
         val sym = graft.operators.Graph.symmetrize(und)
         report("sym_count") { sym.count() }

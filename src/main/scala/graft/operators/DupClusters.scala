@@ -38,13 +38,25 @@ object DupClusters {
 
   /** `edges` needs columns (id_a, id_b). Returns (id, cluster_id) for every
     * id appearing in an edge; docs with no near-dup pair are their own
-    * implicit singleton cluster and are not emitted. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
-    connectedComponentsWithRounds(edges, maxIter)._1
+    * implicit singleton cluster and are not emitted.
+    *
+    * The push join BROADCASTS the label table and STREAMS the edges —
+    * explicitly, because both sides are checkpoint scans whose
+    * compile-time stats are guesses and the planner inverted the build
+    * side at sf1 (broadcasting the 24M-row symmetrized edge set once per
+    * round — the q109 inversion class, round-14 plan audit). Labels are
+    * node-sized (≤ the docs participating in ≥1 near-dup pair), the side
+    * a human would broadcast; on corpora where even that is too big, pass
+    * `broadcastLabels = false` for planner-chosen shuffle joins. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+                          broadcastLabels: Boolean = true): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter, broadcastLabels)._1
 
   /** Same, also returning the number of propagation rounds executed —
     * exposed for round-complexity assertions in tests. */
-  private[graft] def connectedComponentsWithRounds(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+  private[graft] def connectedComponentsWithRounds(
+      edges: DataFrame, maxIter: Int = 30,
+      broadcastLabels: Boolean = true): (DataFrame, Int) = {
     val BIG = Long.MaxValue
     // Materialize the edge input ONCE before symmetrizing: both union
     // branches reference `edges`, and without the cut the upstream pair-
@@ -70,7 +82,8 @@ object DupClusters {
       // (a) one-hop push: neighbors' labels arrive tagged with prev=BIG so
       // min(prev) recovers each node's own previous label for the change
       // count — no second pass over last round's frame.
-      val pushed = labels.join(sym, col("id") === col("src"))
+      val lbl = if (broadcastLabels) broadcast(labels) else labels
+      val pushed = lbl.join(sym, col("id") === col("src"))
         .select(col("dst").as("id"), col("cluster_id"), lit(BIG).as("prev"))
       val self = labels.select(col("id"), col("cluster_id"), col("cluster_id").as("prev"))
       // Eager checkpoint BEFORE the jump self-join: joining a plan that

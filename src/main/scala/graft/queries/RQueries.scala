@@ -93,6 +93,7 @@ object RQueries {
     "q160_benford_verdict" -> ((s, d) => q160(s, d)),
     "q161_collections_e2e" -> ((s, d) => q161(s, d)),
     "q162_net_adjustments" -> ((s, d) => q162(s, d)),
+    "q163_netted_settlement" -> ((s, d) => q163(s, d)),
   )
 
   /** R75: revenue-concentration (Pareto) report per market segment — the
@@ -247,6 +248,28 @@ object RQueries {
         Tables.events(s, d).where(col("event_type") === "purchase"),
         col("user_id"), col("event_id"), col("ts"), signed)
       .select(col("key"), col("id"), col("net_cents"))
+  }
+
+  /** R80 flagship composition (round-14: the ADVICE failure scenario made
+    * a pinned row): net refunds/chargebacks into prior postings
+    * ([[Remittance.netAdjustments]], suffix-min envelope), then apply the
+    * netted cash FIFO against the open invoices and report settlement —
+    * one plan, q162's netting feeding q157's merge-sweep. The oracle
+    * recomposes the two proven SQL derivations; the netted cumulative IS
+    * the envelope, so `pay_hi = env` — a clawed-back posting can never
+    * mark an invoice PAID (the round-13 running-max bug's exact blast
+    * radius, now hash-pinned). Zero-net rows become zero-width intervals
+    * and allocate nothing. */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val signed = when(col("event_id") % 7 === 0, -floor(col("value")))
+      .otherwise(col("value"))
+    val netted = Remittance.netAdjustments(
+      Tables.events(s, d).where(col("event_type") === "purchase"),
+      col("user_id"), col("event_id"), col("ts"), signed)
+    Remittance.settlement(
+      Tables.orders(s, d).where(col("o_orderstatus").isin("O", "P")),
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      netted, col("key"), col("id"), col("ts"), col("net_amount"))
   }
 
   /** R73: RFM quintile segmentation of customers from their orders,
@@ -1754,6 +1777,47 @@ object RQueries {
         |SELECT key, id,
         |       CAST(env - coalesce(lag(env) OVER (PARTITION BY key ORDER BY ts, id), 0) AS BIGINT) AS net_cents
         |FROM c2""".stripMargin,
+    "q163_netted_settlement" ->
+      """WITH praw AS (
+        |  SELECT user_id AS key, event_id AS id, ts,
+        |         CAST(round((CASE WHEN event_id % 7 = 0 THEN -floor(value)
+        |                          ELSE value END) * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c1 AS (SELECT key, id, ts,
+        |         sum(c) OVER (PARTITION BY key ORDER BY ts, id) AS cum
+        |       FROM praw),
+        |c2 AS (SELECT key, id, ts,
+        |         greatest(min(cum) OVER (PARTITION BY key ORDER BY ts, id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 0) AS env
+        |       FROM c1),
+        |pay AS (
+        |  SELECT key, id AS pay_id,
+        |         env - coalesce(lag(env) OVER (PARTITION BY key ORDER BY ts, id), 0) AS pc,
+        |         env AS pay_hi
+        |  FROM c2),
+        |inv AS (
+        |  SELECT o_custkey AS key, o_orderkey AS inv_id,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS ic,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           OVER (PARTITION BY o_custkey
+        |                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS inv_hi
+        |  FROM orders WHERE o_orderstatus IN ('O', 'P')),
+        |alloc AS (
+        |  SELECT i.key, i.inv_id,
+        |         least(i.inv_hi, p.pay_hi) - greatest(i.inv_hi - i.ic, p.pay_hi - p.pc) AS a
+        |  FROM inv i JOIN pay p ON i.key = p.key
+        |  WHERE least(i.inv_hi, p.pay_hi) - greatest(i.inv_hi - i.ic, p.pay_hi - p.pc) > 0),
+        |agg AS (SELECT key, inv_id, CAST(sum(a) AS BIGINT) AS paid_cents,
+        |               CAST(count(*) AS BIGINT) AS n_payments
+        |        FROM alloc GROUP BY key, inv_id)
+        |SELECT i.key, i.inv_id, i.ic AS inv_cents,
+        |       COALESCE(g.paid_cents, 0) AS paid_cents,
+        |       i.ic - COALESCE(g.paid_cents, 0) AS outstanding_cents,
+        |       COALESCE(g.n_payments, 0) AS n_payments,
+        |       CASE WHEN i.ic - COALESCE(g.paid_cents, 0) <= 0 THEN 'PAID'
+        |            WHEN COALESCE(g.paid_cents, 0) > 0 THEN 'PARTIAL'
+        |            ELSE 'OPEN' END AS status
+        |FROM inv i LEFT JOIN agg g ON g.key = i.key AND g.inv_id = i.inv_id""".stripMargin,
     "q160_benford_verdict" ->
       """WITH c AS (
         |  SELECT o_orderpriority AS grp,
