@@ -26,7 +26,7 @@ object GraftSession {
       // A 16KB floor lets parallelismFirst spread small-byte shuffles to
       // ~defaultParallelism tasks; large shuffles still follow the 64MB
       // advisory, so only the tiny-byte/CPU-heavy class changes shape.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

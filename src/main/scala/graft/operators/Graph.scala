@@ -147,17 +147,27 @@ object Graph {
     var frontier = dist
     var r = 1
     while (r <= maxDepth && !frontier.isEmpty) {
-      val f = if (broadcastFrontier) broadcast(frontier) else frontier
-      val newNodes = f.join(e, col("node") === col("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .select(col("node"), lit(r.toLong).as("dist"))
-        .localCheckpoint(true)
+      val newNodes =
+        expandOnce(e, frontier, dist, r, broadcastFrontier).localCheckpoint(true)
       dist = dist.union(newNodes).localCheckpoint(true)
       frontier = newNodes
       r += 1
     }
     dist
+  }
+
+  /** One BFS round, un-checkpointed: the frontier's one-hop reach minus
+    * everything already labeled. Package-private so the plan spec can pin
+    * the build side of the REAL round body (the loop's checkpoints hide
+    * the inner joins from the final plan). */
+  private[operators] def expandOnce(e: DataFrame, frontier: DataFrame,
+                                    dist: DataFrame, r: Int,
+                                    broadcastFrontier: Boolean): DataFrame = {
+    val f = if (broadcastFrontier) broadcast(frontier) else frontier
+    f.join(e, col("node") === col("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(dist, Seq("node"), "left_anti")
+      .select(col("node"), lit(r.toLong).as("dist"))
   }
 
   /** Per-node triangle participation counts over undirected edges (u < v).

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions._
+
+class CheckpointsSpec extends SparkSpec {
+  import ss.implicits._
+
+  private def isCheckpointScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case _: LogicalRDD => true
+      case _ => false
+    }
+
+  test("scan-cheap plans pass through untouched (no second copy in block storage)") {
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("u", "v").localCheckpoint(true)
+    // project / filter / union over a checkpoint scan: re-derivable at
+    // cached-block scan cost — materializeOnce must NOT re-store it
+    val sym = base.select(col("u").as("src"), col("v").as("dst"))
+      .union(base.select(col("v").as("src"), col("u").as("dst")))
+      .where(col("src") =!= -1L)
+    val out = Checkpoints.materializeOnce(sym)
+    assert(!isCheckpointScan(out), "plan should remain the lazy union")
+    assert(out.queryExecution.optimizedPlan eq sym.queryExecution.optimizedPlan,
+      "same frame back, not a copy")
+    assert(out.count() == 4)
+  }
+
+  test("wide plans (join/aggregate) still checkpoint — the lineage cut is real") {
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val agg = base.groupBy("u").agg(count(lit(1)).as("n"))
+    val out = Checkpoints.materializeOnce(agg)
+    assert(isCheckpointScan(out), "an aggregate must materialize to a LogicalRDD scan")
+    assert(out.count() == 2)
+    val joined = base.as("a").join(base.as("b"), "u")
+    assert(isCheckpointScan(Checkpoints.materializeOnce(joined)))
+    // a parquet scan is NOT scan-cheap either (re-read per round beats
+    // nothing; the caller wants blocks): literal data stands in here
+    val local = Seq((1L, 2L)).toDF("u", "v")
+    assert(!isCheckpointScan(Checkpoints.materializeOnce(local)),
+      "a LocalRelation is already free — no checkpoint")
+  }
+
+  test("BFS expansion join builds on the FRONTIER side, never the edges (plan pin)") {
+    // the round-14 inversion: stale checkpoint stats made the planner
+    // broadcast the edge set; the explicit hint pins the build side.
+    // Pin the REAL round body (the loop's checkpoints hide inner joins
+    // from the final plan).
+    val und = ss.range(2000).select((col("id") % 500).as("u"), (col("id") % 700 + 500).as("v"))
+      .localCheckpoint(true)
+    val e = Graph.symmetrize(und)
+    val dist = und.select(col("u").as("node"), lit(0L).as("dist"))
+      .where(col("node") % 100 === 0).distinct().localCheckpoint(true)
+    val round = Graph.expandOnce(e, dist, dist, r = 1, broadcastFrontier = true)
+    round.count()
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // no broadcast build may carry both src and dst (an edge-scale frame):
+    // walk each BroadcastExchange's SUBTREE (deeper-indented lines only —
+    // a fixed window would catch the streamed side's first line too)
+    def indent(l: String): Int = l.segmentLength(c => !c.isLetter)
+    val lines = plan.linesIterator.toVector
+    val bidx = lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).map(_._2)
+    assert(bidx.nonEmpty, "expected broadcast builds in the round plan")
+    bidx.foreach { i =>
+      val subtree = (lines(i) +: lines.drop(i + 1)
+        .takeWhile(l => indent(l) > indent(lines(i)))).mkString("\n")
+      assert(!(subtree.contains("src#") && subtree.contains("dst#")),
+        s"edge-scale frame on a broadcast build:\n$subtree")
+    }
+  }
+}
