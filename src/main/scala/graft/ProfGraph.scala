@@ -45,10 +45,15 @@ object ProfGraph {
     })
 
     def report(tag: String)(body: => Long): Unit = {
-      durs.clear(); names.clear(); bytes.clear(); gc.clear()
+      org.apache.spark.graftbench.BusDrain.drain(spark.sparkContext)
+      durs.synchronized { durs.clear() }; names.clear(); bytes.clear(); gc.clear()
       val t0 = System.nanoTime()
       val n = body
       val sec = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus so this section's tail TaskEnd events
+      // are printed here, not leaked into the next section (the Bench
+      // fence discipline)
+      org.apache.spark.graftbench.BusDrain.drain(spark.sparkContext)
       println(f"== $tag: ${sec}%.2fs rows=$n")
       durs.toSeq.sortBy(-_._2.sum).take(20).foreach { case (sid, ds) =>
         val s = ds.sorted
@@ -84,6 +89,14 @@ object ProfGraph {
         report("pagerank") {
           graft.operators.Graph.pageRank(
             graft.operators.Graph.symmetrize(und), 5).count()
+        }
+      case "neardup" =>
+        val docs = Tables.documents(spark, sfDir)
+        (1 to 2).foreach { i =>
+          report(s"q146_weighted_$i") {
+            graft.operators.NearDup.weightedJaccardPairs(docs, col("doc_id"),
+              col("text"), k = 3, threshold = 0.5).count()
+          }
         }
       case "edgesab" =>
         // A/B the pair-expansion strategies in ONE session (same host

@@ -14,6 +14,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   * per round re-derives in under a second (round-14 profiling). */
 object Checkpoints {
 
+  /** Row guard for the iterative operators' EXPLICIT broadcast hints
+    * ([[Graph.seedDistances]], [[DupClusters]]): a hint bypasses
+    * autoBroadcastJoinThreshold, so a node table that grew past what a
+    * driver can collect would abort the job at Spark's broadcast hard
+    * caps (8 GB / 512M rows). 20M rows of (long, long) ≈ a ~320MB hashed
+    * relation — comfortably inside the caps with headroom for executor
+    * copies; past it the round degrades to a planner-chosen shuffle
+    * join instead of a cliff. The counts that feed the guard are reads
+    * of frames the loops already materialize eagerly per round. */
+  val BroadcastRowLimit = 20000000L
+
   /** `df.localCheckpoint(eager = true)` — unless the optimized plan is
     * already scan-cheap: only narrow, shuffle-free operators (project /
     * filter / union) over already-materialized leaves (a checkpoint's

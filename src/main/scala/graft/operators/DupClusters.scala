@@ -47,7 +47,11 @@ object DupClusters {
     * round — the q109 inversion class, round-14 plan audit). Labels are
     * node-sized (≤ the docs participating in ≥1 near-dup pair), the side
     * a human would broadcast; on corpora where even that is too big, pass
-    * `broadcastLabels = false` for planner-chosen shuffle joins. */
+    * `broadcastLabels = false` for planner-chosen shuffle joins. The hint
+    * is also ROW-GUARDED ([[Checkpoints.BroadcastRowLimit]] — an explicit
+    * hint bypasses autoBroadcastJoinThreshold, and past Spark's broadcast
+    * hard caps it would abort, not degrade); the label count rides the
+    * round's existing observe metric, no extra job. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
                           broadcastLabels: Boolean = true): DataFrame =
     connectedComponentsWithRounds(edges, maxIter, broadcastLabels)._1
@@ -76,13 +80,15 @@ object DupClusters {
     var labels = sym.groupBy(col("src").as("id"))
       .agg(least(col("src").as("id"), min(col("dst"))).as("cluster_id"))
       .localCheckpoint(true)
+    var labelRows = labels.count() // cached read; rounds update it for free
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // (a) one-hop push: neighbors' labels arrive tagged with prev=BIG so
       // min(prev) recovers each node's own previous label for the change
       // count — no second pass over last round's frame.
-      val lbl = if (broadcastLabels) broadcast(labels) else labels
+      val lbl = if (broadcastLabels && labelRows <= Checkpoints.BroadcastRowLimit)
+        broadcast(labels) else labels
       val pushed = lbl.join(sym, col("id") === col("src"))
         .select(col("dst").as("id"), col("cluster_id"), lit(BIG).as("prev"))
       val self = labels.select(col("id"), col("cluster_id"), col("cluster_id").as("prev"))
@@ -96,11 +102,13 @@ object DupClusters {
       val oneHop = pushed.union(self)
         .groupBy("id")
         .agg(min("cluster_id").as("lbl"), min("prev").as("prev"))
-        .observe(obs1, sum(when(col("lbl") < col("prev"), 1L).otherwise(0L)).as("changed"))
+        .observe(obs1, sum(when(col("lbl") < col("prev"), 1L).otherwise(0L)).as("changed"),
+          count(lit(1)).as("n")) // next round's label count, free
         .localCheckpoint(true)
       // sum over an empty round is SQL NULL — treat as converged
       def noChange(o: Observation) =
         o.get.get("changed").forall(v => v == null || v.asInstanceOf[Long] == 0L)
+      labelRows = obs1.get.get("n").collect { case n: Long => n }.getOrElse(labelRows)
       if (noChange(obs1)) {
         // one-hop fixpoint IS full convergence (see Scaladoc) — skip the
         // jump join entirely; this is every run's terminal round, and for

@@ -138,19 +138,28 @@ object Graph {
     * frontier is bounded by the seed-reachable set — node-sized, the
     * side a human would broadcast; on graphs where even that is too big
     * to broadcast, pass `broadcastFrontier = false` and the planner
-    * falls back to shuffle joins (the [[triangleCounts]] flag pattern). */
+    * falls back to shuffle joins (the [[triangleCounts]] flag pattern).
+    * The hint is also ROW-GUARDED per round: an explicit broadcast
+    * bypasses autoBroadcastJoinThreshold entirely, so a frontier past
+    * [[Checkpoints.BroadcastRowLimit]] would hit Spark's broadcast hard
+    * caps (driver collect, 512M-row relation) as an abort — the guard
+    * degrades that round to a shuffle join instead. The row count is
+    * free: it replaces the emptiness probe the loop already paid, read
+    * from the round's eager checkpoint. */
   def seedDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
                     broadcastFrontier: Boolean = true): DataFrame = {
     val e = Checkpoints.materializeOnce(edges)
     var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
     var frontier = dist
+    var frontierRows = frontier.count()
     var r = 1
-    while (r <= maxDepth && !frontier.isEmpty) {
-      val newNodes =
-        expandOnce(e, frontier, dist, r, broadcastFrontier).localCheckpoint(true)
+    while (r <= maxDepth && frontierRows > 0) {
+      val bcast = broadcastFrontier && frontierRows <= Checkpoints.BroadcastRowLimit
+      val newNodes = expandOnce(e, frontier, dist, r, bcast).localCheckpoint(true)
       dist = dist.union(newNodes).localCheckpoint(true)
       frontier = newNodes
+      frontierRows = frontier.count()
       r += 1
     }
     dist

@@ -63,24 +63,28 @@ object StreamRemittance {
       .map(df => if (df.columns.contains("paid_cents"))
         df.withColumnRenamed("paid_cents", "received_cents") else df)
 
-  /** Every allocation row committed so far (union over versions) —
-    * (key, inv_id, pay_id, alloc_cents). None before the first commit. */
-  def readAllocations(spark: SparkSession, baseDir: String): Option[DataFrame] = {
+  /** Union of one sub-store across committed versions; None when no
+    * committed version carries it (no commits yet, or — for sub-stores
+    * added later, like `rejects` — an all-pre-upgrade store). */
+  private def readVersioned(spark: SparkSession, baseDir: String,
+                            sub: String): Option[DataFrame] = {
     val dirs = VersionedStore.committedVersions(spark, baseDir)
-      .map(p => new Path(p, "alloc").toString)
+      .map(p => new Path(p, sub))
+      .filter(p => VersionedStore.fs(spark, p).exists(p))
+      .map(_.toString)
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
+
+  /** Every allocation row committed so far (union over versions) —
+    * (key, inv_id, pay_id, alloc_cents). None before the first commit. */
+  def readAllocations(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    readVersioned(spark, baseDir, "alloc")
 
   /** Negative (refund/chargeback) rows dead-lettered so far — (key,
     * pay_id, ts, cents), cents < 0 — for the upstream netting job to
     * reconcile. None before the first commit. */
-  def readRejects(spark: SparkSession, baseDir: String): Option[DataFrame] = {
-    val dirs = VersionedStore.committedVersions(spark, baseDir)
-      .map(p => new Path(p, "rejects"))
-      .filter(p => VersionedStore.fs(spark, p).exists(p)) // pre-dead-letter versions
-      .map(_.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-  }
+  def readRejects(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    readVersioned(spark, baseDir, "rejects")
 
   /** One micro-batch of payments against the static invoice-interval
     * ledger (build it once with [[Remittance.invoiceIntervals]]).

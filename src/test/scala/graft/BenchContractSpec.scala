@@ -127,10 +127,13 @@ class BenchContractSpec extends AnyFunSuite {
   test("taskSkew: max, upper-median, and same-stage peer median; empty reads (0,0,0)") {
     assert(Bench.taskSkew(Nil) == ((0L, 0L, 0L)))
     assert(Bench.taskSkew(Seq((1, 100L))) == ((100L, 100L, 100L)))
-    // even count: upper middle (biases against flagging); max task in
-    // stage 9 alone → its peer median is itself
+    // even count: upper middle (biases against flagging). THE BLIND SPOT
+    // GUARD (review r14): a max task ALONE in its stage must not be its
+    // own peer (peer == max would read 1x forever — the AQE one-task
+    // funnel could never flag); a peerless max falls back to the window
+    // median, here 30 → 4000 vs 30 flags exactly like the old comparator
     assert(Bench.taskSkew(Seq((1, 10L), (1, 20L), (1, 30L), (9, 4000L))) ==
-      ((4000L, 30L, 4000L)))
+      ((4000L, 30L, 30L)))
     // single-stage window: peer median IS the query median
     assert(Bench.taskSkew(Seq((2, 5L), (2, 1L), (2, 9L))) == ((9L, 5L, 5L)))
     // whale key: one 4s task among its own stage's 10ms peers — query

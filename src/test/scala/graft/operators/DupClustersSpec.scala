@@ -35,6 +35,19 @@ class DupClustersSpec extends SparkSpec {
     assert(rounds <= 8, s"expected O(log n) rounds on a 33-chain, took $rounds")
   }
 
+  test("shuffle-join path (broadcastLabels=false) labels identically") {
+    // the row-guard degradation path must be CORRECT, not just non-OOM
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val bcast = DupClusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet
+    val shuffle = DupClusters.connectedComponents(edges, broadcastLabels = false)
+      .as[(Long, Long)].collect().toSet
+    assert(bcast == shuffle)
+    assert(shuffle == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)))
+  }
+
   test("empty edge set yields an empty labeling without iteration blowup") {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val (labels, rounds) = DupClusters.connectedComponentsWithRounds(edges)

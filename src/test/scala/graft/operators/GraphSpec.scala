@@ -70,6 +70,15 @@ class GraphSpec extends SparkSpec {
     assert(d1 == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("seedDistances shuffle-join path (broadcastFrontier=false) matches") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    def run(b: Boolean) = Graph.seedDistances(Graph.symmetrize(und), seeds,
+      maxDepth = 3, broadcastFrontier = b).as[(Long, Long)].collect().toMap
+    assert(run(true) == run(false))
+    assert(run(false) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("seedDistances: a node reachable from two seeds takes the minimum") {
     val und = edges((1L, 5L), (2L, 5L), (5L, 6L))
     val d = Graph.seedDistances(Graph.symmetrize(und), Seq(1L, 6L).toDF("node"), 2)

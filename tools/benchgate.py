@@ -94,7 +94,8 @@ def parse_skew_allowlist(path):
     return allow
 
 
-def check_skew(cap, allow, skew_ratio, failures):
+def check_skew(cap, allow, skew_ratio, failures,
+               where="", hint="(salt it, band it, or add a skew-ok row with the reason)"):
     """Whale-key verdicts: max task > ratio x comparator + 1 s fails unless
     allowlisted. The comparator is peer_med_s (median task of the max
     task's OWN stage) when the capture carries it: the whole-query median
@@ -102,7 +103,9 @@ def check_skew(cap, allow, skew_ratio, failures):
     stages; a whale key is a task that outruns its own stage's peers.
     Pre-peer artifacts fall back to med_task_s. Sub-second maxes can never
     fail (the +1 s absolute slack exempts fixed-cost and
-    single-task-by-construction queries)."""
+    single-task-by-construction queries). The SAME rule gates the sf1
+    capture — tools/scalegate.py imports this with its own allowlist and
+    message tag, so the threshold semantics stay single-sourced."""
     for q, b in sorted((cap.get("bytes") or {}).items()):
         if "max_task_s" not in b:
             continue
@@ -111,9 +114,8 @@ def check_skew(cap, allow, skew_ratio, failures):
         ref = b.get(ref_name, 0.0)
         if mx > skew_ratio * ref + 1.0 and q not in allow:
             failures.append(
-                f"SKEW {q}: max task {mx:.2f}s vs {ref_name} {ref:.2f}s "
-                f"(> {skew_ratio}x + 1 s) — whale key / hot task "
-                "(salt it, band it, or add a skew-ok row with the reason)")
+                f"SKEW {q}: max task {mx:.2f}s vs {ref_name} {ref:.2f}s{where} "
+                f"(> {skew_ratio}x + 1 s) — whale key / hot task {hint}")
 
 
 def check_bytes(cap, bytes_pins, full, bytes_ratio, failures, notes):

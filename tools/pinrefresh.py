@@ -33,6 +33,13 @@ def main(argv):
     if cap.get("err"):
         print(f"REFUSING: capture has errs {cap['err']}", file=sys.stderr)
         return 2
+    # sf-lane guard (review r14): these tables pin the sf0.1 lane; an sf1
+    # capture's ~10x bytes would silently loosen every bytes pin.
+    sf = cap.get("sf", "").rstrip("/")
+    if not sf.endswith("sf0.1"):
+        print(f"REFUSING: capture sf lane is '{sf}', not sf0.1 — these "
+              f"tables pin sf0.1 (sf1 pins: tools/sf1pin.py)", file=sys.stderr)
+        return 2
     qs, bs = cap["queries"], cap.get("bytes", {})
 
     with open(base) as f:
@@ -67,6 +74,11 @@ def main(argv):
                 changed.append(f"{q} {old:.2f}->{qs[q]:.2f}")
     new_sec = [q for q in sorted(qs) if q not in seen_sec]
     new_byt = [q for q in sorted(bs) if q not in seen_byt]
+    if (new_sec and last_sec_i is None) or (new_byt and last_byt_i is None):
+        print("REFUSING: new rows to add but the target table has no "
+              "existing rows to anchor them — create the table first",
+              file=sys.stderr)
+        return 2
     # append new rows right after the last row of each table (reverse order
     # keeps earlier insertion indexes valid)
     for q in reversed(new_byt):

@@ -69,19 +69,13 @@ def parse_sf1_skew_allowlist(path):
 
 
 def check_skew(cap, allow, skew_ratio, failures):
-    """Whale-key verdicts at the sf1 scale point — same rule as benchgate's
-    sf0.1 gate (max > ratio x peer median + 1 s), its own allowlist."""
-    for q, b in sorted((cap.get("bytes") or {}).items()):
-        if "max_task_s" not in b:
-            continue
-        mx = b.get("max_task_s", 0.0)
-        ref_name = "peer_med_s" if "peer_med_s" in b else "med_task_s"
-        ref = b.get(ref_name, 0.0)
-        if mx > skew_ratio * ref + 1.0 and q not in allow:
-            failures.append(
-                f"SKEW {q}: max task {mx:.2f}s vs {ref_name} {ref:.2f}s at sf1 "
-                f"(> {skew_ratio}x + 1 s) — hot-task concentration at scale "
-                "(fix the plan or add an sf1-skew-ok row with the measured reason)")
+    """Whale-key verdicts at the sf1 scale point — benchgate's rule
+    verbatim (single-sourced import), with sf1's own allowlist lane and
+    message tag."""
+    import benchgate
+    benchgate.check_skew(
+        cap, allow, skew_ratio, failures, where=" at sf1",
+        hint="(fix the plan or add an sf1-skew-ok row with the measured reason)")
 
 
 def main(argv):
