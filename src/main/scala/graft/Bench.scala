@@ -166,20 +166,25 @@ object Bench {
     * flags every honest uniform heavy stage (q109's 32-task edge stages at
     * sf1 read as 190x while no task outran its peers — round 14). A whale
     * key shows up as max ≫ its own stage's median; a uniform stage reads
-    * ~1x. When the max task's stage has ONLY that task, its peer median
-    * would equal the max and the gate could never flag it — which is
-    * precisely the AQE-funneled-into-one-task class the gate exists for —
-    * so a peerless max falls back to the whole-window median (legitimate
-    * single-task stages are sub-second and the gates' +1 s slack exempts
-    * them). Medians are the upper middle — bias AGAINST flagging. */
+    * ~1x. The max task itself is EXCLUDED from its peer set (round-15
+    * advice): with the max included, a 2-task stage's upper median IS the
+    * max (sorted pair → peers(1)), the ratio reads ~1x, and a whale
+    * funneled into a 2-task stage could never flag — the same blind-spot
+    * class the 1-task fallback closed in round 14. When excluding the max
+    * leaves no peers (the max is alone in its stage), fall back to the
+    * whole-window median (legitimate single-task stages are sub-second
+    * and the gates' +1 s slack exempts them). Exactly ONE instance of the
+    * max is dropped — a tied co-max task is a genuine peer. Medians are
+    * the upper middle — bias AGAINST flagging. */
   def taskSkew(window: Seq[(Int, Long)]): (Long, Long, Long) =
     if (window.isEmpty) (0L, 0L, 0L)
     else {
       val s = window.map(_._2).sorted
       val med = s(s.size / 2)
       val maxStage = window.maxBy(_._2)._1
-      val peers = window.collect { case (st, d) if st == maxStage => d }.sorted
-      (s.last, med, if (peers.size < 2) med else peers(peers.size / 2))
+      val peers = window.collect { case (st, d) if st == maxStage => d }
+        .sorted.dropRight(1)
+      (s.last, med, if (peers.isEmpty) med else peers(peers.size / 2))
     }
 
   /** Cumulative shuffle/spill task-metric counters plus the task-duration

@@ -134,13 +134,22 @@ class BenchContractSpec extends AnyFunSuite {
     // median, here 30 → 4000 vs 30 flags exactly like the old comparator
     assert(Bench.taskSkew(Seq((1, 10L), (1, 20L), (1, 30L), (9, 4000L))) ==
       ((4000L, 30L, 30L)))
-    // single-stage window: peer median IS the query median
+    // single-stage window: max excluded from its peers → peer median of
+    // the OTHER tasks [1,5] = upper middle 5 (same as the query median)
     assert(Bench.taskSkew(Seq((2, 5L), (2, 1L), (2, 9L))) == ((9L, 5L, 5L)))
+    // THE 2-TASK BLIND SPOT (advice r15): with the max included, a 2-task
+    // stage's upper median IS the max (ratio ~1x forever); excluding it,
+    // the sole remaining peer is the comparator and the whale flags
+    assert(Bench.taskSkew(Seq((1, 5L), (1, 6L), (9, 4000L), (9, 10L))) ==
+      ((4000L, 10L, 10L)))
+    // a TIED co-max is a genuine peer — only one max instance is dropped
+    assert(Bench.taskSkew(Seq((3, 4000L), (3, 4000L))) ==
+      ((4000L, 4000L, 4000L)))
     // whale key: one 4s task among its own stage's 10ms peers — query
     // median is diluted by another stage's mid tasks, peer median is not
     val whale = Seq((5, 4000L), (5, 10L), (5, 12L), (5, 11L),
       (7, 300L), (7, 310L), (7, 320L))
-    assert(Bench.taskSkew(whale) == ((4000L, 300L, 12L)))
+    assert(Bench.taskSkew(whale) == ((4000L, 300L, 11L)))
     // uniform heavy stage: max ~= peers even though tiny bookkeeping
     // tasks in other stages crush the whole-query median
     val uniform = Seq((5, 1900L), (5, 2000L), (5, 1950L),

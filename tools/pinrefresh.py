@@ -45,39 +45,67 @@ def main(argv):
     with open(base) as f:
         lines = f.readlines()
 
+    # Row matching is ANCHORED to each table's header (advice r15): the
+    # bare shapes `| qNN | n |` / `| bytes:qNN | n | n |` could otherwise
+    # match a same-shaped row in any other section (e.g. a future table in
+    # "Historical pins"), silently rewriting or appending pins to the
+    # wrong table. Each table's extent = contiguous `|`-prefixed lines
+    # after its unique header.
     sec_re = re.compile(r"^\|\s*(q\w+)\s*\|\s*([0-9.]+)\s*\|\s*$")
     byt_re = re.compile(r"^\|\s*bytes:(q\w+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|")
+    sec_hdr = "| query | seconds |"
+    byt_hdr = "| query (bytes:) | shuffle MB | spill MB |"
+
+    def table_extent(header):
+        """(first_row_i, last_row_i) of the contiguous |-block after the
+        unique header line (skipping the |---| separator); refuses a
+        missing or duplicated header."""
+        hits = [i for i, ln in enumerate(lines) if ln.strip() == header]
+        if len(hits) != 1:
+            print(f"REFUSING: header {header!r} found {len(hits)} times "
+                  f"(need exactly 1) — fix BASELINE.md first", file=sys.stderr)
+            sys.exit(2)
+        first = hits[0] + 2  # header + |---| separator
+        last = first - 1
+        while last + 1 < len(lines) and lines[last + 1].startswith("|"):
+            last += 1
+        return first, last
+
+    sec_lo, sec_hi = table_extent(sec_hdr)
+    byt_lo, byt_hi = table_extent(byt_hdr)
     seen_sec, seen_byt = set(), set()
-    last_sec_i, last_byt_i = None, None
     changed = []
-    for i, line in enumerate(lines):
-        m = byt_re.match(line)
-        if m:
-            q, osh, osp = m.group(1), float(m.group(2)), float(m.group(3))
-            seen_byt.add(q)
-            last_byt_i = i
-            if q in bs:
-                nsh, nsp = bs[q]["sh_mb"], bs[q]["spill_mb"]
-                drift = nsh > osh * 1.5 + 8 or osh > nsh * 1.5 + 8 or \
-                    nsp > osp * 2 + 64 or osp > nsp * 2 + 64
-                if drift:
-                    lines[i] = f"| bytes:{q} | {nsh:.2f} | {nsp:.2f} |\n"
-                    changed.append(f"bytes:{q} {osh:.2f}->{nsh:.2f}")
+    for i in range(byt_lo, byt_hi + 1):
+        m = byt_re.match(lines[i])
+        if not m:
             continue
-        m = sec_re.match(line)
-        if m:
-            q, old = m.group(1), float(m.group(2))
-            seen_sec.add(q)
-            last_sec_i = i
-            if q in qs and qs[q] < old:
-                lines[i] = f"| {q} | {qs[q]:.2f} |\n"
-                changed.append(f"{q} {old:.2f}->{qs[q]:.2f}")
+        q, osh, osp = m.group(1), float(m.group(2)), float(m.group(3))
+        seen_byt.add(q)
+        if q in bs:
+            nsh, nsp = bs[q]["sh_mb"], bs[q]["spill_mb"]
+            drift = nsh > osh * 1.5 + 8 or osh > nsh * 1.5 + 8 or \
+                nsp > osp * 2 + 64 or osp > nsp * 2 + 64
+            if drift:
+                lines[i] = f"| bytes:{q} | {nsh:.2f} | {nsp:.2f} |\n"
+                changed.append(f"bytes:{q} {osh:.2f}->{nsh:.2f}")
+    for i in range(sec_lo, sec_hi + 1):
+        m = sec_re.match(lines[i])
+        if not m:
+            continue
+        q, old = m.group(1), float(m.group(2))
+        seen_sec.add(q)
+        if q in qs and qs[q] < old:
+            lines[i] = f"| {q} | {qs[q]:.2f} |\n"
+            changed.append(f"{q} {old:.2f}->{qs[q]:.2f}")
     new_sec = [q for q in sorted(qs) if q not in seen_sec]
     new_byt = [q for q in sorted(bs) if q not in seen_byt]
-    if (new_sec and last_sec_i is None) or (new_byt and last_byt_i is None):
-        print("REFUSING: new rows to add but the target table has no "
-              "existing rows to anchor them — create the table first",
-              file=sys.stderr)
+    last_sec_i, last_byt_i = sec_hi, byt_hi
+    if last_sec_i < last_byt_i:
+        pass  # seconds table precedes bytes table: bytes-first insertion
+        # below keeps the earlier (seconds) index valid
+    else:
+        print("REFUSING: seconds table does not precede bytes table — "
+              "insertion order assumes it", file=sys.stderr)
         return 2
     # append new rows right after the last row of each table (reverse order
     # keeps earlier insertion indexes valid)
