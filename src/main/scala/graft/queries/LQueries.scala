@@ -44,6 +44,7 @@ object LQueries {
     "q58_bloom_antijoin" -> ((s, d) => q58(s, d)),
     "q59_group_distinct" -> ((s, d) => q59(s, d)),
     "q61_span_dedup" -> ((s, d) => q61(s, d)),
+    "q164_exact_substr" -> ((s, d) => q164(s, d)),
     "q62_containment" -> ((s, d) => q62(s, d)),
     "q63_token_budget" -> ((s, d) => q63(s, d)),
     "q72_bm25" -> ((s, d) => q72(s, d)),
@@ -296,6 +297,17 @@ object LQueries {
   def q61(s: SparkSession, d: String): DataFrame =
     graft.operators.SpanDedup.dedupSpans(Tables.documents(s, d), col("doc_id"),
       graft.operators.SpanDedup.wordWindows(col("text"), 10))
+
+  /** L83: exact-substring cross-doc dedup (Lee et al. 2022 class) —
+    * remove duplicated 8-token runs at ARBITRARY offsets, keep-first by
+    * corpus order; the testdata's seeded shared runs are exactly what the
+    * fixed-segmentation L32 misses when a run straddles its boundaries.
+    * L=8 sits above the 31-word vocabulary's chance-collision horizon
+    * (31^8 ≈ 8.5e11 >> positions²), so removals are the seeded runs, not
+    * noise. */
+  def q164(s: SparkSession, d: String): DataFrame =
+    graft.operators.ExactSubstr.dedup(Tables.documents(s, d),
+      col("doc_id"), col("text"), L = 8, maxOcc = 1000L)
 
   /** L33: asymmetric n-gram containment pairs — |A∩B|/min(|A|,|B|) ≥ 0.7
     * with the contained (smaller-set) side identified; catches
@@ -2391,5 +2403,34 @@ object LQueries {
         |SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup,
         |       CAST(count(*) AS BIGINT) AS n_spans_kept
         |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    // Different formulation on purpose (oracle ≠ transcription): the
+    // engine detects first occurrences by min(struct(doc_id, pos)) over
+    // md5 gram digests; the oracle ranks the gram TEXT with a window.
+    // occ <= 1000 mirrors the operator's maxOcc hot-anchor exemption.
+    // array_to_string over an empty kept-list is NULL in DuckDB where
+    // Spark's concat_ws is '' — coalesce pins the fully-duplicated-doc
+    // convention.
+    "q164_exact_substr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(range(0, len(w) - 8 + 1)) AS pos,
+        |             unnest(list_transform(range(0, len(w) - 8 + 1),
+        |                    i -> array_to_string(w[(i+1):(i+8)], ' '))) AS gram
+        |      FROM t WHERE len(w) >= 8),
+        |r AS (SELECT doc_id, pos,
+        |             row_number() OVER (PARTITION BY gram
+        |                                ORDER BY doc_id, pos) AS rn,
+        |             count(*) OVER (PARTITION BY gram) AS occ
+        |      FROM g),
+        |dup AS (SELECT doc_id, pos FROM r WHERE rn > 1 AND occ <= 1000),
+        |cov AS (SELECT doc_id, list(DISTINCT pos + k) AS rm
+        |        FROM dup, generate_series(0, 7) s(k) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       coalesce(array_to_string(
+        |         list_filter(w, (x, i) -> NOT list_contains(coalesce(rm, []), i - 1)),
+        |         ' '), '') AS text_dedup,
+        |       CAST(len(w) - len(coalesce(rm, [])) AS BIGINT) AS n_kept,
+        |       CAST(len(coalesce(rm, [])) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id""".stripMargin,
   )
 }
