@@ -101,14 +101,19 @@ object ExactSubstr {
       .agg(collect_list(col("pos")).as("anchors"))
 
     // In-row cover + cut + reassembly. filter()'s index lambda is
-    // 0-based, matching the 0-based gram positions.
+    // 0-based, matching the 0-based gram positions. The cover filter is
+    // the one non-cheap in-row expression (O(tokens x anchors)), consumed
+    // three times downstream — aliased in its OWN projection so
+    // CollapseProject (which never inlines a non-cheap multi-referenced
+    // alias) evaluates it once per row, not once per consumer.
     val anc = coalesce(col("anchors"), array())
     val kept = filter(col("w"),
       (tok, i) => !exists(anc, a => a <= i && i < a + L))
     base.join(anchors, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"), kept.as("kept"))
       .select(col("doc_id"),
-        concat_ws(" ", kept).as("text_dedup"),
-        size(kept).cast("long").as("n_kept"),
-        (size(col("w")) - size(kept)).cast("long").as("n_removed"))
+        concat_ws(" ", col("kept")).as("text_dedup"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 }
