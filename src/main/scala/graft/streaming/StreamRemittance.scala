@@ -37,17 +37,22 @@ import graft.operators.Remittance
   * store, one equi-join with the invoice ledger — nothing grows with
   * stream history except the allocation log itself, which is the output.
   *
-  * STREAM-SOURCE CONTRACT: refunds/chargebacks must be netted UPSTREAM
-  * ([[Remittance.netAdjustments]]) — netting needs the debtor's per-row
-  * payment history, which the one-long-per-debtor state deliberately does
-  * not keep. A negative row that reaches the stream anyway is routed to a
-  * per-batch `rejects` dead-letter output ([[readRejects]]) inside the
-  * same commit, NEVER raised: the batch operator's `raise_error` guard
-  * would otherwise fire on every foreachBatch retry of that micro-batch
-  * and wedge the stream permanently on one poison row (round-13 review).
-  * Versions committed before the dead-letter existed have no `rejects`
-  * dir; [[readRejects]] skips them (on-read migration, like the
-  * `received_cents` rename).
+  * STREAM-SOURCE CONTRACT: refunds/chargebacks must be netted UPSTREAM —
+  * netting needs the debtor's per-row payment history, which the
+  * one-long-per-debtor state deliberately does not keep. Two upstream
+  * options: batch [[Remittance.netAdjustments]], or the in-stream
+  * watermark-horizon netting stage ([[StreamNetting]], composed here by
+  * [[nettedSink]]) which nets refunds arriving within the horizon of
+  * their prior postings and dead-letters only past-horizon remainders
+  * (round-15; closes the round-14 boundary where every refund
+  * dead-lettered). A negative row that reaches THIS sink anyway is routed
+  * to a per-batch `rejects` dead-letter output ([[readRejects]]) inside
+  * the same commit, NEVER raised: the batch operator's `raise_error`
+  * guard would otherwise fire on every foreachBatch retry of that
+  * micro-batch and wedge the stream permanently on one poison row
+  * (round-13 review). Versions committed before the dead-letter existed
+  * have no `rejects` dir; [[readRejects]] skips them (on-read migration,
+  * like the `received_cents` rename).
   */
 object StreamRemittance {
 
@@ -127,6 +132,44 @@ object StreamRemittance {
       rejects.write.parquet(new Path(target, "rejects").toString)
     }
   }
+
+  /** One micro-batch through the NETTED path: the [[StreamNetting]] stage
+    * buffers/nets/releases first (its own versioned store, its own
+    * effective-once marker), then this batch's RELEASED netted rows — all
+    * non-negative by the envelope construction — allocate through
+    * [[applyBatch]]. Two stores, two idempotent commits: a replay that
+    * died between them re-reads the netting stage's committed delta and
+    * finishes the allocation commit, never double-applying either side.
+    * Zero-net releases become zero-width intervals and allocate nothing
+    * (the batch operator's existing behavior). Allocation order is
+    * RELEASE order, which is event-time order per key by the watermark
+    * construction — so in-horizon arrivals allocate exactly as the batch
+    * operator would on the netted rows (spec-pinned). */
+  def applyNettedBatch(batch: DataFrame, pKey: Column, payId: Column,
+                       payTs: Column, payAmount: Column, horizonSec: Long,
+                       invIntervals: DataFrame, nettingDir: String,
+                       baseDir: String, batchId: Long): Unit = {
+    val released = StreamNetting.applyBatch(batch, pKey, payId, payTs,
+      payAmount, horizonSec, nettingDir, batchId)
+    applyBatch(released, col("key"), col("id"), col("ts"),
+      col("net_amount"), invIntervals, baseDir, batchId)
+  }
+
+  /** Wire the netted stream: raw payments INCLUDING refunds in; in-horizon
+    * refunds net against their prior postings, past-horizon remainders
+    * dead-letter ([[StreamNetting.readDeadLetters]] on `nettingDir`), and
+    * the released netted flow allocates FIFO continuously. */
+  def nettedSink(payments: DataFrame, pKey: Column, payId: Column,
+                 payTs: Column, payAmount: Column, horizonSec: Long,
+                 invIntervals: DataFrame, nettingDir: String,
+                 baseDir: String, checkpointDir: String): StreamingQuery =
+    payments.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyNettedBatch(batch, pKey, payId, payTs, payAmount, horizonSec,
+          invIntervals, nettingDir, baseDir, batchId)
+      }
+      .start()
 
   /** Wire the stream: payments in, a continuously-current allocation
     * ledger + per-debtor received totals out. */

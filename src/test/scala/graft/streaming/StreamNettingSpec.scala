@@ -1,0 +1,168 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Remittance
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class StreamNettingSpec extends SparkSpec {
+  import ss.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_net_").toString
+
+  private def payDf(rows: Seq[(Long, Long, String, Double)]) =
+    rows.toDF("cust", "pid", "t0", "amt")
+      .select(col("cust"), col("pid"), col("t0").cast("timestamp").as("ts"), col("amt"))
+
+  private def apply1(base: String, rows: Seq[(Long, Long, String, Double)],
+                     horizonSec: Long, batchId: Long): DataFrame =
+    StreamNetting.applyBatch(payDf(rows), col("cust"), col("pid"), col("ts"),
+      col("amt"), horizonSec, base, batchId)
+
+  private val DAY = 86400L
+
+  test("in-horizon refund nets exactly as batch netAdjustments, row for row") {
+    val base = tmp()
+    // p1 100 @1-01, p2 50 @1-02, refund -120 @1-03 — all inside the 10-day
+    // horizon when the refund lands, so the claw nets against the buffer
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", 100.00),
+      (1L, 2L, "2024-01-02 00:00:00", 50.00)), 10 * DAY, 0L)
+    apply1(base, Seq((1L, 3L, "2024-01-03 00:00:00", -120.00)), 10 * DAY, 1L)
+    assert(StreamNetting.readReleased(ss, base).get.count() == 0,
+      "nothing crosses the horizon yet")
+    // advancing rows push the watermark past every earlier row
+    apply1(base, Seq((1L, 4L, "2024-01-20 00:00:00", 10.00)), 10 * DAY, 2L)
+    apply1(base, Seq((1L, 5L, "2024-02-20 00:00:00", 0.00)), 10 * DAY, 3L)
+
+    val released = StreamNetting.readReleased(ss, base).get
+      .select("key", "id", "net_cents").as[(Long, Long, Long)].collect().toSet
+    val batchNet = Remittance.netAdjustments(
+        payDf(Seq((1L, 1L, "2024-01-01 00:00:00", 100.00),
+          (1L, 2L, "2024-01-02 00:00:00", 50.00),
+          (1L, 3L, "2024-01-03 00:00:00", -120.00),
+          (1L, 4L, "2024-01-20 00:00:00", 10.00))),
+        col("cust"), col("pid"), col("ts"), col("amt"))
+      .select("key", "id", "net_cents").as[(Long, Long, Long)].collect().toSet
+    assert(released == batchNet, s"stream $released vs batch $batchNet")
+    // hand-check the envelope: the refund claws p2 wholly and p1 down to 30
+    assert(released == Set((1L, 1L, 3000L), (1L, 2L, 0L), (1L, 3L, 0L), (1L, 4L, 1000L)))
+    assert(StreamNetting.readDeadLetters(ss, base).get.count() == 0,
+      "fully-absorbed claw dead-letters nothing")
+  }
+
+  test("released column names are key/id/ts (the applyBatch feed contract)") {
+    val base = tmp()
+    val rel = apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", 5.00)), DAY, 0L)
+    assert(rel.columns.toSeq == Seq("key", "id", "ts", "net_cents", "net_amount"))
+  }
+
+  test("past-horizon refund dead-letters the unabsorbed remainder") {
+    val base = tmp()
+    // p1 releases at full value before the refund arrives
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", 100.00)), DAY, 0L)
+    apply1(base, Seq((1L, 2L, "2024-01-05 00:00:00", 0.00)), DAY, 1L)
+    val rel1 = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel1 == Map(1L -> 10000L), "p1 released at full value")
+    // refund lands after p1's release: nothing pending can absorb it
+    apply1(base, Seq((1L, 3L, "2024-01-05 01:00:00", -30.00)), DAY, 2L)
+    apply1(base, Seq((1L, 4L, "2024-01-10 00:00:00", 0.00)), DAY, 3L)
+    val dl = StreamNetting.readDeadLetters(ss, base).get
+      .select("key", "id", "cents").as[(Long, Long, Long)].collect().toSeq
+    assert(dl == Seq((1L, 3L, 3000L)),
+      "the full claw dead-letters, attributed to the refund row")
+    val rel2 = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel2 == Map(1L -> 10000L, 2L -> 0L, 3L -> 0L),
+      "released cash is never clawed back")
+  }
+
+  test("overshooting refund is absorbed by SUBSEQUENT in-horizon postings (batch rule)") {
+    val base = tmp()
+    apply1(base, Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 100.00),
+      (1L, 2L, "2024-01-02 00:00:00", -150.00),
+      (1L, 3L, "2024-01-03 00:00:00", 30.00),
+      (1L, 4L, "2024-01-04 00:00:00", 80.00)), 10 * DAY, 0L)
+    apply1(base, Seq((1L, 9L, "2024-01-20 00:00:00", 0.00)), 10 * DAY, 1L)
+    val rel = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 6000L),
+      "suffix-min envelope: the overshoot suppresses later postings")
+    assert(StreamNetting.readDeadLetters(ss, base).get.count() == 0)
+  }
+
+  test("partially-absorbable past-horizon overshoot dead-letters only the remainder") {
+    val base = tmp()
+    // p1 releases (past horizon), then refund -150 arrives with only a
+    // +30 posting pending: released p1 is untouchable, the pending +30
+    // absorbs 30 of the claw, remainder 120 dead-letters at refund release
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", 100.00)), DAY, 0L)
+    apply1(base, Seq((1L, 2L, "2024-01-05 00:00:00", 0.00)), DAY, 1L) // release p1
+    apply1(base, Seq((1L, 3L, "2024-01-05 02:00:00", -150.00),
+      (1L, 4L, "2024-01-05 03:00:00", 30.00)), DAY, 2L)
+    apply1(base, Seq((1L, 9L, "2024-01-20 00:00:00", 0.00)), DAY, 3L)
+    val dl = StreamNetting.readDeadLetters(ss, base).get
+      .select("id", "cents").as[(Long, Long)].collect().toSeq
+    assert(dl == Seq((3L, 12000L)), s"got $dl")
+    val rel = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel == Map(1L -> 10000L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      "the pending posting's 30 went to the claw")
+  }
+
+  test("late row (behind the watermark on arrival) releases immediately, best-effort") {
+    val base = tmp()
+    apply1(base, Seq((1L, 1L, "2024-01-05 00:00:00", 100.00)), DAY, 0L)
+    val rel = apply1(base, Seq((1L, 2L, "2024-01-01 00:00:00", 20.00)), DAY, 1L)
+    assert(rel.select("id", "net_cents").as[(Long, Long)].collect().toSeq
+      == Seq((2L, 2000L)))
+  }
+
+  test("replay of a committed batch is a no-op returning the committed delta") {
+    val base = tmp()
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", 50.00)), DAY, 0L)
+    val first = apply1(base, Seq((1L, 2L, "2024-01-10 00:00:00", 5.00)), DAY, 1L)
+      .select("id", "net_cents").as[(Long, Long)].collect().toSet
+    val replay = apply1(base, Seq((1L, 2L, "2024-01-10 00:00:00", 5.00)), DAY, 1L)
+      .select("id", "net_cents").as[(Long, Long)].collect().toSet
+    assert(first == replay && first == Set((1L, 5000L)))
+    assert(StreamNetting.readReleased(ss, base).get.count() == 1,
+      "the released log is not double-appended")
+  }
+
+  test("netted remittance: streamed allocations equal batch allocate-over-netAdjustments") {
+    val invoices = Seq((1L, 101L, "2024-01-01", 10.00), (1L, 102L, "2024-02-01", 20.00))
+      .toDF("cust", "inv", "d0", "amt")
+      .select(col("cust"), col("inv"), col("d0").cast("date").as("d"), col("amt"))
+    val ledger = Remittance.invoiceIntervals(
+      invoices, col("cust"), col("inv"), col("d"), col("amt"))
+    val nettingDir = tmp(); val remitDir = tmp()
+    val all = Seq(
+      (1L, 901L, "2024-03-01 00:00:00", 15.00),
+      (1L, 902L, "2024-03-02 00:00:00", -8.00), // in-horizon refund
+      (1L, 903L, "2024-03-03 00:00:00", 12.00),
+      (1L, 904L, "2024-03-30 00:00:00", 0.00)) // advances the watermark
+    def drive(rows: Seq[(Long, Long, String, Double)], id: Long): Unit =
+      StreamRemittance.applyNettedBatch(payDf(rows), col("cust"), col("pid"),
+        col("ts"), col("amt"), 10 * DAY, ledger, nettingDir, remitDir, id)
+    drive(all.slice(0, 2), 0L)
+    drive(all.slice(2, 3), 1L)
+    drive(all.slice(3, 4), 2L)
+
+    val streamed = StreamRemittance.readAllocations(ss, remitDir).get
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val netted = Remittance.netAdjustments(payDf(all),
+      col("cust"), col("pid"), col("ts"), col("amt"))
+    val batch = Remittance.allocateFifo(
+        invoices, col("cust"), col("inv"), col("d"), col("amt"),
+        netted, col("key"), col("id"), col("ts"), col("net_amount"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // hand-check: net 15-8=7 on 901, 12 on 903 → 901 covers 700 of inv
+    // 101, 903 covers the remaining 300 + 900 of inv 102
+    assert(streamed == Set((1L, 101L, 901L, 700L), (1L, 101L, 903L, 300L),
+      (1L, 102L, 903L, 900L)))
+    assert(StreamNetting.readDeadLetters(ss, nettingDir).get.count() == 0)
+  }
+}
