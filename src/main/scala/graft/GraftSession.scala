@@ -18,15 +18,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE coalescing is byte-based and cannot see CPU-dense shuffles:
-      // an iterative op's dedup/min-agg over edge-scale input compresses
-      // to ~1MB of (node, label) partials, and the default 1MB
-      // minPartitionSize floor then funnels a multi-million-row final
-      // aggregate into ONE task (q109's 7s hot task at sf1 — round 14).
-      // A 16KB floor lets parallelismFirst spread small-byte shuffles to
-      // ~defaultParallelism tasks; large shuffles still follow the 64MB
-      // advisory, so only the tiny-byte/CPU-heavy class changes shape.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
+      // AQE partition coalescing keeps Spark's DEFAULT 1MB
+      // minPartitionSize floor session-wide. Round 14 set a global 16KB
+      // floor here (byte-based coalescing had funneled q109's CPU-dense
+      // 12M-row/1MB-partials frontier dedup into one 7 s task at sf1),
+      // but the global knob taxed every tiny stage of every query with
+      // ~32-task scheduling overhead — q126's five peel rounds read 1.8x
+      // slower at sf0.1 (round-15 adjudication). The low floor is now
+      // SCOPED to the iterative loops that need it
+      // (Checkpoints.withSpreadFloor — BFS seedDistances, DupClusters);
+      // the env knob remains for A/B probes only.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")

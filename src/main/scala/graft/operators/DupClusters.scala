@@ -74,6 +74,13 @@ object DupClusters {
     // object-churn GC class [[Checkpoints.materializeOnce]] documents).
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // Spread floor scoped to the label-propagation loop (and the init
+    // aggregation, the same edge-scale-in/node-sized-out shape): the
+    // per-round min-agg over pushed ∪ self is the CPU-dense small-byte
+    // class byte-based AQE coalescing funnels into one task at scale;
+    // every round materializes eagerly inside this bracket
+    // ([[Checkpoints.withSpreadFloor]]).
+    Checkpoints.withSpreadFloor(edges.sparkSession) {
     // Seed with min(self, direct neighbors) — propagation round zero fused
     // into the init aggregation; diameter-1 components (plain duplicate
     // pairs, the overwhelming majority) then converge after one check.
@@ -134,5 +141,6 @@ object DupClusters {
       i += 1
     }
     (labels, i)
+    }
   }
 }

@@ -149,20 +149,27 @@ object Graph {
   def seedDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
                     broadcastFrontier: Boolean = true): DataFrame = {
     val e = Checkpoints.materializeOnce(edges)
-    var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
-      .distinct().localCheckpoint(true)
-    var frontier = dist
-    var frontierRows = frontier.count()
-    var r = 1
-    while (r <= maxDepth && frontierRows > 0) {
-      val bcast = broadcastFrontier && frontierRows <= Checkpoints.BroadcastRowLimit
-      val newNodes = expandOnce(e, frontier, dist, r, bcast).localCheckpoint(true)
-      dist = dist.union(newNodes).localCheckpoint(true)
-      frontier = newNodes
-      frontierRows = frontier.count()
-      r += 1
+    // Spread floor scoped to the loop: each round's frontier dedup is the
+    // CPU-dense small-byte final aggregate byte-based AQE coalescing
+    // funnels into one task at scale (q109's sf1 hot task), and every
+    // round materializes eagerly inside this bracket so the floor applies
+    // to exactly those jobs ([[Checkpoints.withSpreadFloor]]).
+    Checkpoints.withSpreadFloor(edges.sparkSession) {
+      var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+        .distinct().localCheckpoint(true)
+      var frontier = dist
+      var frontierRows = frontier.count()
+      var r = 1
+      while (r <= maxDepth && frontierRows > 0) {
+        val bcast = broadcastFrontier && frontierRows <= Checkpoints.BroadcastRowLimit
+        val newNodes = expandOnce(e, frontier, dist, r, bcast).localCheckpoint(true)
+        dist = dist.union(newNodes).localCheckpoint(true)
+        frontier = newNodes
+        frontierRows = frontier.count()
+        r += 1
+      }
+      dist
     }
-    dist
   }
 
   /** One BFS round, un-checkpointed: the frontier's one-hop reach minus

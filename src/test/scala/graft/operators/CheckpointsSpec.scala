@@ -42,6 +42,34 @@ class CheckpointsSpec extends SparkSpec {
       "a LocalRelation is already free — no checkpoint")
   }
 
+  test("withSpreadFloor sets the 16k floor inside the bracket and restores after") {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val before = ss.conf.getOption(key)
+    val seen = Checkpoints.withSpreadFloor(ss) { ss.conf.get(key) }
+    assert(seen == "16k", "the low floor must be live inside the bracket")
+    assert(ss.conf.getOption(key) == before, "conf must restore on exit")
+    // restore must run on failure too (try/finally), and an explicitly-set
+    // prior value round-trips
+    ss.conf.set(key, "2m")
+    intercept[RuntimeException] {
+      Checkpoints.withSpreadFloor(ss) { throw new RuntimeException("boom") }
+    }
+    assert(ss.conf.get(key) == "2m", "prior explicit value must restore after a throw")
+    before match { case Some(v) => ss.conf.set(key, v); case None => ss.conf.unset(key) }
+  }
+
+  test("the iterative operators leave the session floor untouched (scoped, not global)") {
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val before = ss.conf.getOption(key)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    DupClusters.connectedComponents(edges).count()
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    Graph.seedDistances(e, seeds, maxDepth = 3).count()
+    assert(ss.conf.getOption(key) == before,
+      "seedDistances/connectedComponents must not leak the spread floor")
+  }
+
   test("BFS expansion join builds on the FRONTIER side, never the edges (plan pin)") {
     // the round-14 inversion: stale checkpoint stats made the planner
     // broadcast the edge set; the explicit hint pins the build side.
