@@ -13,11 +13,14 @@ import graft.operators.{Decontaminate, Dedup, DupClusters, NearDup, Sampling}
   * Stages (each a `StageReport.track` observe point — counts ride the
   * final action, no per-stage passes):
   *
-  *  1. normalize: Unicode NFC (`graft_nfc`) + PII scrub (emails, long
-  *     digit runs) — narrow projections, whole-stage codegen'd.
-  *  2. filter: language allowlist (n-gram heuristic lang-id) + minimum
+  *  1. filter: language allowlist (n-gram heuristic lang-id) + minimum
   *     quality score + repetition caps (Gopher-style dup-word/dup-bigram
-  *     fractions) — narrow, pushes to the scan where possible.
+  *     fractions) — narrow, over the RAW text (scan-attribute references
+  *     are free; a lazy normalize column here would be inlined into every
+  *     gate reference — see the stage-1 comment in [[prepare]]).
+  *  2. normalize survivors: Unicode NFC (`graft_nfc`) + PII scrub
+  *     (emails, long digit runs) — one narrow projection, evaluated once
+  *     per surviving row in the stage's checkpoint pass.
   *  2b. decontamination (optional, when a benchmark frame is given): drop
   *     documents whose distinct-n-gram overlap with the benchmark exceeds
   *     the threshold — broadcast gram set, one scan, one keyed agg.
@@ -71,16 +74,31 @@ object CorpusPipeline {
     def tracked(name: String, df: DataFrame): DataFrame =
       report.fold(df)(_.track(name, df))
 
-    // 1. normalize + scrub (narrow)
-    val cleaned = tracked("normalized", docs.select(
-      idCol.cast("long").as("id"),
-      PiiScrub.scrub(call_function("graft_nfc", textCol)).as("text")))
+    // 1. gate FIRST, on the RAW text; normalize survivors after. Two cost
+    // facts force this order (round-15 profiling of the 32 s q165 whale):
+    // (a) the gate references its text column ~18 times (trigram lang-id,
+    // quality ratios, dup-fraction token arrays, incl. inside per-gram
+    // transform lambdas), and when that column is a LAZY scrub expression
+    // Catalyst inlines the scrub+NFC into every reference site — the gate
+    // over a lazy-scrubbed column measured 25 s vs 0.8 s over a bound
+    // relation, a ~30x re-evaluation blowup no 100 TB plan survives.
+    // References to a SCAN attribute are free, so the gate reads raw text.
+    // (b) filtering before normalizing does strictly less scrub work (only
+    // survivors pay the NFC + PII regexes), and the scrub then evaluates
+    // exactly once per row inside the stage-2 checkpoint pass below.
+    // spreadForCpu: the gate stack is milliseconds of CPU per document,
+    // so its parallelism must not be capped by the scan's split count — a
+    // single-file documents table otherwise runs the whole corpus through
+    // one task; identity whenever the scan already yields enough splits.
+    val gated = tracked("lang_quality_kept", scoreAndGate(
+      spreadForCpu(docs.select(idCol.cast("long").as("id"), textCol.as("text"))), cfg))
 
-    // 2. language + quality + repetition gate (narrow). Eager checkpoint:
-    // the frame fans out below (dedup build side + survivor side) and feeds
-    // the iterative near-dup machinery, both of which need the lineage cut —
-    // it also fires the stage-1/2 observes exactly once.
-    val kept = tracked("lang_quality_kept", scoreAndGate(cleaned, cfg))
+    // 2. normalize + scrub the survivors (narrow), then the eager
+    // checkpoint: the frame fans out below (dedup build side + survivor
+    // side) and feeds the iterative near-dup machinery, both of which need
+    // the lineage cut — it also fires the stage-1/2 observes exactly once.
+    val kept = tracked("normalized", gated.withColumn(
+        "text", PiiScrub.scrub(call_function("graft_nfc", col("text")))))
       .localCheckpoint(true)
 
     // 2b. optional benchmark decontamination. Checkpointed when present:
@@ -111,6 +129,25 @@ object CorpusPipeline {
     // caller's own action
     val split = Sampling.withSplit(withCanon, col("canon_id"), cfg.trainPct, cfg.validPct)
     tracked("split_total", split)
+  }
+
+  /** Raise a frame's partition count to the session's default parallelism
+    * when the planned scan yields fewer splits — CPU-dense per-row stages
+    * downstream must not inherit a small file's 1-2-split parallelism.
+    * Planning-only probe (`toRdd.getNumPartitions` lists files, reads no
+    * data); identity for any input that already has enough splits, so at
+    * scale this never adds an exchange. The spread path CUTS LINEAGE with
+    * an eager checkpoint: a bare repartition is porous — Catalyst pushes
+    * filters through it, so the downstream gate's expensive predicate
+    * would run below the exchange, back in the single scan task (measured
+    * as q165's residual 5 s whale). The cut is bounded by construction:
+    * this branch only fires for inputs with fewer splits than cores,
+    * i.e. small files (split size is capped by maxPartitionBytes). */
+  private def spreadForCpu(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p)
+      df.repartition(p).localCheckpoint(true)
+    else df
   }
 
   /** Stage-2 gate as a standalone transform — language allowlist, minimum

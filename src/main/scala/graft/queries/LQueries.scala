@@ -2435,13 +2435,13 @@ object LQueries {
     // 10000 can never bind; decontamination is off) are omitted: an
     // engine-side bug in any of them would still surface as a row-set
     // mismatch.
+    // Stage order mirrors the engine (round 15): the gate SCORES THE RAW
+    // text (feat/scored read documents directly), survivors are NFC+PII
+    // scrubbed in `kept` — one scrub per surviving row, matching
+    // CorpusPipeline.prepare's filter-then-normalize order.
     "q165_corpus_flagship" ->
       """WITH RECURSIVE raw AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS id,
-        |         regexp_replace(regexp_replace(nfc_normalize(text),
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |           '[0-9]{9,}', '<NUM>', 'g') AS text
-        |  FROM documents),
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
         |padded AS (SELECT id, text, ' ' || lower(text) || ' ' AS p FROM raw),
         |feat AS (
         |  SELECT id, text,
@@ -2486,7 +2486,11 @@ object LQueries {
         |         ELSE 0 END AS dup_w_q
         |  FROM feat),
         |kept AS (
-        |  SELECT id, text, lang, score_q, ws_tokens FROM scored
+        |  SELECT id,
+        |         regexp_replace(regexp_replace(nfc_normalize(text),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '[0-9]{9,}', '<NUM>', 'g') AS text,
+        |         lang, score_q, ws_tokens FROM scored
         |  WHERE lang = 'en' AND score_q >= 5000 AND dup_w_q <= 6500),
         |firsts AS (SELECT md5(text) AS h, min(id) AS keep_id FROM kept GROUP BY md5(text)),
         |surv AS (SELECT k.* FROM kept k

@@ -38,11 +38,16 @@ object StreamCorpus {
                     tsCol: String, watermark: String,
                     cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    val cleaned = docs.select(
-      idCol.cast("long").as("id"),
-      col(tsCol),
-      PiiScrub.scrub(call_function("graft_nfc", textCol)).as("text"))
-    CorpusPipeline.scoreAndGate(cleaned, cfg)
+    // Gate on the RAW text, scrub survivors — same order and same reason
+    // as the batch pipeline (CorpusPipeline.prepare stage 1): the gate
+    // references its text column ~18 times, and a lazy scrub column would
+    // be inlined into every one of them (a measured ~30x re-evaluation
+    // blowup); a stream cannot checkpoint the scrub away, so the order IS
+    // the fix here.
+    val gated = CorpusPipeline.scoreAndGate(docs.select(
+      idCol.cast("long").as("id"), col(tsCol), textCol.as("text")), cfg)
+    gated
+      .withColumn("text", PiiScrub.scrub(call_function("graft_nfc", col("text"))))
       .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
