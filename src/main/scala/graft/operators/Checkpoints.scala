@@ -51,6 +51,30 @@ object Checkpoints {
     }
   }
 
+  /** Raise a frame's partition count to the session's default parallelism
+    * when its planned RDD yields fewer partitions — CPU-dense per-row
+    * stages (shingling, minhash signatures, scoring gates: milliseconds
+    * of CPU per document) must not inherit a small file's 1-2-split
+    * parallelism, or the whole corpus runs through one task (q165's 32 s
+    * whale; the q146/q149/q150 single-row-group scan+shingle skew-ok
+    * class, round 15). The probe is planning-only (`toRdd
+    * .getNumPartitions` lists files, reads no data) and the helper is the
+    * IDENTITY whenever the input already has enough partitions — at
+    * scale, any real lake table does (split count is governed by
+    * maxPartitionBytes), so this never adds an exchange there. The
+    * spread path cuts lineage with an eager checkpoint: a bare
+    * repartition is porous — Catalyst pushes filters and projections
+    * through it, putting the expensive expressions right back in the
+    * single scan task. The cut is bounded by construction: the branch
+    * only fires for inputs with fewer splits than cores, i.e. small
+    * files. */
+  def spreadForCpu(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p)
+      df.repartition(p).localCheckpoint(eager = true)
+    else df
+  }
+
   /** `df.localCheckpoint(eager = true)` — unless the optimized plan is
     * already scan-cheap: only narrow, shuffle-free operators (project /
     * filter / union) over already-materialized leaves (a checkpoint's

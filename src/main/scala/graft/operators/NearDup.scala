@@ -20,6 +20,15 @@ object NearDup {
     * element outside whole-stage codegen and was ~10× slower. */
   def wordShingles(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
+    // Deliberately NOT spreadForCpu'd (round-15 measurement): the
+    // explode's consumers are aggregations/windows/self-joins whose
+    // exchanges dominate, and on a few-split input a single-partition
+    // gram stream satisfies their distributions WITHOUT an exchange —
+    // spreading here added a 9 MB exchange and 2.2x'd q100 while the
+    // shingle CPU itself is a sub-second slice. The signature builders
+    // ([[minHashSignatures]], [[weightedMinHashSignatures]]) and the
+    // weighted tf frame are the per-doc-CPU-dominated shapes that DO
+    // spread (q143/q146/q149/q150 read 0.4-0.6x their pins after).
     df.select(idCol.as("id"),
       explode(call_function("graft_shingles", textCol, lit(k))).as("gram"))
   }
@@ -136,7 +145,7 @@ object NearDup {
   def minHashSignatures(df: DataFrame, idCol: Column, textCol: Column,
                         k: Int, numHashes: Int): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
-    df.select(idCol.as("id"),
+    Checkpoints.spreadForCpu(df).select(idCol.as("id"),
         call_function("graft_minhash", textCol, lit(k), lit(numHashes)).as("s"))
       .where(col("s").isNotNull)
       .select(col("id") +:
@@ -512,7 +521,7 @@ object NearDup {
     * cap (n is then just the gram count, no second aggregation). */
   private def cappedTf(df: DataFrame, idCol: Column, textCol: Column,
                        k: Int, tfCap: Int): DataFrame = {
-    val raw = df
+    val raw = Checkpoints.spreadForCpu(df)
       .select(idCol.as("id"), multisetGrams(textCol, k).as("gs"))
       .where(col("id").isNotNull)
       .select(col("id"), size(col("gs")).cast("long").as("__rawn"), explode(col("gs")).as("gram"))
@@ -591,7 +600,7 @@ object NearDup {
                                 k: Int, numHashes: Int, tfCap: Int): DataFrame = {
     require(tfCap >= 1, s"tfCap must be >= 1, got $tfCap")
     graft.plans.GraftExtensions.register(df.sparkSession)
-    df.select(idCol.as("id"),
+    Checkpoints.spreadForCpu(df).select(idCol.as("id"),
         call_function("graft_minhash_w", textCol, lit(k), lit(numHashes), lit(tfCap)).as("s"))
       .where(col("s").isNotNull)
       .select(col("id") +:

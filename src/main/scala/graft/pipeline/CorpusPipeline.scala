@@ -131,24 +131,10 @@ object CorpusPipeline {
     tracked("split_total", split)
   }
 
-  /** Raise a frame's partition count to the session's default parallelism
-    * when the planned scan yields fewer splits — CPU-dense per-row stages
-    * downstream must not inherit a small file's 1-2-split parallelism.
-    * Planning-only probe (`toRdd.getNumPartitions` lists files, reads no
-    * data); identity for any input that already has enough splits, so at
-    * scale this never adds an exchange. The spread path CUTS LINEAGE with
-    * an eager checkpoint: a bare repartition is porous — Catalyst pushes
-    * filters through it, so the downstream gate's expensive predicate
-    * would run below the exchange, back in the single scan task (measured
-    * as q165's residual 5 s whale). The cut is bounded by construction:
-    * this branch only fires for inputs with fewer splits than cores,
-    * i.e. small files (split size is capped by maxPartitionBytes). */
-  private def spreadForCpu(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < p)
-      df.repartition(p).localCheckpoint(true)
-    else df
-  }
+  /** See [[graft.operators.Checkpoints.spreadForCpu]] — shared with the
+    * shingle/signature operator family, same rationale. */
+  private def spreadForCpu(df: DataFrame): DataFrame =
+    graft.operators.Checkpoints.spreadForCpu(df)
 
   /** Stage-2 gate as a standalone transform — language allowlist, minimum
     * quality, repetition caps — appending (lang, score_q, ws_tokens) and
