@@ -69,6 +69,8 @@ object Checkpoints {
     * only fires for inputs with fewer splits than cores, i.e. small
     * files. */
   def spreadForCpu(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // toRdd throws on streaming plans; a
+    // stream's micro-batch parallelism is the source's concern anyway
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < p)
       df.repartition(p).localCheckpoint(eager = true)

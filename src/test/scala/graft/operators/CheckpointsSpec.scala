@@ -70,6 +70,21 @@ class CheckpointsSpec extends SparkSpec {
       "seedDistances/connectedComponents must not leak the spread floor")
   }
 
+  test("spreadForCpu: spreads few-split batch frames, passes streams through") {
+    val p = ss.sparkContext.defaultParallelism
+    val small = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val spread = Checkpoints.spreadForCpu(small)
+    assert(spread.rdd.getNumPartitions == p, "few-split input must spread to parallelism")
+    assert(isCheckpointScan(spread), "the spread path must cut lineage " +
+      "(a bare repartition lets filters push back under the exchange)")
+    // already-parallel input passes through untouched
+    val wide = small.repartition(p)
+    assert(Checkpoints.spreadForCpu(wide) eq wide)
+    // a streaming frame must pass through (toRdd throws on streaming plans)
+    val stream = ss.readStream.format("rate").load()
+    assert(Checkpoints.spreadForCpu(stream) eq stream)
+  }
+
   test("BFS expansion join builds on the FRONTIER side, never the edges (plan pin)") {
     // the round-14 inversion: stale checkpoint stats made the planner
     // broadcast the edge set; the explicit hint pins the build side.
