@@ -57,20 +57,28 @@ object Checkpoints {
     * of CPU per document) must not inherit a small file's 1-2-split
     * parallelism, or the whole corpus runs through one task (q165's 32 s
     * whale; the q146/q149/q150 single-row-group scan+shingle skew-ok
-    * class, round 15). The probe is planning-only (`toRdd
-    * .getNumPartitions` lists files, reads no data) and the helper is the
-    * IDENTITY whenever the input already has enough partitions — at
-    * scale, any real lake table does (split count is governed by
-    * maxPartitionBytes), so this never adds an exchange there. The
-    * spread path cuts lineage with an eager checkpoint: a bare
-    * repartition is porous — Catalyst pushes filters and projections
-    * through it, putting the expensive expressions right back in the
-    * single scan task. The cut is bounded by construction: the branch
-    * only fires for inputs with fewer splits than cores, i.e. small
-    * files. */
+    * class, round 15). The probe (`toRdd.getNumPartitions`) runs ONLY on
+    * narrow-over-leaf plans — scan/checkpoint/literal under
+    * project/filter/union — where it is genuinely planning-only (file
+    * listing, no jobs). On any plan containing an exchange, AQE's
+    * `toRdd` MATERIALIZES every intermediate query stage and throws the
+    * work away (round-15 review finding: probing a sort-merge semi-join
+    * input would shuffle the whole corpus per probe), so wider frames
+    * skip the probe entirely — they sit above a shuffle and already
+    * carry `spark.sql.shuffle.partitions`-grade parallelism. The spread
+    * path cuts lineage with an eager checkpoint: a bare repartition is
+    * porous — Catalyst pushes filters and projections through it,
+    * putting the expensive expressions right back in the single scan
+    * task. The cut is bounded by construction: the branch only fires
+    * for inputs with fewer splits than cores, i.e. small files. */
   def spreadForCpu(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // toRdd throws on streaming plans; a
     // stream's micro-batch parallelism is the source's concern anyway
+    def narrowOverLeaf(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: Union => p.children.forall(narrowOverLeaf)
+      case _ => p.children.isEmpty // any leaf: file scan, LogicalRDD, literal
+    }
+    if (!narrowOverLeaf(df.queryExecution.optimizedPlan)) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < p)
       df.repartition(p).localCheckpoint(eager = true)

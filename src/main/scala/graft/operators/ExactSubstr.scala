@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   * non-duplicated context and so is not duplicated.
   *
   * Scale shape (the reason this beats a distributed suffix array at
-  * 100 TB): the corpus leaves the scan ONCE as a narrow positional-gram
-  * stream (doc_id, pos, 128-bit md5 of the gram) — ~40 bytes/token vs the
-  * 8x corpus size of a suffix array. First-occurrence detection is a
+  * 100 TB): the corpus is consumed as a narrow positional-gram stream
+  * (doc_id, pos, 128-bit md5 of the gram) — ~40 bytes/token vs the
+  * 8x corpus size of a suffix array. The stream is COMPUTED TWICE (once
+  * under the firsts aggregation, once as the gram-join probe side — the
+  * two subplans differ below their exchanges, so ReuseExchange cannot
+  * share them): deliberate, because re-scanning the corpus and re-hashing
+  * beats materializing a gram stream that is itself several times the
+  * corpus size, and the aggregation pass ships only post-combine
+  * partials. First-occurrence detection is a
   * map-side-combinable `min(struct(doc_id, pos)) / count` aggregation by
   * gram hash (NOT a window rank: partial aggregation absorbs hot grams
   * before the shuffle, where a rank window ships every occurrence of the

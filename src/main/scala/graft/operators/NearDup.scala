@@ -243,7 +243,16 @@ object NearDup {
     def narrowed(pairIdCol: String): DataFrame = {
       val idsUnhinted = candPersisted.select(col(pairIdCol).as("__cid")).distinct()
       val ids = if (hintable) broadcast(idsUnhinted) else idsUnhinted
-      df.join(ids, idCol === col("__cid"), "left_semi")
+      // Checkpoint + spread: the semi-join output is candidate-bounded
+      // (the suspects-only subset this harness already persists the
+      // inputs of), and the verify side builds CPU-dense per-doc frames
+      // (shingle explode / tf grams) from it — AQE's byte-based
+      // coalescing would hand a small-byte subset to ONE task (q149's
+      // 3 s verify whale, round 15). The checkpoint makes the frame a
+      // leaf, so spreadForCpu's partition probe is planning-only here
+      // (probing the bare join would EXECUTE it under AQE).
+      Checkpoints.spreadForCpu(
+        df.join(ids, idCol === col("__cid"), "left_semi").localCheckpoint(true))
     }
     val out = verify(cand, narrowed).localCheckpoint(true)
     candPersisted.unpersist(false)

@@ -90,8 +90,13 @@ object CorpusPipeline {
     // so its parallelism must not be capped by the scan's split count — a
     // single-file documents table otherwise runs the whole corpus through
     // one task; identity whenever the scan already yields enough splits.
-    val gated = tracked("lang_quality_kept", scoreAndGate(
-      spreadForCpu(docs.select(idCol.cast("long").as("id"), textCol.as("text"))), cfg))
+    // "ingested" observes the pipeline's INPUT row count (pre-gate) —
+    // the round-15 reorder moved "normalized" below the gate, which
+    // silently turned the old normalized−kept drop-rate reading into a
+    // constant 0; the input count gets its own stage name instead.
+    val ingested = tracked("ingested",
+      spreadForCpu(docs.select(idCol.cast("long").as("id"), textCol.as("text"))))
+    val gated = tracked("lang_quality_kept", scoreAndGate(ingested, cfg))
 
     // 2. normalize + scrub the survivors (narrow), then the eager
     // checkpoint: the frame fans out below (dedup build side + survivor

@@ -8,10 +8,13 @@ import graft.pipeline.CorpusPipeline
 /** Streaming corpus ingestion (SURVEY §2b S8) — the streamable front half
   * of [[graft.pipeline.CorpusPipeline]]:
   *
-  *  1. normalize: NFC + PII scrub (narrow, identical to the batch stage 1);
-  *  2. gate: language / quality / repetition caps (the SAME
-  *     `CorpusPipeline.scoreAndGate` transform — pure column arithmetic
-  *     applies to a stream unchanged);
+  *  1. gate: language / quality / repetition caps over the RAW text (the
+  *     SAME `CorpusPipeline.scoreAndGate` transform — pure column
+  *     arithmetic applies to a stream unchanged; lang/score_q/ws_tokens
+  *     are computed on the text as it arrived, matching batch stage 1);
+  *  2. normalize survivors: NFC + PII scrub (narrow, identical to the
+  *     batch stage 2 and in the same gate-first order — see the
+  *     inlining rationale on `CorpusPipeline.prepare`);
   *  3. exact dedup: `dropDuplicatesWithinWatermark` on the normalized
   *     content fingerprint — bounded keyed state (one fingerprint per doc
   *     inside the watermark horizon), the streaming analog of the batch

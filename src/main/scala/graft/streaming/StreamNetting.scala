@@ -13,10 +13,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * EXACTLY as the batch suffix-min envelope would, and a posting's netted
   * amount is released downstream only once the watermark passes its event
   * time — at which point it is FINAL (released cash is never clawed
-  * back). A refund whose claw-back exceeds what the buffer can absorb —
-  * it targeted postings that already released, i.e. it arrived PAST the
-  * horizon of its prior postings — dead-letters the unabsorbed remainder
-  * instead of suppressing cash forever.
+  * back). A refund whose claw-back exceeds what the buffer can absorb
+  * leaves a standing DEFICIT on the axis (`f_net > c_raw`), which the
+  * envelope nets against every future posting's release — the batch
+  * refund-claws-subsequent-postings rule, kept live for as long as an
+  * absorber could still arrive on time. Only when the watermark passes
+  * the refund's own absorption horizon (`dref_ts < maxTs − 2·horizon`:
+  * every posting that could absorb it would now be late) is the
+  * remainder dead-lettered instead of suppressing cash forever; a quiet
+  * key's expired deficit is written off on its next activity (the
+  * examination rides the key's own rows).
   *
   * This closes the round-14 boundary where [[StreamRemittance]]
   * dead-lettered EVERY negative row: netting needs per-row posting
@@ -30,14 +36,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * refund-deducts-from-subsequent-postings rule), re-examined every
   * batch: whatever the remaining buffer cannot cover is dead-lettered.
   *
-  * Equivalence contract (spec-pinned): when every refund arrives while
-  * the postings it claws are still inside the horizon, the released
-  * stream equals batch `netAdjustments` on the same rows, row for row.
-  * Past-horizon claws surface as dead-letter rows, and conservation
-  * holds: released net + dead-lettered = what batch netting would have
-  * floored away plus released cash. Late rows (event time already behind
-  * the watermark) release immediately, netted against the current axis
-  * only — the standard best-effort late-data discipline.
+  * Equivalence contract (spec-pinned): the released stream equals batch
+  * `netAdjustments` on the same rows, row for row, whenever every
+  * refund's absorbers (the postings the suffix-min envelope charges —
+  * prior pending ones AND event-time-subsequent ones) arrive within the
+  * refund's absorption window `(refund.ts − horizon, refund.ts +
+  * horizon]` in event time and on time. Claws whose absorbers released
+  * before the refund arrived, or never arrived inside the window,
+  * surface as dead-letter rows once the window closes; released net +
+  * dead-lettered then equals released raw cash restored to ≥ 0 per key.
+  * Late rows (event time already behind the watermark) release
+  * immediately, netted against the current axis only — the standard
+  * best-effort late-data discipline.
   *
   * Scale shape per batch: one per-key sort window over (pending ∪ batch)
   * — horizon-bounded, the same class as the batch operator's two
@@ -80,7 +90,8 @@ object StreamNetting {
     * delta instead of recomputing against advanced state).
     *
     * @param horizonSec watermark horizon in seconds: a row releases once
-    *   max-seen event time exceeds its event time by more than this. */
+    *   max-seen event time exceeds its event time by AT LEAST this
+    *   (inclusive boundary: `ts <= maxTs − horizon` releases). */
   def applyBatch(batch: DataFrame, keyCol: Column, idCol: Column,
                  tsCol: Column, amountCol: Column, horizonSec: Long,
                  baseDir: String, batchId: Long): DataFrame = {
@@ -92,12 +103,24 @@ object StreamNetting {
     val newRows = batch.select(keyCol.as("key"), idCol.as("id"),
       tsCol.as("ts"), round(amountCol * 100).cast("long").as("c"))
     val rows = readLatest(spark, baseDir, "pending").fold(newRows)(_.unionByName(newRows))
-    val axis = readLatest(spark, baseDir, "axis").getOrElse {
+    // Axis schema: (key, c_raw, f_net, dref_id, dref_ts) — dref is the
+    // latest released refund whose claw is still outstanding (f_net >
+    // c_raw), carried so a LATER batch can attribute the write-off.
+    // On-read migration (the S23 received_cents precedent): axes written
+    // before round 15 lack the dref columns — add them as nulls, which
+    // the expiry test treats as never-expiring (pre-migration deficits
+    // only exist transiently with pending absorbers).
+    val axis0 = readLatest(spark, baseDir, "axis").getOrElse {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("key", rows.schema("key").dataType),
           StructField("c_raw", LongType), StructField("f_net", LongType))))
     }
+    val axis =
+      if (axis0.columns.contains("dref_ts")) axis0
+      else axis0
+        .withColumn("dref_id", lit(null).cast(rows.schema("id").dataType))
+        .withColumn("dref_ts", lit(null).cast(rows.schema("ts").dataType))
 
     // Global max event time (epoch millis) = the watermark clock (one-row
     // metadata collect; mirrors Spark's global watermark semantics).
@@ -108,6 +131,12 @@ object StreamNetting {
       case r => Some((Seq(r.getTimestamp(0).getTime) ++ prevMax).max)
     }
     val wm = batchMax.map(ms => new java.sql.Timestamp(ms - horizonSec * 1000L))
+    // Deficit-expiry clock: a refund's claw may be absorbed by postings
+    // with event time up to refund.ts + horizon (the ones that can still
+    // arrive non-late); once the watermark passes THAT point — i.e.
+    // dref_ts < maxTs − 2·horizon — no absorber can arrive on time and
+    // the remainder is written off.
+    val wm2 = batchMax.map(ms => new java.sql.Timestamp(ms - 2 * horizonSec * 1000L))
 
     // Suffix-min envelope over (axis carry + rows), floored at f_net:
     // released cash is the one thing a pending claw can never touch.
@@ -133,23 +162,49 @@ object StreamNetting {
     val pendingOut = netted.where(!col("__rel"))
       .select(col("key"), col("id"), col("ts"), col("c"))
 
-    // Axis merge + dead-letter: deficit (f_net' − c_raw') is the claw the
-    // released rows left outstanding; pending postings may absorb it, the
-    // rest dead-letters NOW (attributed to the latest released refund).
+    // Axis merge + deferred dead-letter. The deficit (f_net' − c_raw' ≥ 0)
+    // is the claw the released rows left outstanding; it STAYS on the
+    // axis — the f_net floor automatically nets it against every future
+    // posting's release, which is exactly the batch suffix-min rule
+    // (round-15 review: the old immediate write-off dead-lettered a claw
+    // whose in-horizon absorber simply hadn't ARRIVED yet, then released
+    // that absorber at full value — stream ≠ batch on ordered data). Only
+    // once the expiry clock passes the deficit's refund (no absorber can
+    // still arrive on time) is the remainder — less what the pending
+    // buffer will provably absorb — written off and c_raw squared up.
     val deltas = netted.groupBy(col("key"))
       .agg(first(col("c_raw")).as("c_raw"), first(col("f_net")).as("f_net"),
+        first(col("dref_id")).as("dref_id0"), first(col("dref_ts")).as("dref_ts0"),
         sum(when(col("__rel"), col("c")).otherwise(0L)).as("rel_raw"),
         sum(when(col("__rel"), col("net_cents")).otherwise(0L)).as("rel_net"),
         sum(when(!col("__rel"), greatest(col("c"), lit(0L))).otherwise(0L)).as("absorb_pos"),
         max(when(col("__rel") && col("c") < 0, struct(col("ts"), col("id")))).as("last_refund"))
       .withColumn("c1", col("c_raw") + col("rel_raw"))
       .withColumn("f1", col("f_net") + col("rel_net"))
-      .withColumn("dl", greatest(col("f1") - col("c1") - col("absorb_pos"), lit(0L)))
+      .withColumn("d1", greatest(col("f1") - col("c1"), lit(0L)))
+      // attribution: the latest-by-ts released refund, this batch's or the
+      // stored one (deficits only grow through released refunds)
+      .withColumn("__dref_ts", when(col("d1") > 0,
+        when(col("last_refund").isNotNull &&
+            (col("dref_ts0").isNull || col("last_refund.ts") >= col("dref_ts0")),
+          col("last_refund.ts")).otherwise(col("dref_ts0"))))
+      .withColumn("__dref_id", when(col("d1") > 0,
+        when(col("last_refund").isNotNull &&
+            (col("dref_ts0").isNull || col("last_refund.ts") >= col("dref_ts0")),
+          col("last_refund.id")).otherwise(col("dref_id0"))))
+      .withColumn("__expired",
+        wm2.map(col("__dref_ts") < lit(_)).getOrElse(lit(false)))
+      .withColumn("dl", when(col("__expired"),
+        greatest(col("d1") - col("absorb_pos"), lit(0L))).otherwise(lit(0L)))
     val deadLetters = deltas.where(col("dl") > 0)
-      .select(col("key"), col("last_refund.id").as("id"),
-        col("last_refund.ts").as("ts"), col("dl").as("cents"))
-    val axisTouched = deltas.select(col("key"),
-      (col("c1") + col("dl")).as("c_raw"), col("f1").as("f_net"))
+      .select(col("key"), col("__dref_id").as("id"),
+        col("__dref_ts").as("ts"), col("dl").as("cents"))
+    val axisTouched = deltas
+      .withColumn("__dleft", col("d1") - col("dl"))
+      .select(col("key"),
+        (col("c1") + col("dl")).as("c_raw"), col("f1").as("f_net"),
+        when(col("__dleft") > 0, col("__dref_id")).as("dref_id"),
+        when(col("__dleft") > 0, col("__dref_ts")).as("dref_ts"))
     // keys with no rows this batch carry their axis forward unchanged
     val axisOut = axis.join(deltas.select("key"), Seq("key"), "left_anti")
       .unionByName(axisTouched)

@@ -17,8 +17,12 @@ class CorpusPipelineSpec extends SparkSpec {
       // stage counts ride the checkpoints + the final action, in order,
       // and shrink monotonically through the filters/dedups
       val counts = report.collect(out).toMap
-      assert(counts.keySet == Set("normalized", "lang_quality_kept", "exact_deduped", "split_total"))
-      assert(counts("normalized") >= counts("lang_quality_kept"))
+      assert(counts.keySet == Set("ingested", "normalized", "lang_quality_kept",
+        "exact_deduped", "split_total"))
+      assert(counts("ingested") == docs.count(), "ingested observes the raw input")
+      assert(counts("ingested") >= counts("lang_quality_kept"))
+      assert(counts("normalized") == counts("lang_quality_kept"),
+        "normalization happens on the gate's survivors")
       assert(counts("lang_quality_kept") >= counts("exact_deduped"))
       assert(counts("exact_deduped") == n)
       // exact dedup really deduplicates: one row per distinct surviving text

@@ -111,6 +111,45 @@ class StreamNettingSpec extends SparkSpec {
       "the pending posting's 30 went to the claw")
   }
 
+  test("absorber arriving AFTER the refund's release still nets (deferred write-off)") {
+    val base = tmp()
+    // refund releases with nothing pending; its in-window absorber (+100
+    // @Jan-05, inside (refund.ts - h, refund.ts + h]) arrives two batches
+    // later. The old immediate write-off dead-lettered 100 AND released
+    // the posting at full value; batch nets the posting to 0.
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", -100.00)), DAY, 0L)
+    apply1(base, Seq((1L, 2L, "2024-01-01 12:00:00", 0.00)), DAY, 1L) // releases the refund
+    assert(StreamNetting.readDeadLetters(ss, base).get.count() == 0,
+      "deficit must NOT dead-letter while an absorber can still arrive on time")
+    apply1(base, Seq((1L, 3L, "2024-01-01 18:00:00", 100.00)), DAY, 2L)
+    apply1(base, Seq((1L, 9L, "2024-01-20 00:00:00", 0.00)), DAY, 3L) // release everything
+    val rel = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel == Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"the late-arriving absorber is clawed exactly as batch: $rel")
+    assert(StreamNetting.readDeadLetters(ss, base).get.count() == 0,
+      "fully absorbed in the window — nothing to write off")
+  }
+
+  test("unabsorbed deficit dead-letters once the absorption window closes") {
+    val base = tmp()
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", -100.00)), DAY, 0L)
+    apply1(base, Seq((1L, 2L, "2024-01-01 12:00:00", 0.00)), DAY, 1L) // releases the refund
+    assert(StreamNetting.readDeadLetters(ss, base).get.count() == 0)
+    // wm passes refund.ts + horizon (Jan-02): no absorber can now arrive
+    // on time; the remainder writes off, attributed to the refund
+    apply1(base, Seq((1L, 9L, "2024-01-10 00:00:00", 0.00)), DAY, 2L)
+    val dl = StreamNetting.readDeadLetters(ss, base).get
+      .select("id", "cents").as[(Long, Long)].collect().toSeq
+    assert(dl == Seq((1L, 10000L)), s"got $dl")
+    // and the axis is squared up: a later posting releases at full value
+    apply1(base, Seq((1L, 4L, "2024-01-15 00:00:00", 40.00)), DAY, 3L)
+    apply1(base, Seq((1L, 5L, "2024-02-20 00:00:00", 0.00)), DAY, 4L)
+    val rel = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel(4L) == 4000L, s"written-off deficit must not claw later cash: $rel")
+  }
+
   test("late row (behind the watermark on arrival) releases immediately, best-effort") {
     val base = tmp()
     apply1(base, Seq((1L, 1L, "2024-01-05 00:00:00", 100.00)), DAY, 0L)

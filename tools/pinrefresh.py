@@ -56,18 +56,32 @@ def main(argv):
     sec_hdr = "| query | seconds |"
     byt_hdr = "| query (bytes:) | shuffle MB | spill MB |"
 
+    sep_re = re.compile(r"^\|[\s\-:|]+\|\s*$")
+    headers = {sec_hdr, byt_hdr}
+
     def table_extent(header):
         """(first_row_i, last_row_i) of the contiguous |-block after the
         unique header line (skipping the |---| separator); refuses a
-        missing or duplicated header."""
+        missing or duplicated header, and a header with no separator row
+        (the walk would swallow the first data row as the separator).
+        The walk also stops at another table's header or separator, so an
+        EMPTY table abutting the next |-block cannot mis-scope the extent
+        (review r15)."""
         hits = [i for i, ln in enumerate(lines) if ln.strip() == header]
         if len(hits) != 1:
             print(f"REFUSING: header {header!r} found {len(hits)} times "
                   f"(need exactly 1) — fix BASELINE.md first", file=sys.stderr)
             sys.exit(2)
-        first = hits[0] + 2  # header + |---| separator
+        sep = hits[0] + 1
+        if sep >= len(lines) or not sep_re.match(lines[sep]):
+            print(f"REFUSING: header {header!r} has no |---| separator row "
+                  f"— fix BASELINE.md first", file=sys.stderr)
+            sys.exit(2)
+        first = sep + 1
         last = first - 1
-        while last + 1 < len(lines) and lines[last + 1].startswith("|"):
+        while (last + 1 < len(lines) and lines[last + 1].startswith("|")
+               and not sep_re.match(lines[last + 1])
+               and lines[last + 1].strip() not in headers):
             last += 1
         return first, last
 
