@@ -36,20 +36,45 @@ object Checkpoints {
     * adjudication of the r14 verdict's weak row). The floor is therefore
     * SCOPED: the iterative loops whose aggregates need spreading run
     * their eager per-round actions inside this bracket, everything else
-    * keeps Spark's default byte-based coalescing. Restore is try/finally;
-    * the conf is session-level, so concurrent queries on the SAME session
-    * during the bracket would also see the low floor — the engine's
-    * entry points run queries sequentially per session. */
+    * keeps Spark's default byte-based coalescing.
+    *
+    * The floor value reads `SPARK_GRAFT_MIN_PARTITION_SIZE_LOOP`
+    * (default 16k) so an A/B probe can move exactly the loops the floor
+    * is scoped to — the session-global `SPARK_GRAFT_MIN_PARTITION_SIZE`
+    * knob cannot reach inside the bracket (round-16 advice: a hardcoded
+    * value confounded the no-spread baseline probe).
+    *
+    * Concurrency contract: the conf is session-level, so OTHER queries
+    * running on the same session during the bracket also see the low
+    * floor — harmless (a conservative coalesce floor never changes
+    * results) and accepted because the engine's entry points run
+    * sequentially per session; spec-pinned. What would NOT be harmless is
+    * two overlapping brackets corrupting each other's restore (thread A
+    * restores while thread B still iterates, or B "restores" A's floor as
+    * the pre-value), so brackets REFERENCE-COUNT per session: only the
+    * first entry snapshots the pre-value, only the last exit restores —
+    * nested and concurrent brackets are safe by construction. */
   def withSpreadFloor[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "16k")
+    val floor = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE_LOOP", "16k")
+    val entered = bracketDepth.compute(spark, (_, d) =>
+      if (d == null) BracketState(1, spark.conf.getOption(key))
+      else d.copy(depth = d.depth + 1))
+    if (entered.depth == 1) spark.conf.set(key, floor)
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally {
+      val left = bracketDepth.compute(spark, (_, d) =>
+        if (d.depth == 1) null else d.copy(depth = d.depth - 1))
+      if (left == null) entered.prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
+
+  private case class BracketState(depth: Int, prev: Option[String])
+  private val bracketDepth =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, BracketState]()
 
   /** Raise a frame's partition count to the session's default parallelism
     * when its planned RDD yields fewer partitions — CPU-dense per-row
@@ -75,6 +100,13 @@ object Checkpoints {
     if (df.isStreaming) return df // toRdd throws on streaming plans; a
     // stream's micro-batch parallelism is the source's concern anyway
     def narrowOverLeaf(p: LogicalPlan): Boolean = p match {
+      // a scalar/IN subquery hides a whole child PLAN inside an
+      // expression: the node still looks narrow-over-leaf, but probing
+      // toRdd would execute the subquery's jobs (and AQE wraps
+      // subquery-bearing plans), breaking the planning-only guarantee
+      // (round-16 advice; latent — no current call site passes one)
+      case _ if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) => false
       case _: Project | _: Filter | _: Union => p.children.forall(narrowOverLeaf)
       case _ => p.children.isEmpty // any leaf: file scan, LogicalRDD, literal
     }

@@ -182,14 +182,24 @@ object StreamNetting {
       .withColumn("c1", col("c_raw") + col("rel_raw"))
       .withColumn("f1", col("f_net") + col("rel_net"))
       .withColumn("d1", greatest(col("f1") - col("c1"), lit(0L)))
-      // attribution: the latest-by-ts released refund, this batch's or the
-      // stored one (deficits only grow through released refunds)
+      // attribution: re-attribute ONLY when the deficit actually GREW this
+      // batch (a released refund added to it). A refund that released but
+      // was fully absorbed in-batch contributes nothing to the standing
+      // deficit — advancing the clock on it would keep an OLD remainder
+      // alive forever under recurring absorbed refund traffic (a +x/−x
+      // pair releasing every batch), so the old claw never dead-letters
+      // and any eventual write-off names the wrong refund (round-16
+      // advice). When it did grow, the latest-by-ts released refund
+      // governs: the single attribution slot errs toward the refund whose
+      // absorption window closes LAST, never writing off early.
+      .withColumn("__grew",
+        col("d1") > greatest(col("f_net") - col("c_raw"), lit(0L)))
       .withColumn("__dref_ts", when(col("d1") > 0,
-        when(col("last_refund").isNotNull &&
+        when(col("__grew") && col("last_refund").isNotNull &&
             (col("dref_ts0").isNull || col("last_refund.ts") >= col("dref_ts0")),
           col("last_refund.ts")).otherwise(col("dref_ts0"))))
       .withColumn("__dref_id", when(col("d1") > 0,
-        when(col("last_refund").isNotNull &&
+        when(col("__grew") && col("last_refund").isNotNull &&
             (col("dref_ts0").isNull || col("last_refund.ts") >= col("dref_ts0")),
           col("last_refund.id")).otherwise(col("dref_id0"))))
       .withColumn("__expired",

@@ -150,6 +150,38 @@ class StreamNettingSpec extends SparkSpec {
     assert(rel(4L) == 4000L, s"written-off deficit must not claw later cash: $rel")
   }
 
+  test("recurring fully-absorbed refund traffic does not re-arm an old deficit's expiry") {
+    val base = tmp()
+    // old deficit: refund -100 releases with nothing to absorb it
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", -100.00)), DAY, 0L)
+    apply1(base, Seq((1L, 9L, "2024-01-02 12:00:00", 0.00)), DAY, 1L) // releases it
+    assert(StreamNetting.readDeadLetters(ss, base).get.count() == 0)
+    // a +50/-50 pair (the refund fully absorbed in-batch: zero net
+    // contribution to the standing deficit) buffers, then releases in the
+    // batch that ALSO closes the old refund's absorption window. The
+    // round-16 advice scenario: attribution advancing to this pair's
+    // refund would push expiry out one horizon per pair — recurring pairs
+    // keep the old remainder alive forever and any eventual write-off
+    // names the wrong refund.
+    apply1(base, Seq((1L, 3L, "2024-01-02 18:00:00", 50.00),
+      (1L, 4L, "2024-01-02 19:00:00", -50.00)), DAY, 2L)
+    apply1(base, Seq((1L, 8L, "2024-01-04 00:00:00", 0.00)), DAY, 3L)
+    val dl = StreamNetting.readDeadLetters(ss, base).get
+      .select("key", "id", "cents").as[(Long, Long, Long)].collect().toSeq
+    assert(dl == Seq((1L, 1L, 10000L)),
+      s"old remainder writes off on ITS OWN window, named after refund 1: $dl")
+    // the pair itself netted to zero against the deficit's floor
+    val rel = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel(3L) == 0L && rel(4L) == 0L)
+    // axis squared up: later cash releases at full value
+    apply1(base, Seq((1L, 5L, "2024-01-10 00:00:00", 40.00)), DAY, 4L)
+    apply1(base, Seq((1L, 6L, "2024-02-20 00:00:00", 0.00)), DAY, 5L)
+    val rel2 = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel2(5L) == 4000L, s"written-off deficit must not claw later cash: $rel2")
+  }
+
   test("late row (behind the watermark on arrival) releases immediately, best-effort") {
     val base = tmp()
     apply1(base, Seq((1L, 1L, "2024-01-05 00:00:00", 100.00)), DAY, 0L)
