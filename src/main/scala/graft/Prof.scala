@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.NearDup
 import graft.sources.Tables
@@ -8,23 +8,48 @@ import graft.sources.Tables
 /** Dev profiling harness: time the sub-stages of a slow query in isolation
   * (each timed twice — cold then warm — so codegen compile cost is visible
   * separately from steady-state). Usage:
-  * `sbt "runMain graft.Prof <sfDir> [cpus]"` — pass cpus=32 when stage
-  * numbers must be comparable to bench captures. */
+  * `sbt "runMain graft.Prof <sfDir> [cpus] [suite]"` — pass cpus=32 when
+  * stage numbers must be comparable to bench captures. Suites:
+  * `neardup` (default — the near-dup family + q100/q126/q103 stages),
+  * `corpus` (q165 pipeline stages), `corpus-exprs` (per-expression
+  * scoring costs), `corpus-gate` (gate-stage plan inspection: expression
+  * re-evaluation counts), `kcore` (q126 peel rounds alone). Graph-query
+  * profiling stays in [[ProfGraph]]. The round-15 bisection one-offs
+  * (ProfC/ProfC2/ProfC3/ProfK) are folded here; git history keeps the
+  * original bisections. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = if (args.length > 1) args(1).toInt else 8
-    val spark = GraftSession.local("graft-prof", cpus)
+    val suite = if (args.length > 2) args(2) else "neardup"
+    val spark = GraftSession.local(s"graft-prof-$suite", cpus)
     spark.sparkContext.setLogLevel("WARN")
-
-    def time(name: String)(mk: => DataFrame): Unit = {
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = mk.count()
-        println(f"PROF $name%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.3fs rows=$n")
-      }
+    suite match {
+      case "neardup"      => neardup(spark, sfDir)
+      case "corpus"       => corpus(spark, sfDir, cpus)
+      case "corpus-exprs" => corpusExprs(spark, sfDir)
+      case "corpus-gate"  => corpusGate(spark, sfDir)
+      case "kcore"        => kcore(spark, sfDir)
+      case other => sys.error(s"unknown suite '$other' " +
+        "(neardup | corpus | corpus-exprs | corpus-gate | kcore)")
     }
+    spark.stop()
+  }
 
+  private def time(name: String)(mk: => DataFrame): DataFrame = {
+    var out: DataFrame = null
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      out = mk
+      val n = out.count()
+      println(f"PROF $name%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.3fs rows=$n")
+    }
+    out
+  }
+
+  /** The near-dup family + the q100 prefix-filter, q126 k-core and q103
+    * triangle stage breakdowns (the bench suite's heaviest rows). */
+  private def neardup(spark: SparkSession, sfDir: String): Unit = {
     val docs = Tables.documents(spark, sfDir)
     time("docs_scan") { docs }
     time("shingles") { NearDup.wordShingles(docs, col("doc_id"), col("text"), 3) }
@@ -125,6 +150,95 @@ object Prof {
       }
       time("q103_full") { graft.operators.Graph.triangleCounts(u) }
     }
-    spark.stop()
+  }
+
+  /** q165 corpus-pipeline stages (the round-15 whale bisection). */
+  private def corpus(spark: SparkSession, sfDir: String, cpus: Int): Unit = {
+    import graft.pipeline.CorpusPipeline
+    val cfg = CorpusPipeline.Config(minQualityQ = 5000L, maxDupWordFracQ = 6500L)
+    val docs = Tables.documents(spark, sfDir)
+    val cleaned = time("clean_nfc_pii") {
+      docs.repartition(cpus).select(col("doc_id").cast("long").as("id"),
+        graft.functions.PiiScrub.scrub(call_function("graft_nfc", col("text"))).as("text"))
+    }
+    val kept = time("score_gate") {
+      CorpusPipeline.scoreAndGate(cleaned, cfg)
+    }.localCheckpoint(true)
+    val keepIds = graft.operators.Dedup.exactByHash(kept, col("text"), col("id"))
+      .select(col("keep_id").as("id"))
+    val exactDeduped = time("exact_dedup") {
+      kept.join(keepIds, Seq("id"), "left_semi")
+    }.localCheckpoint(true)
+    println(s"exactDeduped parts after checkpoint: ${exactDeduped.rdd.getNumPartitions}")
+    val pairs = time("near_dup_pairs") {
+      graft.operators.NearDup.ngramJaccardPairs(exactDeduped, col("id"), col("text"),
+        cfg.shingleK, cfg.nearDupThreshold, cfg.maxGramDocFreq)
+    }
+    time("components") {
+      graft.operators.DupClusters.connectedComponents(pairs)
+    }
+    time("full_q165") {
+      CorpusPipeline.prepare(docs, col("doc_id"), col("text"), cfg)
+    }
+  }
+
+  /** Per-expression costs of the q165 scoring gate (which expression eats
+    * the time when the gate runs over the whole corpus). */
+  private def corpusExprs(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir).repartition(32)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    def timeC(name: String)(c: Column): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = docs.select(c.as("x")).agg(count(col("x"))).collect()(0).getLong(0)
+        println(f"PROF $name%-20s run$i ${(System.nanoTime() - t0) / 1e9}%8.3fs n=$n")
+      }
+    }
+    timeC("nfc")(call_function("graft_nfc", col("text")))
+    timeC("pii_scrub")(graft.functions.PiiScrub.scrub(col("text")))
+    timeC("lang_id")(graft.functions.TextAnalysis.langId(col("text")))
+    timeC("quality_q")(graft.functions.TextAnalysis.qualityScoreQ(col("text")))
+    timeC("ws_tokens")(graft.functions.TextAnalysis.wsTokenCount(col("text")))
+    timeC("word_tokens")(size(graft.functions.Repetition.wordTokens(col("text"))))
+    timeC("dup_word_q")(graft.functions.Repetition.dupFracQ(
+      graft.functions.Repetition.wordTokens(col("text"))))
+    timeC("dup_bigram_q")(graft.functions.Repetition.dupFracQ(
+      graft.functions.Repetition.wordNgrams(
+        graft.functions.Repetition.wordTokens(col("text")), 2)))
+    // doc-size profile: is there a monster document?
+    Tables.documents(spark, sfDir)
+      .select(max(length(col("text"))).as("max_len"),
+        expr("percentile(length(text), 0.99)").as("p99"),
+        avg(length(col("text"))).as("avg")).show()
+  }
+
+  /** Gate-stage plan inspection: times the gate over a pre-checkpointed
+    * clean frame and counts heavy-expression occurrences in the optimized
+    * plan (the round-15 ~30x re-evaluation finding's instrument). */
+  private def corpusGate(spark: SparkSession, sfDir: String): Unit = {
+    import graft.pipeline.CorpusPipeline
+    val cfg = CorpusPipeline.Config(minQualityQ = 5000L, maxDupWordFracQ = 6500L)
+    val docs = Tables.documents(spark, sfDir).repartition(32)
+      .select(col("doc_id").cast("long").as("id"), col("text")).localCheckpoint(true)
+    val kept = time("gate_only") { CorpusPipeline.scoreAndGate(docs, cfg) }
+    val plan = kept.queryExecution.optimizedPlan.toString
+    println("SPLIT_COUNT=" + "split\\(".r.findAllIn(plan).length)
+    println("NFC_COUNT=" + "graft_nfc".r.findAllIn(plan).length)
+    println("TRANSFORM_COUNT=" + "transform\\(".r.findAllIn(plan).length)
+    println("ARRAY_DISTINCT_COUNT=" + "array_distinct".r.findAllIn(plan).length)
+    println(plan.take(6000))
+  }
+
+  /** q126 k-core peel rounds alone (skip the near-dup family). */
+  private def kcore(spark: SparkSession, sfDir: String): Unit = {
+    var undV: DataFrame = null
+    time("edge_build_fresh") {
+      undV = graft.operators.Graph.coOccurrenceEdges(
+        Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey")
+      undV
+    }
+    val und = undV
+    time("kcore_1_round") { graft.operators.Graph.kCorePeel(und, 80, 1) }
+    time("kcore_5_rounds") { graft.operators.Graph.kCorePeel(und, 80, 5) }
   }
 }
