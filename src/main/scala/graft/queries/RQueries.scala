@@ -94,7 +94,132 @@ object RQueries {
     "q161_collections_e2e" -> ((s, d) => q161(s, d)),
     "q162_net_adjustments" -> ((s, d) => q162(s, d)),
     "q163_netted_settlement" -> ((s, d) => q163(s, d)),
+    "q166_stream_blocklist" -> ((s, d) => q166(s, d)),
+    "q167_stream_remittance" -> ((s, d) => q167(s, d)),
+    "q168_stream_netting" -> ((s, d) => q168(s, d)),
   )
+
+  /** Drive a [[graft.streaming.VersionedStore]]-backed streaming operator
+    * inside a batch verify query: a fresh store per run, deleted after the
+    * result is eagerly checkpointed off it. The q166-q168 rows exist so
+    * the S22/S23/S24 streaming code paths are ORACLE-keyed, not just
+    * spec-pinned: each drives the operator's real `applyBatch` (the exact
+    * code `foreachBatch` runs, commit markers included) over deterministic
+    * micro-batches of the test data and hash-compares the accumulated
+    * store against the batch form's DuckDB oracle. */
+  private def withTempStore[T](prefix: String)(body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally java.nio.file.Files.walk(dir)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+  }
+
+  /** Deterministic event-time micro-batches: fixed weekly cuts over the
+    * testdata's January span. Batch i's every timestamp precedes batch
+    * i+1's by construction (rows land by ts range), so arrival order
+    * respects event time — the S23 equivalence contract's premise. Null
+    * timestamps ride the first batch (Spark's nulls-first ascending). */
+  private val weekCuts = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+  private def weekBatches(df: DataFrame): Seq[DataFrame] = {
+    def cut(c: String) = lit(c).cast("timestamp")
+    val first = df.where(col("ts").isNull || col("ts") < cut(weekCuts.head))
+    val mids = weekCuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      df.where(col("ts") >= cut(lo) && col("ts") < cut(hi))
+    }
+    val last = df.where(col("ts") >= cut(weekCuts.last))
+    (first +: mids) :+ last
+  }
+
+  /** S22 oracle-keyed: the streaming blocklist store, folded batch by
+    * batch over the disposition log, must block exactly the keys the
+    * batch threshold rule (q04, R8) derives from the full log. The
+    * micro-batch split is by event-id hash — the count fold is
+    * order-independent, so any partition of the log is a valid arrival
+    * order. Output = q04's surviving-customer projection, read off the
+    * store's latest committed version. */
+  def q166(s: SparkSession, d: String): DataFrame = withTempStore("graft_q166_") { store =>
+    val ev = Tables.events(s, d)
+    (0 until 3).foreach { b =>
+      graft.streaming.StreamBlocklist.applyBatch(
+        ev.where(pmod(col("event_id"), lit(3)) === b),
+        col("user_id"), col("event_type"), Seq("error"), store, b.toLong)
+    }
+    val blocked = graft.streaming.StreamBlocklist.blockedKeys(s, store, threshold = 3)
+    Tables.load(s, d, "customer")
+      .join(blocked, col("c_custkey") === col("key"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .localCheckpoint(true) // materialize before the store is deleted
+  }
+
+  /** S23 oracle-keyed: payments stream through the real
+    * [[graft.streaming.StreamRemittance.applyBatch]] in weekly event-time
+    * micro-batches against the static invoice ledger; the accumulated
+    * allocation log, rolled up into q157's settlement readout, must
+    * hash-equal the batch FIFO application (R80) of the same payments —
+    * the S23 batch==stream contract checked by DuckDB instead of a spec
+    * assertion. */
+  def q167(s: SparkSession, d: String): DataFrame = withTempStore("graft_q167_") { store =>
+    val invoices = Tables.orders(s, d).where(col("o_orderstatus").isin("O", "P"))
+    val ledger = Remittance.invoiceIntervals(invoices,
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .localCheckpoint(true) // built once, reused per batch (the sink's own discipline)
+    val pay = Tables.events(s, d).where(col("event_type") === "purchase")
+    weekBatches(pay).zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamRemittance.applyBatch(b, col("user_id"),
+        col("event_id"), col("ts"), col("value"), ledger, store, i.toLong)
+    }
+    val alloc = graft.streaming.StreamRemittance.readAllocations(s, store).get
+      .groupBy(col("key"), col("inv_id"))
+      .agg(sum(col("alloc_cents")).as("paid_cents"), count(lit(1)).as("n_payments"))
+    invoices
+      .select(col("o_custkey").as("key"), col("o_orderkey").as("inv_id"),
+        round(col("o_totalprice") * 100).cast("long").as("inv_cents"))
+      .join(alloc, Seq("key", "inv_id"), "left")
+      .select(col("key"), col("inv_id"), col("inv_cents"),
+        coalesce(col("paid_cents"), lit(0L)).as("paid_cents"),
+        (col("inv_cents") - coalesce(col("paid_cents"), lit(0L))).as("outstanding_cents"),
+        coalesce(col("n_payments"), lit(0L)).as("n_payments"))
+      .withColumn("status",
+        when(col("outstanding_cents") <= 0, "PAID")
+          .when(col("paid_cents") > 0, "PARTIAL")
+          .otherwise("OPEN"))
+      .localCheckpoint(true)
+  }
+
+  /** S24 oracle-keyed: q162's signed postings/refunds stream through the
+    * real [[graft.streaming.StreamNetting.applyBatch]] in weekly
+    * event-time micro-batches (pending-buffer carry, axis merge, commit
+    * markers — the full path), with a horizon wider than the data span so
+    * every refund's absorbers are still pending when it lands; a final
+    * far-future zero-amount sentinel advances the global event-time clock
+    * past every real row's release point. The released rows must
+    * hash-equal the batch suffix-min envelope (q162's oracle) row for
+    * row. The sentinel itself never releases (its own horizon never
+    * passes) and the incremental-release/dead-letter semantics the wide
+    * horizon bypasses stay spec-pinned in StreamNettingSpec. */
+  def q168(s: SparkSession, d: String): DataFrame = withTempStore("graft_q168_") { store =>
+    import s.implicits._
+    val horizonSec = 365L * 86400L // >> the testdata's one-month span
+    val signed = when(col("event_id") % 7 === 0, -floor(col("value")))
+      .otherwise(col("value"))
+    val pay = Tables.events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), signed.as("signed"))
+    weekBatches(pay).zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamNetting.applyBatch(b, col("user_id"),
+        col("event_id"), col("ts"), col("signed"), horizonSec, store, i.toLong): Unit
+    }
+    val sentinel = Seq((-1L, -1L, "2030-01-01 00:00:00", 0.0))
+      .toDF("user_id", "event_id", "ts0", "signed")
+      .select(col("user_id"), col("event_id"),
+        col("ts0").cast("timestamp").as("ts"), col("signed"))
+    graft.streaming.StreamNetting.applyBatch(sentinel, col("user_id"),
+      col("event_id"), col("ts"), col("signed"), horizonSec, store,
+      weekCuts.length + 1L): Unit
+    graft.streaming.StreamNetting.readReleased(s, store).get
+      .select(col("key"), col("id"), col("net_cents"))
+      .localCheckpoint(true)
+  }
 
   /** R75: revenue-concentration (Pareto) report per market segment — the
     * top-decile customers' share of segment revenue, rank-defined via the
@@ -1761,6 +1886,60 @@ object RQueries {
         |  CAST(greatest(max(past_due), 0) AS BIGINT) AS worst_days_past_due
         |FROM open_inv GROUP BY key""".stripMargin,
     "q155_dunning" -> Q155DunningSql,
+    // q166-q168: the S22/S23/S24 streaming drives must equal their batch
+    // forms, so each reuses the batch sibling's oracle text VERBATIM
+    // (q04 / q157 / q162) — the equivalence IS the assertion.
+    "q166_stream_blocklist" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT user_id FROM events WHERE lower(trim(event_type)) = 'error'
+        |  GROUP BY user_id HAVING count(*) >= 3)""".stripMargin,
+    "q167_stream_remittance" ->
+      """WITH inv AS (
+        |  SELECT o_custkey AS key, o_orderkey AS inv_id,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS ic,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           OVER (PARTITION BY o_custkey
+        |                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS inv_hi
+        |  FROM orders WHERE o_orderstatus IN ('O', 'P')),
+        |pay AS (
+        |  SELECT user_id AS key, event_id AS pay_id,
+        |         CAST(round(value * 100) AS BIGINT) AS pc,
+        |         sum(CAST(round(value * 100) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pay_hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |alloc AS (
+        |  SELECT i.key, i.inv_id,
+        |         least(i.inv_hi, p.pay_hi) - greatest(i.inv_hi - i.ic, p.pay_hi - p.pc) AS a
+        |  FROM inv i JOIN pay p ON i.key = p.key
+        |  WHERE least(i.inv_hi, p.pay_hi) - greatest(i.inv_hi - i.ic, p.pay_hi - p.pc) > 0),
+        |agg AS (SELECT key, inv_id, CAST(sum(a) AS BIGINT) AS paid_cents,
+        |               CAST(count(*) AS BIGINT) AS n_payments
+        |        FROM alloc GROUP BY key, inv_id)
+        |SELECT i.key, i.inv_id, i.ic AS inv_cents,
+        |       COALESCE(g.paid_cents, 0) AS paid_cents,
+        |       i.ic - COALESCE(g.paid_cents, 0) AS outstanding_cents,
+        |       COALESCE(g.n_payments, 0) AS n_payments,
+        |       CASE WHEN i.ic - COALESCE(g.paid_cents, 0) <= 0 THEN 'PAID'
+        |            WHEN COALESCE(g.paid_cents, 0) > 0 THEN 'PARTIAL'
+        |            ELSE 'OPEN' END AS status
+        |FROM inv i LEFT JOIN agg g ON g.key = i.key AND g.inv_id = i.inv_id""".stripMargin,
+    "q168_stream_netting" ->
+      """WITH p AS (
+        |  SELECT user_id AS key, event_id AS id, ts,
+        |         CAST(round((CASE WHEN event_id % 7 = 0 THEN -floor(value)
+        |                          ELSE value END) * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c1 AS (SELECT key, id, ts,
+        |         sum(c) OVER (PARTITION BY key ORDER BY ts, id) AS cum
+        |       FROM p),
+        |c2 AS (SELECT key, id, ts,
+        |         greatest(min(cum) OVER (PARTITION BY key ORDER BY ts, id
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 0) AS env
+        |       FROM c1)
+        |SELECT key, id,
+        |       CAST(env - coalesce(lag(env) OVER (PARTITION BY key ORDER BY ts, id), 0) AS BIGINT) AS net_cents
+        |FROM c2""".stripMargin,
     "q162_net_adjustments" ->
       """WITH p AS (
         |  SELECT user_id AS key, event_id AS id, ts,
