@@ -413,6 +413,12 @@ object NearDup {
     val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
     val wRank = Window.partitionBy("id").orderBy(col("__df").asc, col("gram").asc)
     val wSize = Window.partitionBy("id")
+    // NOT checkpointed (round-16 measurement): the self-join computes this
+    // window pipeline once per side, but the two subtrees run as
+    // CONCURRENT stages and overlap across cores — materializing the
+    // table once serialized them behind a checkpoint barrier and read
+    // 0.4-0.6 s WORSE at sf0.1 (2.44 -> 2.6-3.0 s quiet), the same
+    // exchange-dominated lesson as the unspread gram stream above.
     val prefix = grams.join(dfreq, Seq("gram"))
       .withColumn("__n", count(lit(1)).over(wSize))
       .withColumn("__rn", row_number().over(wRank))
@@ -438,9 +444,38 @@ object NearDup {
     // aggregation) and intersect in-row. Two id-equality joins + one narrow
     // projection replace the gram-scale semi-join/explode/re-join pipeline;
     // nothing gram-sized shuffles after candidate generation.
+    //
+    // Checkpoint + spread the CANDIDATE side (round 16, the
+    // lshVerifyHarness idiom): the planner broadcasts the per-doc gram
+    // arrays, so the array_intersect verify runs at the PROBE side's
+    // parallelism — the distinct's AQE-coalesced output, which byte-based
+    // coalescing funnels into 2-4 tasks (125k pairs ≈ a few MB) while
+    // each pair costs real CPU. q100 read 2.9-3.2 s across five rounds of
+    // captures; a 32-task floor A/B probe read 1.7 s, and the stage
+    // bisection put the whole delta in this verify stage. The eager
+    // checkpoint makes the frame a leaf (the spread probe stays
+    // planning-only — probing the live candidate join under AQE would
+    // execute it), and is bounded by the prefix-filter yield, the set the
+    // harness must hold anyway. At scale the checkpoint keeps its
+    // partition count and the spread is identity. The GRAM stream
+    // (wordShingles above) stays unspread — its consumers are
+    // exchange-dominated and the r15 measurement showed spreading it 2.2x
+    // WORSE; same for the verify's doc-side input, whose arrays travel by
+    // broadcast (one small build, no per-task win from spreading it).
+    // The eager checkpoint runs the whole candidate build (the gram dfreq
+    // aggregate, the two prefix windows, the positional self-join, the
+    // distinct) — small-byte stages byte-based AQE coalescing
+    // underparallelizes — so the action runs inside the scoped
+    // spread-floor bracket (the Graph/DupClusters idiom; restored on
+    // exit). A/B over 4-5 quiet sf0.1 runs each: bracket on 2.06-2.46 s
+    // (mean 2.27), off 2.15-2.65 s (mean 2.39) — a small consistent win,
+    // most of the round-16 gain being the candSpread below.
+    val candSpread = Checkpoints.withSpreadFloor(df.sparkSession) {
+      Checkpoints.spreadForCpu(cand.localCheckpoint(eager = true))
+    }
     val gsets = df.select(idCol.as("id"),
       call_function("graft_shingles", textCol, lit(k)).as("g"))
-    cand
+    candSpread
       .join(gsets.select(col("id").as("id_a"), col("g").as("__ga")), Seq("id_a"))
       .join(gsets.select(col("id").as("id_b"), col("g").as("__gb")), Seq("id_b"))
       .withColumn("n_inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
