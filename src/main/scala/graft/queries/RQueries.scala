@@ -115,19 +115,24 @@ object RQueries {
       .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
   }
 
-  /** Deterministic event-time micro-batches: fixed weekly cuts over the
+  /** Deterministic event-time micro-batches: fixed tercile cuts over the
     * testdata's January span. Batch i's every timestamp precedes batch
     * i+1's by construction (rows land by ts range), so arrival order
     * respects event time — the S23 equivalence contract's premise. Null
-    * timestamps ride the first batch (Spark's nulls-first ascending). */
-  private val weekCuts = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
-  private def weekBatches(df: DataFrame): Seq[DataFrame] = {
+    * timestamps ride the first batch (Spark's nulls-first ascending).
+    * Three batches, not more: multi-batch state carry is exercised the
+    * same, and the netting drive's per-batch window runs over the WHOLE
+    * accumulating pending buffer (span-wide horizon — nothing releases
+    * until the sentinel), so batch count multiplies full-data passes
+    * (5+1 batches read 11.5 s at sf0.1; 3+1 read ~7). */
+  private val tsCuts = Seq("2024-01-11", "2024-01-21")
+  private def tsBatches(df: DataFrame): Seq[DataFrame] = {
     def cut(c: String) = lit(c).cast("timestamp")
-    val first = df.where(col("ts").isNull || col("ts") < cut(weekCuts.head))
-    val mids = weekCuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
+    val first = df.where(col("ts").isNull || col("ts") < cut(tsCuts.head))
+    val mids = tsCuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
       df.where(col("ts") >= cut(lo) && col("ts") < cut(hi))
     }
-    val last = df.where(col("ts") >= cut(weekCuts.last))
+    val last = df.where(col("ts") >= cut(tsCuts.last))
     (first +: mids) :+ last
   }
 
@@ -153,7 +158,7 @@ object RQueries {
   }
 
   /** S23 oracle-keyed: payments stream through the real
-    * [[graft.streaming.StreamRemittance.applyBatch]] in weekly event-time
+    * [[graft.streaming.StreamRemittance.applyBatch]] in event-time
     * micro-batches against the static invoice ledger; the accumulated
     * allocation log, rolled up into q157's settlement readout, must
     * hash-equal the batch FIFO application (R80) of the same payments —
@@ -165,7 +170,7 @@ object RQueries {
         col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .localCheckpoint(true) // built once, reused per batch (the sink's own discipline)
     val pay = Tables.events(s, d).where(col("event_type") === "purchase")
-    weekBatches(pay).zipWithIndex.foreach { case (b, i) =>
+    tsBatches(pay).zipWithIndex.foreach { case (b, i) =>
       graft.streaming.StreamRemittance.applyBatch(b, col("user_id"),
         col("event_id"), col("ts"), col("value"), ledger, store, i.toLong)
     }
@@ -188,8 +193,8 @@ object RQueries {
   }
 
   /** S24 oracle-keyed: q162's signed postings/refunds stream through the
-    * real [[graft.streaming.StreamNetting.applyBatch]] in weekly
-    * event-time micro-batches (pending-buffer carry, axis merge, commit
+    * real [[graft.streaming.StreamNetting.applyBatch]] in event-time
+    * micro-batches (pending-buffer carry, axis merge, commit
     * markers — the full path), with a horizon wider than the data span so
     * every refund's absorbers are still pending when it lands; a final
     * far-future zero-amount sentinel advances the global event-time clock
@@ -205,7 +210,7 @@ object RQueries {
       .otherwise(col("value"))
     val pay = Tables.events(s, d).where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"), signed.as("signed"))
-    weekBatches(pay).zipWithIndex.foreach { case (b, i) =>
+    tsBatches(pay).zipWithIndex.foreach { case (b, i) =>
       graft.streaming.StreamNetting.applyBatch(b, col("user_id"),
         col("event_id"), col("ts"), col("signed"), horizonSec, store, i.toLong): Unit
     }
@@ -215,7 +220,7 @@ object RQueries {
         col("ts0").cast("timestamp").as("ts"), col("signed"))
     graft.streaming.StreamNetting.applyBatch(sentinel, col("user_id"),
       col("event_id"), col("ts"), col("signed"), horizonSec, store,
-      weekCuts.length + 1L): Unit
+      tsCuts.length + 2L): Unit
     graft.streaming.StreamNetting.readReleased(s, store).get
       .select(col("key"), col("id"), col("net_cents"))
       .localCheckpoint(true)
