@@ -90,6 +90,19 @@ object ProfGraph {
           graft.operators.Graph.pageRank(
             graft.operators.Graph.symmetrize(und), 5).count()
         }
+      case "triangles" =>
+        // A/B the documented broadcast-adjacency escape hatch in ONE
+        // session: broadcastDegrees=true is the small-graph fast path
+        // (adjacency ~96 MB at sf1), =false the billion-node shuffle
+        // degrade — the sf10 scale point measures where the cliff sits.
+        (1 to 2).foreach { i =>
+          report(s"tri_broadcast_$i") {
+            graft.operators.Graph.triangleCounts(und).count()
+          }
+          report(s"tri_shuffle_$i") {
+            graft.operators.Graph.triangleCounts(und, broadcastDegrees = false).count()
+          }
+        }
       case "neardup" =>
         val docs = Tables.documents(spark, sfDir)
         (1 to 2).foreach { i =>

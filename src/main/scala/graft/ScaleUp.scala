@@ -29,27 +29,43 @@ object ScaleUp {
 
   private val Shift = 10000000L
 
+  /** Replica word-suffix, pairwise-distinct and alphabetic: r 1..25 →
+    * "qa".."qy" (the original scheme), r 26.. → "qaa".."qyy" (sf10 needs
+    * 100 replicas — round-16 task). No two suffixes can collide through
+    * word boundaries: equal concatenations would force a 'q'-led overlap
+    * that the letter ranges (a..y, never a bare trailing q) rule out. */
+  private[graft] def wordSuffix(r: Int): String =
+    if (r <= 25) "q" + ('a' + r - 1).toChar
+    else "q" + ('a' + (r - 26) / 25).toChar + ('a' + (r - 26) % 25).toChar
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "data/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
-    require(replicas >= 1 && replicas <= 26, "replicas in 1..26")
+    require(replicas >= 1 && replicas <= 625, "replicas in 1..625")
+    // Optional 4th arg: comma-separated table subset (sf10 generates only
+    // what its scale-point queries read — 100 replicas of every table is
+    // pointless disk).
+    val tables: String => Boolean =
+      if (args.length > 3) { val s = args(3).split(",").toSet; s.contains(_) }
+      else _ => true
     val spark = GraftSession.local("graft-scaleup")
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      // unionByName: the r>0 branches select in hardcoded order; never let a
-      // source-parquet column-order difference mis-align same-typed columns
-      val all = (0 until replicas).map(r => xform(base, r)).reduce(_ unionByName _)
-      all.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
-      System.err.println(s"[scaleup] $name -> $out/$name.parquet")
-    }
+    def replicate(name: String)(xform: (DataFrame, Int) => DataFrame): Unit =
+      if (tables(name)) {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        // unionByName: the r>0 branches select in hardcoded order; never let a
+        // source-parquet column-order difference mis-align same-typed columns
+        val all = (0 until replicas).map(r => xform(base, r)).reduce(_ unionByName _)
+        all.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+        System.err.println(s"[scaleup] $name -> $out/$name.parquet")
+      }
 
     replicate("documents") { (df, r) =>
       if (r == 0) df
       else {
-        val sfx = "q" + ('a' + r - 1).toChar // qa..qy: stays alphabetic
+        val sfx = wordSuffix(r)
         val txt = array_join(
           transform(split(col("text"), " "), w => concat(w, lit(sfx))), " ")
         df.select((col("doc_id") + r * Shift).as("doc_id"), txt.as("text"),
@@ -60,7 +76,11 @@ object ScaleUp {
     replicate("customer") { (df, r) =>
       if (r == 0) df
       else {
-        val tag = (('a' + r - 1).toChar.toString * 3)
+        // r<=25: one letter ×3 (pairwise edit distance 3). r>=26: the
+        // two-letter suffix code ×3 (distinct codes differ in >=1 letter ->
+        // >=3 edits across the repeats; 6-char vs 3-char tags differ by
+        // length alone).
+        val tag = wordSuffix(r).drop(1) * 3
         df.select((col("c_custkey") + r * Shift).as("c_custkey"),
           concat(col("c_name"), lit(" " + tag)).as("c_name"),
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
