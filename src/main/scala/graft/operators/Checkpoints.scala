@@ -96,25 +96,38 @@ object Checkpoints {
     * putting the expensive expressions right back in the single scan
     * task. The cut is bounded by construction: the branch only fires
     * for inputs with fewer splits than cores, i.e. small files. */
-  def spreadForCpu(df: DataFrame): DataFrame = {
-    if (df.isStreaming) return df // toRdd throws on streaming plans; a
-    // stream's micro-batch parallelism is the source's concern anyway
+  def spreadForCpu(df: DataFrame): DataFrame =
+    if (fewSplit(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = true)
+    else df
+
+  /** True when `df` is a narrow-over-leaf batch frame whose PLANNED
+    * partition count is below the session's default parallelism — the
+    * "small file about to starve a CPU-dense stage" predicate behind
+    * [[spreadForCpu]], exposed so operators can also gate STRUCTURAL
+    * choices on it (q100 checkpoints+spreads its candidate set only on
+    * few-split corpora: at real scale the same checkpoint is a barrier
+    * that serializes otherwise-overlapping stages — measured +2.6-3.6 s
+    * at sf1, round 16). False for anything where the probe would not be
+    * planning-only: streaming plans (toRdd throws), plans with exchanges
+    * (AQE's toRdd materializes every query stage), subquery-bearing plans
+    * (toRdd executes the subquery's jobs — round-16 advice; latent). */
+  def fewSplit(df: DataFrame): Boolean = {
+    if (df.isStreaming) return false // a stream's micro-batch parallelism
+    // is the source's concern anyway
     def narrowOverLeaf(p: LogicalPlan): Boolean = p match {
       // a scalar/IN subquery hides a whole child PLAN inside an
       // expression: the node still looks narrow-over-leaf, but probing
       // toRdd would execute the subquery's jobs (and AQE wraps
       // subquery-bearing plans), breaking the planning-only guarantee
-      // (round-16 advice; latent — no current call site passes one)
       case _ if p.expressions.exists(_.exists(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) => false
       case _: Project | _: Filter | _: Union => p.children.forall(narrowOverLeaf)
       case _ => p.children.isEmpty // any leaf: file scan, LogicalRDD, literal
     }
-    if (!narrowOverLeaf(df.queryExecution.optimizedPlan)) return df
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < p)
-      df.repartition(p).localCheckpoint(eager = true)
-    else df
+    narrowOverLeaf(df.queryExecution.optimizedPlan) &&
+      df.queryExecution.toRdd.getNumPartitions <
+        df.sparkSession.sparkContext.defaultParallelism
   }
 
   /** `df.localCheckpoint(eager = true)` — unless the optimized plan is

@@ -469,10 +469,16 @@ object NearDup {
     // spread-floor bracket (the Graph/DupClusters idiom; restored on
     // exit). A/B over 4-5 quiet sf0.1 runs each: bracket on 2.06-2.46 s
     // (mean 2.27), off 2.15-2.65 s (mean 2.39) — a small consistent win,
-    // most of the round-16 gain being the candSpread below.
-    val candSpread = Checkpoints.withSpreadFloor(df.sparkSession) {
-      Checkpoints.spreadForCpu(cand.localCheckpoint(eager = true))
-    }
+    // most of the round-16 gain being the checkpoint+spread itself.
+    // GATED on the few-split probe of the CORPUS scan: on a corpus that
+    // already carries parallelism-many splits the same checkpoint is a
+    // pure barrier — it serialized the candidate build against the
+    // verify side's gram build and read +2.6-3.6 s at sf1 (measured
+    // round 16) — so at scale the candidates flow lazily, as before.
+    val candSpread =
+      if (Checkpoints.fewSplit(df)) Checkpoints.withSpreadFloor(df.sparkSession) {
+        Checkpoints.spreadForCpu(cand.localCheckpoint(eager = true))
+      } else cand
     val gsets = df.select(idCol.as("id"),
       call_function("graft_shingles", textCol, lit(k)).as("g"))
     candSpread
