@@ -29,20 +29,24 @@ object ScaleUp {
 
   private val Shift = 10000000L
 
-  /** Replica word-suffix, pairwise-distinct and alphabetic: r 1..25 →
-    * "qa".."qy" (the original scheme), r 26.. → "qaa".."qyy" (sf10 needs
-    * 100 replicas — round-16 task). No two suffixes can collide through
-    * word boundaries: equal concatenations would force a 'q'-led overlap
-    * that the letter ranges (a..y, never a bare trailing q) rule out. */
+  /** Replica word-suffix, pairwise-distinct and alphabetic: r 1..24 →
+    * one letter after the 'q' marker, r 25.. → two letters (sf10 needs
+    * 100 replicas — round-16 task). The letter alphabet EXCLUDES 'q'
+    * (round-16 review): with 'q' admitted, a two-letter code could start
+    * with it ("qqa") and w+"qqa" == (w+"q")+"qa" collides replica tokens
+    * through a word boundary; with every non-marker letter != 'q', the
+    * marker position is unambiguous and suffixed tokens can only be equal
+    * when base word and suffix both match. */
+  private val SuffixAlpha = "abcdefghijklmnoprstuvwxy" // a..y minus q (24)
   private[graft] def wordSuffix(r: Int): String =
-    if (r <= 25) "q" + ('a' + r - 1).toChar
-    else "q" + ('a' + (r - 26) / 25).toChar + ('a' + (r - 26) % 25).toChar
+    if (r <= 24) "q" + SuffixAlpha(r - 1)
+    else "q" + SuffixAlpha((r - 25) / 24) + SuffixAlpha((r - 25) % 24)
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "data/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
-    require(replicas >= 1 && replicas <= 625, "replicas in 1..625")
+    require(replicas >= 1 && replicas <= 601, "replicas in 1..601 (1 base + 24 one-letter + 576 two-letter suffixes)")
     // Optional 4th arg: comma-separated table subset (sf10 generates only
     // what its scale-point queries read — 100 replicas of every table is
     // pointless disk).
@@ -76,7 +80,7 @@ object ScaleUp {
     replicate("customer") { (df, r) =>
       if (r == 0) df
       else {
-        // r<=25: one letter ×3 (pairwise edit distance 3). r>=26: the
+        // r<=24: one letter ×3 (pairwise edit distance 3). r>=25: the
         // two-letter suffix code ×3 (distinct codes differ in >=1 letter ->
         // >=3 edits across the repeats; 6-char vs 3-char tags differ by
         // length alone).

@@ -57,19 +57,26 @@ object Checkpoints {
   def withSpreadFloor[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val floor = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE_LOOP", "16k")
-    val entered = bracketDepth.compute(spark, (_, d) =>
-      if (d == null) BracketState(1, spark.conf.getOption(key))
-      else d.copy(depth = d.depth + 1))
-    if (entered.depth == 1) spark.conf.set(key, floor)
+    // Snapshot-and-set and restore both run INSIDE the per-key atomic
+    // compute: done outside, a first-entry snapshot racing a last-exit
+    // restore could read the floor itself as the "pre-value" and leak it
+    // session-wide, or restore while another bracket still runs (round-16
+    // review — the refcount alone only serialized the depth bookkeeping).
+    bracketDepth.compute(spark, (_, d) =>
+      if (d == null) {
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, floor)
+        BracketState(1, prev)
+      } else d.copy(depth = d.depth + 1))
     try body
-    finally {
-      val left = bracketDepth.compute(spark, (_, d) =>
-        if (d.depth == 1) null else d.copy(depth = d.depth - 1))
-      if (left == null) entered.prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
+    finally bracketDepth.compute(spark, (_, d) =>
+      if (d.depth == 1) {
+        d.prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        null
+      } else d.copy(depth = d.depth - 1))
   }
 
   private case class BracketState(depth: Int, prev: Option[String])

@@ -475,9 +475,16 @@ object NearDup {
     // pure barrier — it serialized the candidate build against the
     // verify side's gram build and read +2.6-3.6 s at sf1 (measured
     // round 16) — so at scale the candidates flow lazily, as before.
+    // One materialization, not checkpoint-then-spreadForCpu: on this path
+    // the spread is wanted unconditionally (the gate already established
+    // the small-corpus context, and the candidate set is candidate-
+    // bounded), so probing would only ever confirm it — repartition
+    // before the single eager checkpoint instead of materializing twice
+    // back-to-back (round-16 review).
     val candSpread =
       if (Checkpoints.fewSplit(df)) Checkpoints.withSpreadFloor(df.sparkSession) {
-        Checkpoints.spreadForCpu(cand.localCheckpoint(eager = true))
+        cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+          .localCheckpoint(eager = true)
       } else cand
     val gsets = df.select(idCol.as("id"),
       call_function("graft_shingles", textCol, lit(k)).as("g"))

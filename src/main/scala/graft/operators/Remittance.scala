@@ -188,9 +188,19 @@ object Remittance {
   def settlement(invoices: DataFrame, iKey: Column, invId: Column,
                  invDate: Column, invAmount: Column,
                  payments: DataFrame, pKey: Column, payId: Column,
-                 payTs: Column, payAmount: Column): DataFrame = {
-    val alloc = allocateFifo(invoices, iKey, invId, invDate, invAmount,
-        payments, pKey, payId, payTs, payAmount)
+                 payTs: Column, payAmount: Column): DataFrame =
+    settlementReadout(invoices, iKey, invId, invAmount,
+      allocateFifo(invoices, iKey, invId, invDate, invAmount,
+        payments, pKey, payId, payTs, payAmount))
+
+  /** Per-invoice settlement readout over ANY allocation-pair frame with
+    * (key, inv_id, alloc_cents) rows — [[settlement]]'s tail, shared with
+    * the streaming allocation log's readout (q167) so the PAID/PARTIAL/
+    * OPEN rules and cent rounding can never drift between the batch and
+    * stream forms of the same oracle (round-16 review). */
+  def settlementReadout(invoices: DataFrame, iKey: Column, invId: Column,
+                        invAmount: Column, allocPairs: DataFrame): DataFrame = {
+    val alloc = allocPairs
       .groupBy(col("key"), col("inv_id"))
       .agg(sum(col("alloc_cents")).as("paid_cents"),
         count(lit(1)).as("n_payments"))

@@ -110,9 +110,14 @@ object RQueries {
   private def withTempStore[T](prefix: String)(body: String => T): T = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     try body(dir.toString)
-    finally java.nio.file.Files.walk(dir)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    finally {
+      // Files.walk holds open directory handles until closed (round-16
+      // review: leaking one stream per verify run drifts toward the fd cap)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally walk.close()
+    }
   }
 
   /** Deterministic event-time micro-batches: fixed tercile cuts over the
@@ -174,21 +179,8 @@ object RQueries {
       graft.streaming.StreamRemittance.applyBatch(b, col("user_id"),
         col("event_id"), col("ts"), col("value"), ledger, store, i.toLong)
     }
-    val alloc = graft.streaming.StreamRemittance.readAllocations(s, store).get
-      .groupBy(col("key"), col("inv_id"))
-      .agg(sum(col("alloc_cents")).as("paid_cents"), count(lit(1)).as("n_payments"))
-    invoices
-      .select(col("o_custkey").as("key"), col("o_orderkey").as("inv_id"),
-        round(col("o_totalprice") * 100).cast("long").as("inv_cents"))
-      .join(alloc, Seq("key", "inv_id"), "left")
-      .select(col("key"), col("inv_id"), col("inv_cents"),
-        coalesce(col("paid_cents"), lit(0L)).as("paid_cents"),
-        (col("inv_cents") - coalesce(col("paid_cents"), lit(0L))).as("outstanding_cents"),
-        coalesce(col("n_payments"), lit(0L)).as("n_payments"))
-      .withColumn("status",
-        when(col("outstanding_cents") <= 0, "PAID")
-          .when(col("paid_cents") > 0, "PARTIAL")
-          .otherwise("OPEN"))
+    Remittance.settlementReadout(invoices, col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), graft.streaming.StreamRemittance.readAllocations(s, store).get)
       .localCheckpoint(true)
   }
 

@@ -42,11 +42,17 @@ class CheckpointsSpec extends SparkSpec {
       "a LocalRelation is already free — no checkpoint")
   }
 
-  test("withSpreadFloor sets the 16k floor inside the bracket and restores after") {
+  // the bracket's floor reads the A/B env knob; assert against the same
+  // resolution so running the suite WITH the knob set (its stated
+  // purpose) does not fail spuriously (round-16 review)
+  private val loopFloor =
+    sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE_LOOP", "16k")
+
+  test("withSpreadFloor sets the scoped floor inside the bracket and restores after") {
     val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val before = ss.conf.getOption(key)
     val seen = Checkpoints.withSpreadFloor(ss) { ss.conf.get(key) }
-    assert(seen == "16k", "the low floor must be live inside the bracket")
+    assert(seen == loopFloor, "the low floor must be live inside the bracket")
     assert(ss.conf.getOption(key) == before, "conf must restore on exit")
     // restore must run on failure too (try/finally), and an explicitly-set
     // prior value round-trips
@@ -65,8 +71,8 @@ class CheckpointsSpec extends SparkSpec {
     // nested: the inner exit must NOT restore (the outer loop still runs),
     // and must NOT record "16k" as the pre-value either
     Checkpoints.withSpreadFloor(ss) {
-      Checkpoints.withSpreadFloor(ss) { assert(ss.conf.get(key) == "16k") }
-      assert(ss.conf.get(key) == "16k",
+      Checkpoints.withSpreadFloor(ss) { assert(ss.conf.get(key) == loopFloor) }
+      assert(ss.conf.get(key) == loopFloor,
         "inner exit must not restore while the outer bracket is live")
     }
     assert(ss.conf.get(key) == "3m", "outer exit restores the true pre-value")
@@ -80,7 +86,7 @@ class CheckpointsSpec extends SparkSpec {
       val (n, seen) = Await.result(Future {
         (ss.range(100).groupBy(col("id") % 7).count().count(), ss.conf.get(key))
       }, 60.seconds)
-      assert(n == 7 && seen == "16k",
+      assert(n == 7 && seen == loopFloor,
         "a concurrent query on the same session runs, under the scoped floor")
     }
     assert(ss.conf.get(key) == "3m")

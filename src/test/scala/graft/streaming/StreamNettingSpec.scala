@@ -182,6 +182,35 @@ class StreamNettingSpec extends SparkSpec {
     assert(rel2(5L) == 4000L, s"written-off deficit must not claw later cash: $rel2")
   }
 
+  test("a NEW overshooting refund re-arms the clock even while an old deficit stands") {
+    val base = tmp()
+    // old deficit: R1's -100 released unabsorbed
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", -100.00)), DAY, 0L)
+    apply1(base, Seq((1L, 9L, "2024-01-02 12:00:00", 0.00)), DAY, 1L)
+    // R2 (-70) co-releases WITH +40: the clean-axis counterfactual says 40
+    // of R2's claw is absorbed in-batch and 30 is live — the expiry clock
+    // must advance to R2 (round-16 review: writing the standing deficit
+    // off on R1's older clock would early-kill R2's live claw and release
+    // its on-time absorber at full value)
+    apply1(base, Seq((1L, 3L, "2024-01-02 18:00:00", 40.00),
+      (1L, 4L, "2024-01-02 19:00:00", -70.00)), DAY, 2L)
+    apply1(base, Seq((1L, 8L, "2024-01-04 00:00:00", 0.00)), DAY, 3L)
+    // R1's own window (Jan-02) has closed, but R2's is open: NOTHING may
+    // write off yet (single-slot clock errs toward the latest live claw)
+    assert(StreamNetting.readDeadLetters(ss, base).get.count() == 0,
+      "no write-off while the newest live claw's absorber can still arrive")
+    // R2's in-window absorber arrives and must be netted, not released whole
+    apply1(base, Seq((1L, 5L, "2024-01-03 12:00:00", 70.00)), DAY, 4L)
+    apply1(base, Seq((1L, 7L, "2024-01-10 00:00:00", 0.00)), DAY, 5L)
+    val rel = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel(5L) == 0L, s"the on-time absorber is netted into the deficit: $rel")
+    val dl = StreamNetting.readDeadLetters(ss, base).get
+      .select("id", "cents").as[(Long, Long)].collect().toSeq
+    assert(dl == Seq((4L, 6000L)),
+      s"the unabsorbable remainder (100+70-40-70) writes off on R2's clock: $dl")
+  }
+
   test("late row (behind the watermark on arrival) releases immediately, best-effort") {
     val base = tmp()
     apply1(base, Seq((1L, 1L, "2024-01-05 00:00:00", 100.00)), DAY, 0L)
