@@ -475,16 +475,16 @@ object NearDup {
     // pure barrier — it serialized the candidate build against the
     // verify side's gram build and read +2.6-3.6 s at sf1 (measured
     // round 16) — so at scale the candidates flow lazily, as before.
-    // One materialization, not checkpoint-then-spreadForCpu: on this path
-    // the spread is wanted unconditionally (the gate already established
-    // the small-corpus context, and the candidate set is candidate-
-    // bounded), so probing would only ever confirm it — repartition
-    // before the single eager checkpoint instead of materializing twice
-    // back-to-back (round-16 review).
+    // Two materializations ON PURPOSE (round-16 review suggested fusing
+    // into one cand.repartition(p).localCheckpoint — measured 1.2-1.6 s
+    // WORSE at sf0.1: with the user repartition as the query's final
+    // stage, AQE plans the candidate build around it differently, while
+    // the checkpoint-first form materializes the build at its own AQE
+    // plan and then reshuffles a candidate-bounded LEAF, which is
+    // trivial). Probe cost is zero: the checkpointed frame is a leaf.
     val candSpread =
       if (Checkpoints.fewSplit(df)) Checkpoints.withSpreadFloor(df.sparkSession) {
-        cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
-          .localCheckpoint(eager = true)
+        Checkpoints.spreadForCpu(cand.localCheckpoint(eager = true))
       } else cand
     val gsets = df.select(idCol.as("id"),
       call_function("graft_shingles", textCol, lit(k)).as("g"))
