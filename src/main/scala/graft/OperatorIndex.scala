@@ -67,8 +67,15 @@ object OperatorIndex {
       }
     }.toSeq
 
+  /** True when a streaming suite name resolves under the test tree
+    * (render runs from the repo root in both `main` and the spec). */
+  private def suiteFileExists(s: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"src/test/scala/graft/streaming/$s.scala"))
+
   /** The docs/OPERATORS.md content for a SURVEY.md text. */
-  def render(survey: String): String = {
+  def render(survey: String,
+             suiteExists: String => Boolean = suiteFileExists): String = {
     val rows = parse(survey)
     val header =
       s"""# Operator index
@@ -77,6 +84,9 @@ object OperatorIndex {
          |`graft` API entry point → the query that verifies it against the
          |DuckDB oracle (rows with no verify query are covered by their
          |ScalaTest spec instead — streaming sinks, codecs, drivers).
+         |Oracle-keyed streaming rows ALSO name the suite that pins the
+         |behaviors the oracle drive bypasses (incremental release,
+         |dead-letter, replay) — both verifications hold per row.
          |
          |GENERATED from SURVEY.md by `sbt "runMain graft.OperatorIndex"` —
          |do not hand-edit; `OperatorIndexSpec` fails on a stale or dangling
@@ -93,7 +103,12 @@ object OperatorIndex {
       // other rows' operators (their verify query IS the recipe)
       val api = if (r.api.isEmpty) "composition" else s"`graft.${r.api}`"
       val verify =
-        if (r.verify.nonEmpty) r.verify.mkString(", ")
+        if (r.verify.nonEmpty)
+          // oracle-keyed streaming rows keep their spec listed too: the
+          // oracle drive checks batch==stream on one arrival order; the
+          // suite pins the paths the drive bypasses (round-16 advice)
+          r.verify.mkString(", ") +
+            specRef(r).filter(suiteExists).fold("")(s => s" + spec: `$s`")
         else specRef(r).fold("spec")(s => s"spec: `$s`")
       s"| ${r.id} | ${r.title} | $api | $verify |"
     }.mkString("", "\n", "\n")

@@ -210,9 +210,12 @@ object RQueries {
       .toDF("user_id", "event_id", "ts0", "signed")
       .select(col("user_id"), col("event_id"),
         col("ts0").cast("timestamp").as("ts"), col("signed"))
+    // tsBatches drives ids 0..tsCuts.length; the sentinel takes the next
+    // free id (contiguous — a gap would trip any future VersionedStore
+    // contiguity assumption)
     graft.streaming.StreamNetting.applyBatch(sentinel, col("user_id"),
       col("event_id"), col("ts"), col("signed"), horizonSec, store,
-      tsCuts.length + 2L): Unit
+      tsCuts.length + 1L): Unit
     graft.streaming.StreamNetting.readReleased(s, store).get
       .select(col("key"), col("id"), col("net_cents"))
       .localCheckpoint(true)

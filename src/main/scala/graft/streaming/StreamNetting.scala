@@ -153,21 +153,6 @@ object StreamNetting {
       .withColumn("__prev", coalesce(lead(col("__env"), 1).over(wRev),
         greatest(col("f_net"), least(col("c_raw"), min(col("__cum")).over(wAll)))))
       .withColumn("net_cents", col("__env") - col("__prev"))
-      // Counterfactual clean-axis envelope (floor c_raw instead of f_net —
-      // "as if no standing deficit existed"): its released net minus
-      // released raw isolates the claw THIS batch's own refunds leave
-      // unabsorbed, which is the exact advance-the-expiry-clock test. The
-      // real envelope's deficit delta can't distinguish "new refund's
-      // unabsorbed claw" from "old deficit absorbed by suppressed cash"
-      // when both move in one batch (round-16 review: a batch that nets
-      // d1 <= d0 can still carry a NEW refund's live claw, and writing it
-      // off on the OLD refund's clock releases its on-time absorber at
-      // full value — stream != batch inside the contract's premise). The
-      // virtual prev on the clean axis is just c_raw (least(c_raw, min)
-      // never exceeds c_raw).
-      .withColumn("__env2", greatest(col("c_raw"), col("__rmin")))
-      .withColumn("__net2", col("__env2") -
-        coalesce(lead(col("__env2"), 1).over(wRev), col("c_raw")))
       .withColumn("__rel", wm.map(col("ts") <= lit(_)).getOrElse(lit(false)))
       .localCheckpoint(true)
 
@@ -192,7 +177,6 @@ object StreamNetting {
         first(col("dref_id")).as("dref_id0"), first(col("dref_ts")).as("dref_ts0"),
         sum(when(col("__rel"), col("c")).otherwise(0L)).as("rel_raw"),
         sum(when(col("__rel"), col("net_cents")).otherwise(0L)).as("rel_net"),
-        sum(when(col("__rel"), col("__net2")).otherwise(0L)).as("rel_net2"),
         sum(when(!col("__rel"), greatest(col("c"), lit(0L))).otherwise(0L)).as("absorb_pos"),
         max(when(col("__rel") && col("c") < 0, struct(col("ts"), col("id")))).as("last_refund"))
       .withColumn("c1", col("c_raw") + col("rel_raw"))
@@ -200,18 +184,33 @@ object StreamNetting {
       .withColumn("d1", greatest(col("f1") - col("c1"), lit(0L)))
       // attribution: re-attribute ONLY when this batch's own released
       // refunds left unabsorbed claw — the clean-axis counterfactual
-      // (rel_net2 − rel_raw > 0). A refund that released but was fully
-      // absorbed in-batch contributes nothing — advancing the clock on it
-      // would keep an OLD remainder alive forever under recurring
-      // absorbed refund traffic (a +x/−x pair per batch, round-16
-      // advice). Comparing d1 to d0 instead is WRONG both ways: old
-      // deficit absorbed by floor-suppressed cash can mask a new refund's
-      // live claw (round-16 review). When a new claw did land, the
-      // latest-by-ts released refund governs: the single attribution slot
-      // errs toward the window that closes LAST, never writing off early
-      // (an old remainder's write-off may be delayed by newer live claws
-      // on the same key — the documented one-slot compromise).
-      .withColumn("__grew", col("rel_net2") - col("rel_raw") > 0)
+      // envelope (floor c_raw instead of f_net, "as if no standing
+      // deficit existed"). Since released rows are the (ts,id)-prefix,
+      // that envelope's released net TELESCOPES: rel_net2 − rel_raw =
+      // max(c_raw, rmin(lastReleased)) − cum(lastReleased), and rmin ≤
+      // cum makes the test equivalent to the sign of released raw cash —
+      // rel_raw < 0 (round-16 advice; the only divergent case is a
+      // null-ts row sorting ahead of the prefix, and null-ts rows never
+      // release). A refund that released but was fully absorbed in-batch
+      // contributes nothing — advancing the clock on it would keep an
+      // OLD remainder alive forever under recurring absorbed refund
+      // traffic (a +x/−x pair per batch). Comparing d1 to d0 instead is
+      // WRONG both ways: old deficit absorbed by floor-suppressed cash
+      // can mask a new refund's live claw (round-16 review). When a new
+      // claw did land, the latest-by-ts released refund governs: the
+      // single attribution slot errs toward the window that closes LAST
+      // among claws it can SEE. Known one-slot compromise, spec-pinned
+      // both ways: (a) an old remainder's write-off may be DELAYED by
+      // newer live claws on the same key; (b) a new refund co-released
+      // with cash the OLD deficit consumes is INVISIBLE (rel_raw == 0 —
+      // the same aggregate signature as the fully-absorbed +x/−x pair,
+      // so one slot genuinely cannot tell them apart), and the old
+      // window's expiry then writes off EARLY while the new claw's
+      // absorber window is still open — that absorber later releases at
+      // full value where batch would net it (stream ≠ batch on this
+      // shape). Distinguishing (b) from the +x/−x pair requires
+      // per-refund deficit remainders, not a scalar axis.
+      .withColumn("__grew", col("rel_raw") < 0)
       .withColumn("__dref_ts", when(col("d1") > 0,
         when(col("__grew") && col("last_refund").isNotNull &&
             (col("dref_ts0").isNull || col("last_refund.ts") >= col("dref_ts0")),

@@ -211,6 +211,41 @@ class StreamNettingSpec extends SparkSpec {
       s"the unabsorbable remainder (100+70-40-70) writes off on R2's clock: $dl")
   }
 
+  test("one-slot compromise (pinned): a new refund hidden behind old-deficit absorption " +
+    "writes off early on the OLD clock, and its absorber then releases whole") {
+    val base = tmp()
+    // Old deficit: R1's -100 released unabsorbed (dref = R1, ts Jan-01).
+    apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", -100.00)), DAY, 0L)
+    apply1(base, Seq((1L, 9L, "2024-01-02 12:00:00", 0.00)), DAY, 1L)
+    // +100 (id 3) and R2 = -100 (id 4) co-release in one batch: the +100
+    // is floor-suppressed into R1's standing deficit and R2's claw is
+    // live — but rel_raw == 0 is the IDENTICAL aggregate signature to the
+    // fully-absorbed +x/−x pair (the recurring-traffic test above), so
+    // the single attribution slot cannot advance to R2. Documented
+    // stream ≠ batch divergence, not a bug to "fix" within one slot:
+    // distinguishing the two shapes needs per-refund deficit remainders.
+    apply1(base, Seq((1L, 3L, "2024-01-02 18:00:00", 100.00),
+      (1L, 4L, "2024-01-02 19:00:00", -100.00)), DAY, 2L)
+    apply1(base, Seq((1L, 8L, "2024-01-04 00:00:00", 0.00)), DAY, 3L)
+    // R1's window (Jan-02) has closed: the standing 100 writes off on
+    // R1's clock even though R2's absorber window is still open (the
+    // early-write-off half of the compromise).
+    val dl = StreamNetting.readDeadLetters(ss, base).get
+      .select("id", "cents").as[(Long, Long)].collect().toSeq
+    assert(dl == Seq((1L, 10000L)), s"early write-off lands on R1's clock: $dl")
+    // R2's on-time absorber then releases at FULL value (batch would net
+    // it to zero against R2's claw) — the divergence this pin documents.
+    apply1(base, Seq((1L, 5L, "2024-01-03 12:00:00", 100.00)), DAY, 4L)
+    apply1(base, Seq((1L, 7L, "2024-01-10 00:00:00", 0.00)), DAY, 5L)
+    val rel = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel(5L) == 10000L,
+      s"documented divergence: the hidden claw's absorber releases whole: $rel")
+    assert(StreamNetting.readDeadLetters(ss, base).get
+      .agg(sum("cents")).as[Long].collect().head == 10000L,
+      "and R2's remainder never dead-letters — the axis was squared up early")
+  }
+
   test("late row (behind the watermark on arrival) releases immediately, best-effort") {
     val base = tmp()
     apply1(base, Seq((1L, 1L, "2024-01-05 00:00:00", 100.00)), DAY, 0L)
