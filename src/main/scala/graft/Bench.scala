@@ -54,6 +54,38 @@ object Bench {
   /** `q07_segment_flag` -> `q07`; names without an underscore pass through. */
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** Host-wide busy CPU seconds since boot (user+nice+system+irq+softirq+
+    * steal from /proc/stat, USER_HZ=100), or -1 where /proc is unavailable.
+    * Deltaed around the timed passes and netted against the JVM's own
+    * process CPU, this measures AMBIENT (other-process) CPU during the
+    * capture — the signal the start/end loadavg samples can't give: the
+    * 1-minute loadavg at END is dominated by the bench's own local[N]
+    * work (a quiet sf1 capture legitimately ends at load ~19), so the
+    * round-16 hot tail (end 4.5 on an sf0.1 run, six phantom >2x rows)
+    * sailed through the start-only flag. */
+  def hostBusyCpuSecs(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val cols = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally src.close()
+      // col layout: user nice system idle iowait irq softirq steal ...
+      val busy = cols.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 => v
+      }.sum
+      busy / 100.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** This JVM's cumulative process CPU seconds, or -1 if unsupported. */
+  def ownCpuSecs(): Double =
+    try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          val t = os.getProcessCpuTime
+          if (t < 0) -1.0 else t / 1e9
+        case _ => -1.0
+      }
+    } catch { case _: Throwable => -1.0 }
+
   /** Self-defense against ambient host load: poll until the 1-minute
     * loadavg drops below the hot threshold or `maxWaitSecs` elapses.
     * Returns (finalLoad, secondsWaited). Two consecutive driver captures
@@ -140,7 +172,8 @@ object Bench {
   def renderFull(results: Seq[(String, Double)], sfDir: String, loadStart: Double, loadEnd: Double,
                  errs: Seq[String] = Nil,
                  bytes: Map[String, (Long, Long, Long)] = Map.empty,
-                 skew: Map[String, (Long, Long, Long)] = Map.empty): String = {
+                 skew: Map[String, (Long, Long, Long)] = Map.empty,
+                 ambient: Option[(Double, Double)] = None): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     val errField = errs.map("\"" + _ + "\"").mkString(""","err":[""", ",", "]")
@@ -154,7 +187,15 @@ object Bench {
         "\"" + k + "\":{\"sh_mb\":" + f"${(sr + sw) / 1e6}%.2f" +
           ",\"spill_mb\":" + f"${sp / 1e6}%.2f" + skewField + "}"
       }}.mkString(""","bytes":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd]$errField$bytesField}"""
+    // Ambient block: other-process CPU during the timed passes. avg_cores
+    // is what benchgate adjudicates on — the honest "was the host quiet"
+    // number the end-loadavg sample (self-load-dominated) can't give.
+    val ambField = ambient.fold("") { case (cpuS, wallS) =>
+      val cores = if (wallS > 0) cpuS / wallS else 0.0
+      ",\"ambient\":{\"cpu_s\":" + f"$cpuS%.1f" + ",\"wall_s\":" + f"$wallS%.1f" +
+        ",\"avg_cores\":" + f"$cores%.2f" + "}"
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd]$errField$bytesField$ambField}"""
   }
 
   /** (max_ms, median_ms, peer_median_ms) of one query's (stageId,
@@ -293,8 +334,27 @@ object Bench {
     // Release dropped checkpoint/broadcast blocks between passes so pass 2
     // measures the plans, not the first pass's garbage.
     def cleanup(): Unit = { spark.catalog.clearCache(); System.gc() }
+    // Ambient-CPU fences around the timed region: host busy CPU minus this
+    // JVM's own CPU = other-process interference while the passes ran.
+    val ambWall0 = System.nanoTime()
+    val ambBusy0 = hostBusyCpuSecs()
+    val ambOwn0 = ownCpuSecs()
     val pass1 = timedPass(); cleanup()
     val pass2 = timedPass()
+    val ambient: Option[(Double, Double)] =
+      if (ambBusy0 < 0 || ambOwn0 < 0) None
+      else {
+        val busy = hostBusyCpuSecs() - ambBusy0
+        val own = ownCpuSecs() - ambOwn0
+        val wall = (System.nanoTime() - ambWall0) / 1e9
+        if (busy < 0 || own < 0 || wall <= 0) None
+        else Some((math.max(0.0, busy - own), wall))
+      }
+    ambient.foreach { case (cpuS, wallS) =>
+      if (cpuS / wallS > 1.0)
+        System.err.println(f"[bench] WARNING ambient CPU ${cpuS / wallS}%.2f cores avg " +
+          "during the timed passes — capture is adjudication-unusable (benchgate gates on this)")
+    }
     val byName = (pass1 ++ pass2).groupBy(_._1).toSeq.sortBy(_._1)
     val results = byName.flatMap { case (name, runs) =>
       val good = runs.collect { case (_, t, true, _, _) => t }
@@ -325,7 +385,7 @@ object Bench {
     val localPath = localArtifactPath(localBase, hot, subset)
     try {
       val w = new java.io.PrintWriter(localPath)
-      try w.println(renderFull(results, sfDir, loadStart, loadEnd, errs, bytesByName, skewByName)) finally w.close()
+      try w.println(renderFull(results, sfDir, loadStart, loadEnd, errs, bytesByName, skewByName, ambient)) finally w.close()
     } catch { case _: Throwable => () }
 
     // Stop Spark BEFORE printing: the JSON line must be the last thing on

@@ -124,6 +124,20 @@ class BenchContractSpec extends AnyFunSuite {
     assert(om.readTree(full).get("bytes").get("q01_agg").get("peer_med_s").asDouble == 0.12)
   }
 
+  test("renderFull carries the ambient-CPU block when fenced (mid-run-hot gate feed)") {
+    val res = Seq("q01_agg" -> 0.391)
+    // 500 foreign cpu-s over 140 s wall = 3.57 cores avg — the round-16
+    // phantom-regression shape benchgate must rule UNUSABLE
+    val full = Bench.renderFull(res, "sf0.1", 0.1, 4.5, ambient = Some((500.0, 140.0)))
+    assert(full.contains(""""ambient":{"cpu_s":500.0,"wall_s":140.0,"avg_cores":3.57}"""), full)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    assert(om.readTree(full).get("ambient").get("avg_cores").asDouble == 3.57)
+    // pre-ambient form: field absent entirely, still JSON
+    val bare = Bench.renderFull(res, "sf0.1", 0.1, 0.2)
+    assert(!bare.contains("\"ambient\""))
+    om.readTree(bare)
+  }
+
   test("taskSkew: max, upper-median, and same-stage peer median; empty reads (0,0,0)") {
     assert(Bench.taskSkew(Nil) == ((0L, 0L, 0L)))
     assert(Bench.taskSkew(Seq((1, 100L))) == ((100L, 100L, 100L)))

@@ -11,7 +11,13 @@ capture; with it, under registration in both directions.
 
 Exit codes: 0 = pass, 1 = regression(s) or crashed queries, 2 = unusable
 inputs (missing/hot capture — a hot capture cannot adjudicate a gate; re-run
-quiet or use SPARK_GRAFT_BENCH_ONLY to re-time suspects).
+quiet or use SPARK_GRAFT_BENCH_ONLY to re-time suspects). "Hot" is decided
+by the start loadavg sample AND by the capture's ambient block when present
+(other-process CPU during the timed passes, written by graft.Bench):
+ambient avg_cores > 1.0 is mid-run interference the start sample can't see
+(the round-16 end-load-4.5 capture read six phantom >2x rows). Pre-ambient
+artifacts with a high END loadavg only WARN — the end sample is dominated
+by the bench's own local[N] work, so it can't hard-gate.
 
 Protocol notes (BASELINE.md): a per-query number within the ratio is
 noise-compatible; queries in the capture's "err" array have no timing and
@@ -219,11 +225,33 @@ def main(argv):
         print(f"GATE UNUSABLE: no pins parsed from {base_path}")
         return 2
 
-    load = cap.get("load", [None])[0]
+    loads = cap.get("load") or [None]
+    load = loads[0]
     if cap.get("hot") or (load is not None and load > 1.5):
         print(f"GATE UNUSABLE: capture is hot (start load {load}) — "
               "a loaded-host capture cannot adjudicate regressions; re-run quiet")
         return 2
+    # The start sample alone is blind to load arriving MID-RUN (round 16:
+    # start 1.21, end 4.5, six phantom >2x rows). The honest signal is the
+    # capture's own ambient block (other-process CPU during the timed
+    # passes, written by graft.Bench): a sustained foreign core means the
+    # timings measured contention, not the plans. The end loadavg can't
+    # gate — it is dominated by the bench's own local[N] work (quiet sf1
+    # captures legitimately end at load ~19) — so for pre-ambient
+    # artifacts it only WARNS and demands a re-time.
+    amb = cap.get("ambient")
+    if amb is not None and amb.get("avg_cores", 0.0) > 1.0:
+        print(f"GATE UNUSABLE: ambient CPU {amb['avg_cores']:.2f} cores avg "
+              f"during the timed passes ({amb.get('cpu_s', 0):.0f} cpu-s over "
+              f"{amb.get('wall_s', 0):.0f} s) — other-process interference; "
+              "re-run quiet or re-time suspects with SPARK_GRAFT_BENCH_ONLY")
+        return 2
+    end_load = loads[1] if len(loads) > 1 else None
+    if amb is None and end_load is not None and end_load > 2.5:
+        print(f"WARN: pre-ambient artifact ended at load {end_load} — the "
+              "start-only hot flag cannot clear it; treat >2x rows as "
+              "suspects and re-time them quiet (SPARK_GRAFT_BENCH_ONLY) "
+              "before adjudicating")
 
     queries = cap.get("queries", {})
     errs = cap.get("err", [])

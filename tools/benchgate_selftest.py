@@ -162,10 +162,31 @@ def main():
     ok &= run_case("fail_skew_stage_whale_peer", BPINS,
                    {**quiet, **times, "bytes": stage_whale}, expect=1)
 
+    # --- ambient gate (the round-16 blind spot: start quiet, mid-run hot) ---
+    # 27. Ambient block over 1 foreign core avg → unusable, even though the
+    #     start load was quiet and every timing is in ratio.
+    ok &= run_case("unusable_ambient_hot", PINS,
+                   {"load": [0.2, 4.5], "err": [],
+                    "queries": {"q01_agg": 1.0, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 500.0, "wall_s": 140.0,
+                                "avg_cores": 3.57}}, expect=2)
+    # 28. Quiet ambient block passes — a high END loadavg alone cannot
+    #     gate (it is the bench's own local[N] work; sf1 captures end ~19).
+    ok &= run_case("pass_ambient_quiet_high_end_load", PINS,
+                   {"load": [0.2, 19.4], "err": [],
+                    "queries": {"q01_agg": 1.0, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 20.0, "wall_s": 200.0,
+                                "avg_cores": 0.10}}, expect=0)
+    # 29. Pre-ambient artifact with a hot end load only WARNS (still rc 0):
+    #     old artifacts stay adjudicable, but the gate now demands re-times.
+    ok &= run_case("warn_legacy_end_load", PINS,
+                   {"load": [0.2, 4.5], "err": [],
+                    "queries": {"q01_agg": 1.0, "q02_x": 2.0}}, expect=0)
+
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (26 cases)")
+    print("SELFTEST PASS (29 cases)")
     return 0
 
 
