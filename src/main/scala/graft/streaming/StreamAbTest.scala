@@ -31,12 +31,15 @@ object StreamAbTest {
     VersionedStore.committedVersions(spark, baseDir).lastOption
       .map(p => spark.read.parquet(new Path(p, "arms").toString))
 
-  /** All per-batch verdict rows appended so far (the monitor table). */
-  def verdictsAll(spark: SparkSession, baseDir: String): Option[DataFrame] = {
-    val dirs = VersionedStore.committedVersions(spark, baseDir)
-      .map(p => new Path(p, "verdicts").toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-  }
+  /** All per-batch verdict rows appended so far (the monitor table;
+    * compaction-aware union — see [[VersionedStore.readLog]]). */
+  def verdictsAll(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    VersionedStore.readLog(spark, baseDir, "verdicts")
+
+  /** Compact the verdict log (one directory per micro-batch otherwise);
+    * replay-safe between batches — [[VersionedStore.compactLogs]]. */
+  def compact(spark: SparkSession, baseDir: String): Boolean =
+    VersionedStore.compactLogs(spark, baseDir, Seq("verdicts"))
 
   /** One micro-batch: add the batch's arm counts, publish cumulative
     * arms + this batch's verdict rows. Replay-idempotent. */

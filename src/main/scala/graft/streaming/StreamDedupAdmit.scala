@@ -36,12 +36,15 @@ object StreamDedupAdmit {
       .map(p => spark.read.parquet(new Path(p, "store").toString))
 
   /** Every admitted row across all committed batches — the deduplicated
-    * corpus the stream has built so far. */
-  def admittedAll(spark: SparkSession, baseDir: String): Option[DataFrame] = {
-    val dirs = VersionedStore.committedVersions(spark, baseDir)
-      .map(p => new Path(p, "admitted").toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-  }
+    * corpus the stream has built so far (compaction-aware union; see
+    * [[VersionedStore.readLog]]). */
+  def admittedAll(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    VersionedStore.readLog(spark, baseDir, "admitted")
+
+  /** Compact the admitted log (one directory per micro-batch otherwise);
+    * replay-safe between batches — [[VersionedStore.compactLogs]]. */
+  def compact(spark: SparkSession, baseDir: String): Boolean =
+    VersionedStore.compactLogs(spark, baseDir, Seq("admitted"))
 
   /** One micro-batch: admit against the latest store, publish version
     * `b<batchId>`. Replay-idempotent. Public so the spec and batch

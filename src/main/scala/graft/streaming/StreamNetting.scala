@@ -64,13 +64,19 @@ object StreamNetting {
     VersionedStore.committedVersions(spark, baseDir).lastOption
       .map(p => spark.read.parquet(new Path(p, sub).toString))
 
-  /** Union of a LOG substore across committed versions. */
+  /** Union of a LOG substore: compaction + live versions (see
+    * [[VersionedStore.readLog]]). */
   private def readLog(spark: SparkSession, baseDir: String,
-                      sub: String): Option[DataFrame] = {
-    val dirs = VersionedStore.committedVersions(spark, baseDir)
-      .map(p => new Path(p, sub)).map(_.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-  }
+                      sub: String): Option[DataFrame] =
+    VersionedStore.readLog(spark, baseDir, sub)
+
+  /** Compact the released/dead-letter logs: every committed version but
+    * the newest collapses into one directory (the round-16 verdict's
+    * unbounded small-files walk — one directory per micro-batch for the
+    * stream's lifetime). Replay-safe between any two batches; see
+    * [[VersionedStore.compactLogs]]. */
+  def compact(spark: SparkSession, baseDir: String): Boolean =
+    VersionedStore.compactLogs(spark, baseDir, Seq("released", "deadletter"))
 
   /** Released netted rows so far — (key, id, ts, net_cents, net_amount),
     * every net_cents ≥ 0, ready for [[StreamRemittance.applyBatch]].
@@ -253,15 +259,21 @@ object StreamNetting {
   }
 
   /** Wire the netting stage alone: raw postings/refunds in, horizon-held
-    * netted releases + past-horizon dead-letters out. */
+    * netted releases + past-horizon dead-letters out. `compactEvery` > 0
+    * folds the log-compaction pass into every Nth batch (AFTER that
+    * batch's publish, so the just-committed version is the newest and is
+    * never covered — the replay check survives a crash mid-compaction). */
   def sink(payments: DataFrame, keyCol: Column, idCol: Column,
            tsCol: Column, amountCol: Column, horizonSec: Long,
-           baseDir: String, checkpointDir: String): StreamingQuery =
+           baseDir: String, checkpointDir: String,
+           compactEvery: Int = 0): StreamingQuery =
     payments.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, keyCol, idCol, tsCol, amountCol, horizonSec,
           baseDir, batchId): Unit
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, baseDir): Unit
       }
       .start()
 }

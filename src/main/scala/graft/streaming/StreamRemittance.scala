@@ -68,17 +68,18 @@ object StreamRemittance {
       .map(df => if (df.columns.contains("paid_cents"))
         df.withColumnRenamed("paid_cents", "received_cents") else df)
 
-  /** Union of one sub-store across committed versions; None when no
-    * committed version carries it (no commits yet, or — for sub-stores
-    * added later, like `rejects` — an all-pre-upgrade store). */
+  /** Union of one LOG sub-store across the compaction and committed
+    * versions (missing sub-dirs skipped — sub-stores added later, like
+    * `rejects`, read None over an all-pre-upgrade store); see
+    * [[VersionedStore.readLog]]. */
   private def readVersioned(spark: SparkSession, baseDir: String,
-                            sub: String): Option[DataFrame] = {
-    val dirs = VersionedStore.committedVersions(spark, baseDir)
-      .map(p => new Path(p, sub))
-      .filter(p => VersionedStore.fs(spark, p).exists(p))
-      .map(_.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-  }
+                            sub: String): Option[DataFrame] =
+    VersionedStore.readLog(spark, baseDir, sub)
+
+  /** Compact the allocation/reject logs (one directory per micro-batch
+    * otherwise); replay-safe between batches — [[VersionedStore.compactLogs]]. */
+  def compact(spark: SparkSession, baseDir: String): Boolean =
+    VersionedStore.compactLogs(spark, baseDir, Seq("alloc", "rejects"))
 
   /** Every allocation row committed so far (union over versions) —
     * (key, inv_id, pay_id, alloc_cents). None before the first commit. */

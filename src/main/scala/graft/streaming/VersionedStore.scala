@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Batch-versioned lake directories with commit markers — the shared
   * mechanics of the "state in the lake, not the state store" streaming
@@ -9,7 +9,24 @@ import org.apache.spark.sql.SparkSession
   * [[StreamSketch]] S19): each micro-batch publishes `b<batchId>` with a
   * `_GRAFT_COMMIT` marker written AFTER the data, so at-least-once
   * `foreachBatch` replays detect their committed version and skip
-  * (exactly-once effects), and torn writes are invisible to readers. */
+  * (exactly-once effects), and torn writes are invisible to readers.
+  *
+  * LOG COMPACTION (round-17): sub-stores with LOG semantics (released
+  * rows, dead letters, allocations, verdicts — appended per batch,
+  * unioned at read) grow one directory per batch for the stream's
+  * lifetime — an unbounded small-files walk at production lifetimes.
+  * [[compactLogs]] rewrites every committed version EXCEPT the newest
+  * into one `c<coveredId>` directory (marker-last, same torn-write
+  * discipline as [[publish]]) and [[readLog]] reads compaction +
+  * b-versions with id > coveredId, so a crash between the compaction
+  * marker and the covered-directory deletes can never double-count —
+  * superseded directories are excluded BY ID, not by absence, and the
+  * next compaction sweeps the stragglers. The newest b-version is never
+  * covered: state reads ([[committedVersions]].last) and the
+  * at-least-once replay check (`isCommitted` of the one batch Spark can
+  * re-run after a crash — the last one, whose own publish committed
+  * before the streaming checkpoint did) both stay intact across a
+  * compaction at any point. */
 object VersionedStore {
 
   val Commit = "_GRAFT_COMMIT"
@@ -47,5 +64,85 @@ object VersionedStore {
     if (f.exists(target)) f.delete(target, true)
     write(target)
     f.create(new Path(target, Commit), true).close()
+  }
+
+  /** Numeric id of a `b…`/`c…` version directory. */
+  def versionId(p: Path): Long = p.getName.drop(1).toLong
+
+  /** Newest committed compaction directory (`c<coveredId>`), if any. */
+  def latestCompaction(spark: SparkSession, baseDir: String): Option[Path] = {
+    val dir = new Path(baseDir)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("c\\d{12}") &&
+        f.exists(new Path(s.getPath, Commit)))
+      .map(_.getPath).sortBy(_.getName).lastOption
+  }
+
+  /** The directories a LOG sub-store reads: the compaction's sub (when
+    * present) plus b-versions with id > coveredId. Superseded b-versions
+    * are excluded by ID even when a crashed compaction left them on disk
+    * — re-reading them would double-count rows the compaction already
+    * absorbed. */
+  def logDirs(spark: SparkSession, baseDir: String, sub: String): Seq[String] = {
+    val comp = latestCompaction(spark, baseDir)
+    val covered = comp.map(versionId).getOrElse(-1L)
+    val f = fs(spark, new Path(baseDir))
+    val compSub = comp.map(new Path(_, sub)).filter(f.exists)
+    val live = committedVersions(spark, baseDir)
+      .filter(versionId(_) > covered)
+      .map(new Path(_, sub)).filter(f.exists)
+    (compSub.toSeq ++ live).map(_.toString)
+  }
+
+  /** Union of a LOG sub-store across the compaction and live versions;
+    * None when nothing has committed rows for it yet. */
+  def readLog(spark: SparkSession, baseDir: String, sub: String): Option[DataFrame] = {
+    val dirs = logDirs(spark, baseDir, sub)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Rewrite every committed version EXCEPT the newest into one
+    * compaction directory carrying the unioned `logSubs`, then delete the
+    * superseded directories (covered b-versions, the previous c-dir).
+    * Returns true when a new compaction was published. Safe to call
+    * between any two batches (e.g. from the foreachBatch body AFTER
+    * applyBatch: the just-committed version is the newest, so it is never
+    * covered and the crash-replay check stays intact); idempotent — a
+    * re-run with nothing new only sweeps straggler directories a crashed
+    * earlier run left behind. State sub-stores of covered versions are
+    * superseded by the newest version's and are dropped with them. */
+  def compactLogs(spark: SparkSession, baseDir: String,
+                  logSubs: Seq[String]): Boolean = {
+    val f = fs(spark, new Path(baseDir))
+    val prev = latestCompaction(spark, baseDir)
+    val prevCovered = prev.map(versionId).getOrElse(-1L)
+    def sweep(coveredId: Long): Unit = {
+      committedVersions(spark, baseDir)
+        .filter(versionId(_) <= coveredId).foreach(f.delete(_, true))
+      // straggler c-dirs older than the winning one (crash between a
+      // compaction's marker and its deletes, then another compaction)
+      if (!f.exists(new Path(baseDir))) return
+      f.listStatus(new Path(baseDir)).toSeq
+        .filter(s => s.getPath.getName.matches("c\\d{12}") &&
+          versionId(s.getPath) < coveredId)
+        .foreach(s => f.delete(s.getPath, true))
+    }
+    val versions = committedVersions(spark, baseDir)
+    val coveredId = if (versions.size < 2) -1L else versionId(versions.init.last)
+    if (coveredId <= prevCovered) { sweep(prevCovered); return false }
+    val covered = versions.init.filter(versionId(_) > prevCovered)
+    val target = new Path(new Path(baseDir), f"c$coveredId%012d")
+    if (f.exists(target)) f.delete(target, true) // torn earlier attempt
+    logSubs.foreach { sub =>
+      val srcs = (prev.map(new Path(_, sub)).toSeq ++ covered.map(new Path(_, sub)))
+        .filter(f.exists).map(_.toString)
+      if (srcs.nonEmpty)
+        spark.read.parquet(srcs: _*).write.parquet(new Path(target, sub).toString)
+    }
+    f.create(new Path(target, Commit), true).close()
+    sweep(coveredId)
+    true
   }
 }
