@@ -43,10 +43,28 @@ object QualityClassifier {
       (a, b) => concat_ws(" ", a, b)))
   }
 
-  private def featurize(df: DataFrame, textCol: Column, numFeatures: Int): DataFrame = {
+  /** Hashed unigram+bigram count features in a `features` vector column —
+    * the deterministic half of the operator (murmur3 seed 42, fixed
+    * width), public so the q170 driver row pins it end-to-end. */
+  def featurize(df: DataFrame, textCol: Column, numFeatures: Int): DataFrame = {
     val withGrams = df.withColumn("__grams", gramsCol(textCol))
     new HashingTF().setInputCol("__grams").setOutputCol("features")
       .setNumFeatures(numFeatures).transform(withGrams).drop("__grams")
+  }
+
+  /** Class-balanced instance weights in a `w` column: each class weighted
+    * inversely to its frequency (sums to ~nAll per class) from a `label`
+    * column (1.0 = positive). The two class counts are the only
+    * driver-side values (one row of metadata). */
+  def withBalancedWeight(labeled: DataFrame): DataFrame = {
+    val stats = labeled.agg(sum(col("label")).as("p"), count(lit(1)).cast("double").as("n")).head()
+    require(!stats.isNullAt(0), "empty training set")
+    val (nPos, nAll) = (stats.getDouble(0), stats.getDouble(1))
+    require(nPos > 0 && nPos < nAll, s"need both classes, got $nPos positives of $nAll")
+    val wPos = nAll / (2.0 * nPos)
+    val wNeg = nAll / (2.0 * (nAll - nPos))
+    labeled.withColumn("w",
+      when(col("label") === 1.0, lit(wPos)).otherwise(lit(wNeg)))
   }
 
   /** Train on `labelCol` (1.0 = trusted/positive) with class-balanced
@@ -55,15 +73,7 @@ object QualityClassifier {
             numFeatures: Int = 1 << 18, maxIter: Int = 50,
             regParam: Double = 1e-4): Model = {
     val labeled = featurize(df.withColumn("label", labelCol.cast("double")), textCol, numFeatures)
-    val stats = labeled.agg(sum(col("label")).as("p"), count(lit(1)).cast("double").as("n")).head()
-    require(!stats.isNullAt(0), "empty training set")
-    val (nPos, nAll) = (stats.getDouble(0), stats.getDouble(1))
-    require(nPos > 0 && nPos < nAll, s"need both classes, got $nPos positives of $nAll")
-    // weight each class inversely to its frequency (sums to ~nAll per class)
-    val wPos = nAll / (2.0 * nPos)
-    val wNeg = nAll / (2.0 * (nAll - nPos))
-    val weighted = labeled.withColumn("w",
-      when(col("label") === 1.0, lit(wPos)).otherwise(lit(wNeg)))
+    val weighted = withBalancedWeight(labeled)
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam).setElasticNetParam(0.0)
       .setWeightCol("w").setFeaturesCol("features").setLabelCol("label")

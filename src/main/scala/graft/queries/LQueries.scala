@@ -59,6 +59,8 @@ object LQueries {
     "q83_segment_dedup" -> ((s, d) => q83(s, d)),
     "q84_compress_ratio" -> ((s, d) => q84(s, d)),
     "q90_compress_contract" -> ((s, d) => q90(s, d)),
+    "q169_bpe_encode" -> ((s, d) => q169(s, d)),
+    "q170_quality_features" -> ((s, d) => q170(s, d)),
     "q85_pack_sequences" -> ((s, d) => q85(s, d)),
     "q88_chunk_docs" -> ((s, d) => q88(s, d)),
     "q91_lm_quality" -> ((s, d) => q91(s, d)),
@@ -469,6 +471,80 @@ object LQueries {
         .as("non_expanding"),
       coalesce(ratio >= 1L, lit(true)).as("ratio_floor_ok"),
       coalesce(ratio2 <= ratio + 100L, lit(true)).as("repeat_compresses"))
+  }
+
+  /** L47 driver-gated (round-16 verdict task 5): BPE ENCODE under merges
+    * learned by [[graft.operators.Bpe]] on a deterministic 1-in-20 corpus
+    * slice. The merge loop is a JVM computation no SQL oracle can replay,
+    * so — the q84 pattern — the row emits the INVARIANTS of a correct
+    * encode, each SQL-predictably TRUE:
+    *  - `roundtrip_ok`: token concatenation reconstructs the
+    *    whitespace-stripped text exactly (encode partitions a word's code
+    *    points, never rewrites them);
+    *  - `count_lower_ok`/`count_upper_ok`: every word yields ≥ 1 token
+    *    and no word yields more tokens than code points;
+    *  - `vocab_ok`: every token is a single code point or a learned-merge
+    *    product — encode can only emit the learned vocabulary.
+    * A broken merge application (dropped/duplicated symbols, overlap
+    * mishandling, surrogate splits) flips a row and fails the hash.
+    * Merge-sequence exactness stays spec-pinned in BpeSpec. */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Bpe
+      .learnMerges(docs.where(pmod(col("doc_id"), lit(20)) === 0),
+        col("text"), numMerges = 16)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = merges.map { case (l, r) => l + r }
+    val enc = graft.operators.Bpe.encode(docs, col("doc_id"), col("text"), merges)
+    val stripped = regexp_replace(coalesce(col("text"), lit("")), "\\s+", "")
+    val nWords = size(filter(split(coalesce(col("text"), lit("")), "\\s+"), w => w =!= ""))
+    val nCp = size(filter(split(stripped, ""), c => c =!= ""))
+    docs.join(enc, col("doc_id") === col("id"))
+      .select(col("doc_id"),
+        (concat_ws("", col("tokens")) === stripped).as("roundtrip_ok"),
+        (size(col("tokens")) >= nWords).as("count_lower_ok"),
+        (size(col("tokens")) <= nCp).as("count_upper_ok"),
+        forall(col("tokens"), t =>
+          size(filter(split(t, ""), c => c =!= "")) === 1 ||
+            array_contains(typedLit(vocab), t)).as("vocab_ok"))
+  }
+
+  /** L48 driver-gated (round-16 verdict task 6): the deterministic half of
+    * classifier-based quality filtering — hashed-gram feature construction
+    * ([[graft.operators.QualityClassifier.featurize]], murmur3 seed 42,
+    * fixed width) and class-balanced instance weighting
+    * ([[graft.operators.QualityClassifier.withBalancedWeight]]). The
+    * murmur3 buckets are not SQL-replayable, so the q84 invariant
+    * projection again:
+    *  - `n_grams` = max(2·words − 1, 0): the unigram+bigram count, exactly
+    *    SQL-predictable;
+    *  - `tf_sum_ok`: the hashed vector's values sum to n_grams (hashing
+    *    redistributes counts, never loses one);
+    *  - `buckets_ok`: the vector is the configured width and its nonzero
+    *    support is ≤ n_grams;
+    *  - `weight_bp`: the class-balanced weight nAll/(2·nClass) in basis
+    *    points — one multiply, one divide, fixed shape, bit-identical in
+    *    DuckDB. LR training itself stays spec-pinned
+    *    (QualityClassifierSpec). */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val width = 1 << 10
+    val labeled = Tables.documents(s, d)
+      .withColumn("label", coalesce(col("lang") === "en", lit(false)).cast("double"))
+    val feats = QualityClassifier.withBalancedWeight(
+      QualityClassifier.featurize(labeled, col("text"), width))
+    val nWords = size(filter(split(coalesce(col("text"), lit("")), "\\s+"), w => w =!= ""))
+    val nGrams = greatest(nWords * 2 - 1, lit(0)).cast("long")
+    val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
+    feats.select(col("doc_id"),
+      col("label").cast("long").as("label"),
+      nGrams.as("n_grams"),
+      (aggregate(arr, lit(0.0), (acc, x) => acc + x).cast("long") === nGrams).as("tf_sum_ok"),
+      (size(arr) === width &&
+        size(filter(arr, x => x =!= 0.0)).cast("long") <= least(nGrams, lit(width.toLong)))
+        .as("buckets_ok"),
+      floor(col("w") * 10000).cast("long").as("weight_bp"))
   }
 
   /** L45: corpus-LM quality scoring — quantized unigram rarity + bigram
@@ -1691,6 +1767,23 @@ object LQueries {
         |       TRUE AS ratio_floor_ok,
         |       TRUE AS repeat_compresses
         |FROM documents""".stripMargin,
+    "q169_bpe_encode" ->
+      """SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS count_lower_ok,
+        |       TRUE AS count_upper_ok, TRUE AS vocab_ok
+        |FROM documents""".stripMargin,
+    "q170_quality_features" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |       CAST(GREATEST(2 * (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) - 1, 0) AS BIGINT) AS n_grams,
+        |       TRUE AS tf_sum_ok,
+        |       TRUE AS buckets_ok,
+        |       CAST(FLOOR((CASE WHEN lang = 'en'
+        |              THEN t.n / (2.0 * t.p)
+        |              ELSE t.n / (2.0 * (t.n - t.p)) END) * 10000) AS BIGINT) AS weight_bp
+        |FROM documents, (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS p
+        |                 FROM documents) t""".stripMargin,
     "q31_bucketed_join" ->
       """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
         |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) AS BIGINT) AS revenue_cents
