@@ -47,6 +47,31 @@ class StreamAttributionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state-store rows = users with in-window touches; emptied buffers remove (r16 task 7)") {
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[TouchEvent]
+    val L = 10_000L
+    val q = StreamAttribution.attributeStream(mem.toDS(), "purchase",
+        Seq("view"), lookbackUs = L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_attr_churn").start()
+    try {
+      mem.addData((1L to 3L).flatMap(u => (1L to 3L).map(i =>
+        TouchEvent(u, u * 10 + i, 1000L * i, "view", 0L))): _*)
+      q.processAllAvailable()
+      assert(StreamStateProbe.stateRows(q) == 3L,
+        "one buffer row per user with live touches")
+      // far-future activity pushes every buffered touch past the horizon:
+      // the prune empties the buffers and emptied state is REMOVED, not
+      // kept as a zero-length row — the O(users-with-window-touches) bound
+      mem.addData((1L to 3L).map(u =>
+        TouchEvent(u, 900L + u, 50_000_000L, "purchase", 100L)): _*)
+      q.processAllAvailable()
+      assert(StreamStateProbe.stateRows(q) == 0L,
+        "horizon-pruned-empty buffers leave no state rows")
+    } finally q.stop()
+  }
+
   test("state prunes to the lookback horizon and caps at maxTouches") {
     // direct unit test of the fold (no stream needed for the state contract)
     val touches = (0 until 100).map(i => TouchEvent(1L, 100L + i, i * 100000L, "view", 0L))

@@ -9,6 +9,30 @@ class StreamFunnelSpec extends SparkSpec {
 
   private val steps = Seq("view", "click", "purchase")
 
+  test("state rows = advanced keys only, and idle timeout evicts under churn (r16 task 7)") {
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[StreamFunnel.StepEvent]
+    // timeout-armed query: deadline-polled probe, not processAllAvailable
+    // (see StreamStateProbe)
+    val q = StreamFunnel.funnelStream(mem.toDS(), steps,
+        idleTimeout = Some("200 milliseconds"))
+      .writeStream.outputMode("update").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .queryName("stream_funnel_churn").start()
+    try {
+      // 4 advancing keys + 1 noise key that never starts the chain: the
+      // noise key must pin NO state row (the step-2-only claim, measured)
+      mem.addData((1L to 4L).map(k => StreamFunnel.StepEvent(k, 10L, "view"))
+        :+ StreamFunnel.StepEvent(99L, 10L, "click"): _*)
+      StreamStateProbe.awaitStateRows(q, 4L,
+        "state rows = advanced keys, noise key stores nothing")
+      mem.addData(StreamFunnel.StepEvent(11L, 20L, "view"),
+        StreamFunnel.StepEvent(12L, 20L, "view"))
+      StreamStateProbe.awaitStateRows(q, 2L,
+        "timed-out keys evicted, only churned keys held")
+    } finally q.stop()
+  }
+
   test("stream funnel equals batch Funnel on in-order arrival across batches") {
     implicit val sq = ss.sqlContext
     // 6 users with assorted step patterns (including pre-chain noise)

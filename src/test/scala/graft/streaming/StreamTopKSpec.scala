@@ -7,6 +7,28 @@ class StreamTopKSpec extends SparkSpec {
   import StreamTopK._
   import ss.implicits._
 
+  test("idle timeout bounds the state store to ACTIVE keys under churn (r16 task 7)") {
+    implicit val sq = ss.sqlContext
+    val mem = MemoryStream[Scored]
+    // A timeout-armed query never quiesces (shouldRunAnotherBatch stays
+    // true while processing-time timeouts are registered), so
+    // processAllAvailable would spin forever — a real trigger interval +
+    // deadline-polled progress is the correct harness shape here.
+    val q = StreamTopK.runningTopK(mem.toDS(), k = 2,
+        idleTimeout = Some("200 milliseconds"))
+      .writeStream.outputMode("update").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .queryName("stream_topk_churn").start()
+    try {
+      mem.addData((1 to 5).map(i => Scored(s"u$i", "a", 1.0)): _*)
+      StreamStateProbe.awaitStateRows(q, 5L, "one state row per live key")
+      // churned key set: a later batch both seeds the new keys and evicts
+      // the timed-out old ones — state must NOT accumulate
+      mem.addData((1 to 3).map(i => Scored(s"v$i", "b", 2.0)): _*)
+      StreamStateProbe.awaitStateRows(q, 3L, "old keys evicted, only churned keys held")
+    } finally q.stop()
+  }
+
   test("merge keeps the k best with deterministic tiebreaks and best-score dedup") {
     val cur = Seq(("a", 5.0), ("b", 3.0))
     val out = merge(cur, Iterator(
