@@ -30,8 +30,9 @@ object Prof {
       case "corpus-exprs" => corpusExprs(spark, sfDir)
       case "corpus-gate"  => corpusGate(spark, sfDir)
       case "kcore"        => kcore(spark, sfDir)
+      case "prefix-ab"    => prefixAb(spark, sfDir)
       case other => sys.error(s"unknown suite '$other' " +
-        "(neardup | corpus | corpus-exprs | corpus-gate | kcore)")
+        "(neardup | corpus | corpus-exprs | corpus-gate | kcore | prefix-ab)")
     }
     spark.stop()
   }
@@ -45,6 +46,38 @@ object Prof {
       println(f"PROF $name%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.3fs rows=$n")
     }
     out
+  }
+
+  /** q100's candidate checkpoint+spread A/B at an arbitrary scale point,
+    * interleaved (on, off, on, off via time()'s two reps) so ambient drift
+    * can't masquerade as a verdict — the round-17 adjudication harness for
+    * the few-split gate: sf0.1 wants the spread ON (AQE coalesces the
+    * 125k-pair candidate set into 2-4 tasks of real CPU), sf1 measured it
+    * as a pure barrier, and the sf10 gated row regressed 56→70 s, so the
+    * gate's decision is measured per scale point, not argued. */
+  private def prefixAb(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.count() // warm the scan
+    // Arm order is env-controlled so the toggle can be separated from
+    // session-position warming (JIT, page cache, shuffle files): a first
+    // sf10 run in on,off,auto order read a MONOTONIC 178→36 s decrease —
+    // position-confounded; the reversed order is the control.
+    val arms = sys.env.getOrElse("SPARK_GRAFT_AB_ORDER", "on,off,auto")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    arms.foreach {
+      case "on" => time("q100_spread_on") {
+        NearDup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5,
+          spreadCandidates = Some(true))
+      }
+      case "off" => time("q100_spread_off") {
+        NearDup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5,
+          spreadCandidates = Some(false))
+      }
+      case "auto" => time("q100_gated_auto") {
+        NearDup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      }
+      case other => sys.error(s"unknown arm '$other' (on | off | auto)")
+    }
   }
 
   /** The near-dup family + the q100 prefix-filter, q126 k-core and q103

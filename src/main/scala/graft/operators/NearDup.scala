@@ -398,8 +398,14 @@ object NearDup {
     * published heuristic that makes prefix blocks small by construction —
     * a gram's block size is bounded by its document frequency, and
     * frequent grams are exactly the ones the prefix excludes. */
+  /** @param spreadCandidates None = auto (the few-split corpus probe
+    *   below); Some(b) = explicit override — the q103 `broadcastDegrees`
+    *   escape-hatch precedent, here so the checkpoint+spread trade can be
+    *   A/B-measured per scale point (`graft.Prof prefix-ab`) instead of
+    *   argued. */
   def prefixJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                         k: Int, threshold: Double): DataFrame = {
+                         k: Int, threshold: Double,
+                         spreadCandidates: Option[Boolean] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     graft.plans.GraftExtensions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
@@ -483,9 +489,11 @@ object NearDup {
     // plan and then reshuffles a candidate-bounded LEAF, which is
     // trivial). Probe cost is zero: the checkpointed frame is a leaf.
     val candSpread =
-      if (Checkpoints.fewSplit(df)) Checkpoints.withSpreadFloor(df.sparkSession) {
-        Checkpoints.spreadForCpu(cand.localCheckpoint(eager = true))
-      } else cand
+      if (spreadCandidates.getOrElse(Checkpoints.fewSplit(df)))
+        Checkpoints.withSpreadFloor(df.sparkSession) {
+          Checkpoints.spreadForCpu(cand.localCheckpoint(eager = true))
+        }
+      else cand
     val gsets = df.select(idCol.as("id"),
       call_function("graft_shingles", textCol, lit(k)).as("g"))
     candSpread
