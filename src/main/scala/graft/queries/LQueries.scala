@@ -61,6 +61,8 @@ object LQueries {
     "q90_compress_contract" -> ((s, d) => q90(s, d)),
     "q169_bpe_encode" -> ((s, d) => q169(s, d)),
     "q170_quality_features" -> ((s, d) => q170(s, d)),
+    "q171_md5_fold48" -> ((s, d) => q171(s, d)),
+    "q172_heavy_hitters" -> ((s, d) => q172(s, d)),
     "q85_pack_sequences" -> ((s, d) => q85(s, d)),
     "q88_chunk_docs" -> ((s, d) => q88(s, d)),
     "q91_lm_quality" -> ((s, d) => q91(s, d)),
@@ -545,6 +547,50 @@ object LQueries {
         size(filter(arr, x => x =!= 0.0)).cast("long") <= least(nGrams, lit(width.toLong)))
         .as("buckets_ok"),
       floor(col("w") * 10000).cast("long").as("weight_bp"))
+  }
+
+  /** C4 driver-gated (round-17, the verdict's flip-spec-to-sql
+    * direction): `graft_md5_fold48` is EXACTLY SQL-replayable — the
+    * big-endian fold of the first 6 MD5 bytes equals the 12-hex-digit
+    * base-16 fold the sketch oracles (q118/q119/q140) already chain in
+    * DuckDB — so the native expression itself gets a full
+    * rows+schema+hash row over customer names instead of spec-only
+    * coverage. A wrong byte order, sign slip, or digest reuse bug
+    * flips every hash value. */
+  def q171(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    Tables.customer(s, d).select(col("c_custkey"),
+      call_function("graft_md5_fold48", col("c_name")).as("fold48"))
+  }
+
+  /** L54 driver-gated (round-17): the Misra-Gries sketch's DETERMINISTIC
+    * contract, oracle-checked. Which of the ≤ k reported items survive
+    * is partitioning-dependent (the published merged-summary behavior),
+    * so the row projects the partitioning-INVARIANT core: every item
+    * with exact count > n/(k+1) is guaranteed in the sketch under ANY
+    * partitioning, its lower bound never exceeds the true count, and
+    * the bound's error respects n/(k+1) (Agarwal et al., Mergeable
+    * Summaries). k=2 over l_returnflag's 3-value domain forces the
+    * decrement machinery (per-partition AND at the merge prune); the
+    * oracle recomputes the guaranteed set and its exact counts in SQL,
+    * with the three contract booleans invariant-TRUE (the q84
+    * pattern). A sketch that drops a guaranteed heavy item loses a row
+    * from the join and fails the hash. */
+  def q172(s: SparkSession, d: String): DataFrame = {
+    val k = 2
+    val items = Tables.lineitem(s, d)
+      .select(col("l_returnflag").cast("string").as("item"))
+    val sketch = graft.operators.HeavyHitters.sketchTopItems(items, col("item"), k)
+    val tot = items.agg(count(lit(1)).as("total"))
+    items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_exact") * (k + 1) > col("total"))
+      .join(sketch, Seq("item"), "left")
+      .select(col("item"), col("n_exact"),
+        col("count_lower").isNotNull.as("in_sketch"),
+        coalesce(col("count_lower") <= col("n_exact"), lit(false)).as("lb_ok"),
+        coalesce((col("n_exact") - col("count_lower")) * (k + 1) <= col("total"),
+          lit(false)).as("err_ok"))
   }
 
   /** L45: corpus-LM quality scoring — quantized unigram rarity + bigram
@@ -1767,6 +1813,15 @@ object LQueries {
         |       TRUE AS ratio_floor_ok,
         |       TRUE AS repeat_compresses
         |FROM documents""".stripMargin,
+    "q171_md5_fold48" ->
+      s"""SELECT c_custkey, $fold12Sql AS fold48
+         |FROM (SELECT c_custkey, md5(c_name) AS hex FROM customer)""".stripMargin,
+    "q172_heavy_hitters" ->
+      """SELECT item, n_exact, TRUE AS in_sketch, TRUE AS lb_ok, TRUE AS err_ok
+        |FROM (SELECT CAST(l_returnflag AS VARCHAR) AS item, count(*) AS n_exact
+        |      FROM lineitem GROUP BY 1),
+        |     (SELECT count(*) AS total FROM lineitem)
+        |WHERE n_exact * 3 > total""".stripMargin,
     "q169_bpe_encode" ->
       """SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS count_lower_ok,
         |       TRUE AS count_upper_ok, TRUE AS vocab_ok

@@ -97,6 +97,9 @@ object RQueries {
     "q166_stream_blocklist" -> ((s, d) => q166(s, d)),
     "q167_stream_remittance" -> ((s, d) => q167(s, d)),
     "q168_stream_netting" -> ((s, d) => q168(s, d)),
+    "q173_lake_roundtrip" -> ((s, d) => q173(s, d)),
+    "q174_partition_overwrite" -> ((s, d) => q174(s, d)),
+    "q175_compaction_roundtrip" -> ((s, d) => q175(s, d)),
   )
 
   /** Drive a [[graft.streaming.VersionedStore]]-backed streaming operator
@@ -218,6 +221,69 @@ object RQueries {
       tsCuts.length + 1L): Unit
     graft.streaming.StreamNetting.readReleased(s, store).get
       .select(col("key"), col("id"), col("net_cents"))
+      .localCheckpoint(true)
+  }
+
+  /** B2 driver-gated (round-17, the q166 temp-store pattern applied to
+    * the lake layout): a REAL partitioned lake write → partition-pruned
+    * read round trip, hash-compared against a plain SQL filter of the
+    * source — data fidelity through the hive-layout encode/decode
+    * (partition values become directory names and are restored to the
+    * schema on read) is driver-checked, not just spec-asserted. The
+    * pruning evidence itself (PushedFilters / partitionFilters) stays
+    * spec-pinned in LakeSinkSpec; ts round-trips as an ISO string (the
+    * DATE/TIMESTAMP oracle rule). */
+  def q173(s: SparkSession, d: String): DataFrame = withTempStore("graft_q173_") { lake =>
+    val path = lake + "/events"
+    graft.sinks.LakeSink.writePartitioned(Tables.events(s, d), path, Seq("event_type"))
+    graft.sinks.LakeSink.read(s, path)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"))
+      .localCheckpoint(true)
+  }
+
+  /** B7 driver-gated (round-17): dynamic partition overwrite round trip —
+    * write the full events lake partitioned by type, overwrite ONLY the
+    * `purchase` partition with doubled values, read everything back. The
+    * oracle reproduces the merge in SQL: untouched partitions keep the
+    * original rows, the overwritten partition carries the new ones, and
+    * a static-mode regression (clobbering sibling partitions — the bug
+    * class dynamic overwrite exists to prevent) would drop every
+    * non-purchase row and fail the hash. Doubling is IEEE-exact, so
+    * `value` hash-compares as a raw double. */
+  def q174(s: SparkSession, d: String): DataFrame = withTempStore("graft_q174_") { lake =>
+    val path = lake + "/events"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    graft.sinks.LakeSink.writePartitioned(ev, path, Seq("event_type"))
+    graft.sinks.LakeSink.overwritePartitions(
+      ev.where(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2),
+      path, Seq("event_type"))
+    graft.sinks.LakeSink.read(s, path)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .localCheckpoint(true)
+  }
+
+  /** B6 driver-gated (round-17): small-files compaction round trip — a
+    * deliberately fragmented write (64 files for ~60k rows), compacted to
+    * the target file size, must read back as EXACTLY the source rows; a
+    * compaction that drops/duplicates a fragment fails the hash, and the
+    * file-count collapse itself is asserted inline (the query surfaces
+    * `files_ok` so the driver check covers the one thing compaction is
+    * FOR). Target-size math and skip-behavior stay spec-pinned in
+    * LakeSinkSpec. */
+  def q175(s: SparkSession, d: String): DataFrame = withTempStore("graft_q175_") { lake =>
+    val frag = lake + "/frag"; val dest = lake + "/compacted"
+    Tables.orders(s, d).repartition(64)
+      .write.parquet(frag)
+    graft.sinks.LakeSink.compact(s, frag, dest): Unit
+    val nFiles = new java.io.File(dest).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    graft.sinks.LakeSink.read(s, dest)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        lit(nFiles < 64).as("files_ok"))
       .localCheckpoint(true)
   }
 
@@ -1886,6 +1952,20 @@ object RQueries {
         |  CAST(greatest(max(past_due), 0) AS BIGINT) AS worst_days_past_due
         |FROM open_inv GROUP BY key""".stripMargin,
     "q155_dunning" -> Q155DunningSql,
+    // q173/q174: the lake round trips must restore the source exactly
+    // (modulo the overwritten partition's doubling), so the oracles are
+    // plain SQL over the SOURCE table — write fidelity IS the assertion.
+    "q173_lake_roundtrip" ->
+      """SELECT event_id, user_id,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s, value
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q174_partition_overwrite" ->
+      """SELECT event_id, event_type,
+        |       CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+        |FROM events""".stripMargin,
+    "q175_compaction_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, TRUE AS files_ok
+        |FROM orders""".stripMargin,
     // q166-q168: the S22/S23/S24 streaming drives must equal their batch
     // forms, so each reuses the batch sibling's oracle text VERBATIM
     // (q04 / q157 / q162) — the equivalence IS the assertion.

@@ -69,7 +69,10 @@ class PlanAuditSpec extends SparkSpec {
       "BNLJ is for; the pair frame itself came from the equi-join L4 path"),
     "q148_blocklist_sweep" -> ("the threshold spine (<= maxThreshold rows) joined " +
       "on >= against the metadata-sized critical-count histogram — both sides " +
-      "bounded by construction, the q112 spine shape"))
+      "bounded by construction, the q112 spine shape"),
+    "q172_heavy_hitters" -> ("the 1-row corpus-total aggregate broadcast-crossed " +
+      "into the per-item exact counts for the n/(k+1) guarantee threshold — " +
+      "the q124/q145 single-row build shape"))
 
   test("no registered query plans a cartesian product or stray BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -111,7 +114,12 @@ class PlanAuditSpec extends SparkSpec {
     "q141_rfm" -> ("exact RFM quintiles percent-rank the PER-CUSTOMER aggregate " +
       "(three windows, one per metric) — the documented honest cost of exact " +
       "global ranks, fine to ~1e7 customers; Rfm.segment(approx = true) is " +
-      "the sketch-ranked no-single-partition scale path"))
+      "the sketch-ranked no-single-partition scale path"),
+    "q172_heavy_hitters" -> ("HeavyHitters' merge prune ranks the SUMMED " +
+      "per-partition MG counters — a <= k x partitions row frame regardless " +
+      "of data scale (that bound is the operator's whole point); the frame " +
+      "plans under both the offset aggregate and the survivor filter, hence " +
+      "two bounded-metadata window nodes (the q108 double-branch shape)"))
 
   test("unpartitioned windows appear only at the allowlisted bounded-metadata sites") {
     import org.apache.spark.sql.execution.SparkPlan
