@@ -100,6 +100,8 @@ object RQueries {
     "q173_lake_roundtrip" -> ((s, d) => q173(s, d)),
     "q174_partition_overwrite" -> ((s, d) => q174(s, d)),
     "q175_compaction_roundtrip" -> ((s, d) => q175(s, d)),
+    "q176_br_csv_roundtrip" -> ((s, d) => q176(s, d)),
+    "q177_robot_slots_roundtrip" -> ((s, d) => q177(s, d)),
   )
 
   /** Drive a [[graft.streaming.VersionedStore]]-backed streaming operator
@@ -284,6 +286,56 @@ object RQueries {
     graft.sinks.LakeSink.read(s, dest)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         lit(nFiles < 64).as("files_ok"))
+      .localCheckpoint(true)
+  }
+
+  /** R20 driver-gated (round-17): the reference's BR CSV export as a
+    * write→read round trip — polish (brMoney comma decimals, dd/MM/yyyy
+    * dates, .0-strip ids) then the partitioned `;`-CSV write with the
+    * utf-8-sig signature riding the first header, read back through
+    * Spark's CSV reader with the BOM stripped off the recovered column
+    * name. The oracle renders the same strings in SQL (the q09 printf
+    * idiom), so a broken separator, BOM placement, null rendering, or
+    * partition-directory encoding drops/garbles rows and fails the
+    * hash. File-name scrubbing and collision-merge semantics stay
+    * spec-pinned in BrCsvSinkSpec. */
+  def q176(s: SparkSession, d: String): DataFrame = withTempStore("graft_q176_") { tmp =>
+    val out = tmp + "/mailing"
+    val src = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderstatus"))
+    val polished = graft.sinks.BrCsvSink.polish(src,
+      moneyCols = Seq("o_totalprice"), dateCols = Seq("o_orderdate"),
+      idCols = Seq("o_custkey"))
+    graft.sinks.BrCsvSink.writePartitioned(polished, out, "o_orderstatus")
+    val back = s.read.option("header", "true").option("sep", ";").csv(out)
+    back.withColumnRenamed(back.columns.head, back.columns.head.stripPrefix("\uFEFF"))
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").as("valor_br"),
+        col("o_orderdate").as("data_br"),
+        col("o_orderstatus").cast("string").as("status"))
+      .localCheckpoint(true)
+  }
+
+  /** R37 driver-gated (round-17): the robot per-time-slot export round
+    * trip — one product in TWO slot groups duplicates into both slot
+    * files (the reference's independent per-slot isin loops), ungrouped
+    * products are dropped, and the `|`-separated files read back exactly
+    * as the SQL union of the slot filters. A driver-loop regression,
+    * wrong separator, or slot-explode bug changes the row multiset and
+    * fails the hash. */
+  def q177(s: SparkSession, d: String): DataFrame = withTempStore("graft_q177_") { tmp =>
+    val out = tmp + "/robo"
+    val src = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    graft.sinks.BrCsvSink.writeBySlots(src, col("event_type"),
+      Map("08HRS" -> Seq("view", "click"), "09HRS" -> Seq("purchase", "click")),
+      out, sep = "|")
+    val back = s.read.option("header", "true").option("sep", "|").csv(out)
+    back.withColumnRenamed(back.columns.head, back.columns.head.stripPrefix("\uFEFF"))
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("slot").cast("string").as("slot"))
       .localCheckpoint(true)
   }
 
@@ -1966,6 +2018,19 @@ object RQueries {
     "q175_compaction_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, TRUE AS files_ok
         |FROM orders""".stripMargin,
+    "q176_br_csv_roundtrip" ->
+      """SELECT o_orderkey,
+        |       CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |       replace(printf('%.2f', o_totalprice), '.', ',') AS valor_br,
+        |       strftime(o_orderdate, '%d/%m/%Y') AS data_br,
+        |       o_orderstatus AS status
+        |FROM orders""".stripMargin,
+    "q177_robot_slots_roundtrip" ->
+      """SELECT event_id, user_id, event_type, '08HRS' AS slot
+        |FROM events WHERE event_type IN ('view', 'click')
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, '09HRS' AS slot
+        |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
     // q166-q168: the S22/S23/S24 streaming drives must equal their batch
     // forms, so each reuses the batch sibling's oracle text VERBATIM
     // (q04 / q157 / q162) — the equivalence IS the assertion.
