@@ -97,22 +97,39 @@ object VersionedStore {
   }
 
   /** Union of a LOG sub-store across the compaction and live versions;
-    * None when nothing has committed rows for it yet. */
+    * None when nothing has committed rows for it yet. mergeSchema because
+    * a log's schema may evolve across versions (the rejects-added-later
+    * precedent): a single footer's schema would silently drop columns
+    * only newer versions carry. Log directories are small (one file set
+    * per micro-batch, bounded by compaction), so the extra footer reads
+    * are noise. */
   def readLog(spark: SparkSession, baseDir: String, sub: String): Option[DataFrame] = {
     val dirs = logDirs(spark, baseDir, sub)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
   }
 
   /** Rewrite every committed version EXCEPT the newest into one
-    * compaction directory carrying the unioned `logSubs`, then delete the
-    * superseded directories (covered b-versions, the previous c-dir).
-    * Returns true when a new compaction was published. Safe to call
-    * between any two batches (e.g. from the foreachBatch body AFTER
-    * applyBatch: the just-committed version is the newest, so it is never
-    * covered and the crash-replay check stays intact); idempotent — a
-    * re-run with nothing new only sweeps straggler directories a crashed
-    * earlier run left behind. State sub-stores of covered versions are
-    * superseded by the newest version's and are dropped with them. */
+    * compaction directory carrying the unioned `logSubs`. Returns true
+    * when a new compaction was published. Safe to call between any two
+    * batches (e.g. from the foreachBatch body AFTER applyBatch: the
+    * just-committed version is the newest, so it is never covered and
+    * the crash-replay check stays intact); idempotent — a re-run with
+    * nothing new only sweeps directories a previous pass superseded.
+    *
+    * READER GRACE (round-17 advice): a pass deletes only directories the
+    * PREVIOUS pass already superseded (b ≤ prevCovered, c < prevCovered)
+    * — never the set it supersedes itself. A concurrent reader (a
+    * monitor calling readLog while the sink compacts) that resolved
+    * [[logDirs]] just before this pass's marker commit holds exactly
+    * {c_prev} ∪ b(prevCovered, newest]; all of it survives the pass, so
+    * the listing-to-open race can't hit FileNotFoundException. The
+    * just-superseded directories are swept by the NEXT pass (or the next
+    * no-op call), so disk stays bounded at ≤ two compaction intervals of
+    * versions. Readers are correct either way: superseded directories
+    * are excluded BY ID, not by absence. State sub-stores of covered
+    * versions are superseded by the newest version's and are dropped on
+    * the same schedule. */
   def compactLogs(spark: SparkSession, baseDir: String,
                   logSubs: Seq[String]): Boolean = {
     val f = fs(spark, new Path(baseDir))
@@ -138,11 +155,17 @@ object VersionedStore {
     logSubs.foreach { sub =>
       val srcs = (prev.map(new Path(_, sub)).toSeq ++ covered.map(new Path(_, sub)))
         .filter(f.exists).map(_.toString)
+      // mergeSchema: the rewrite is PERMANENT (sources are later swept) —
+      // taking one file's footer schema would silently drop columns only
+      // newer versions carry (round-17 advice; the rejects-added-later
+      // schema-evolution precedent).
       if (srcs.nonEmpty)
-        spark.read.parquet(srcs: _*).write.parquet(new Path(target, sub).toString)
+        spark.read.option("mergeSchema", "true").parquet(srcs: _*)
+          .write.parquet(new Path(target, sub).toString)
     }
     f.create(new Path(target, Commit), true).close()
-    sweep(coveredId)
+    // Grace sweep: only what the PREVIOUS pass superseded (see scaladoc).
+    sweep(prevCovered)
     true
   }
 }

@@ -64,8 +64,20 @@ class VersionedStoreCompactionSpec extends SparkSpec {
     assert(StreamNetting.compact(ss, base), "a 4-version store must compact")
     assert(released(base) == relBefore, "released log read-equivalent")
     assert(deadLetters(base) == dlBefore, "dead-letter log read-equivalent")
+    // READER GRACE (round-17 advice): the pass that publishes c0002 keeps
+    // the directories it just superseded — a concurrent reader that
+    // resolved logDirs a moment earlier still opens them — but the READ
+    // walk is already collapsed: compaction + newest only.
+    assert(dirNames(base) == Seq("b000000000000", "b000000000001",
+      "b000000000002", "b000000000003", "c000000000002"),
+      s"just-superseded versions graced for in-flight readers: ${dirNames(base)}")
+    assert(VersionedStore.logDirs(ss, base, "released").size == 2,
+      "read walk is compaction + newest, graced dirs excluded by id")
+    // the NEXT pass (here a no-op call) sweeps the graced directories
+    assert(!StreamNetting.compact(ss, base), "nothing new to cover")
     assert(dirNames(base) == Seq("b000000000003", "c000000000002"),
-      s"covered versions deleted, newest kept: ${dirNames(base)}")
+      s"graced versions swept by the following pass: ${dirNames(base)}")
+    assert(released(base) == relBefore && deadLetters(base) == dlBefore)
     // state reads still land on the newest version
     assert(VersionedStore.committedVersions(ss, base).map(_.getName)
       == Seq("b000000000003"))
@@ -77,9 +89,13 @@ class VersionedStoreCompactionSpec extends SparkSpec {
     assert(!StreamNetting.compact(ss, base), "one version: nothing to cover")
     apply1(base, Seq((1L, 2L, "2024-01-09 00:00:00", 1.00)), 1L)
     assert(StreamNetting.compact(ss, base))
-    val snap = (released(base), dirNames(base))
+    val rel = released(base)
+    // first no-op call sweeps what the real pass graced, data unchanged
     assert(!StreamNetting.compact(ss, base), "nothing new to cover")
-    assert((released(base), dirNames(base)) == snap, "re-run changes nothing")
+    assert(released(base) == rel, "no-op sweep changes no data")
+    val snap = (released(base), dirNames(base))
+    assert(!StreamNetting.compact(ss, base), "still nothing to cover")
+    assert((released(base), dirNames(base)) == snap, "steady state: re-run changes nothing")
   }
 
   test("replay of the newest batch after a compaction is still a committed no-op") {
@@ -105,17 +121,22 @@ class VersionedStoreCompactionSpec extends SparkSpec {
     val base = tmp()
     drive(base)
     val (relBefore, dlBefore) = (released(base), deadLetters(base))
-    // snapshot a covered version, compact, then restore it — the on-disk
-    // state a crash right after the marker write leaves behind
+    // snapshot a covered version; compact (grace keeps it); let the next
+    // pass sweep it; then restore it — the on-disk state a crash between
+    // a sweeping pass's start and its deletes leaves behind
     val src = java.nio.file.Paths.get(base, "b000000000001")
     val bak = java.nio.file.Paths.get(tmp(), "b000000000001")
     copyTree(src, bak)
     assert(StreamNetting.compact(ss, base))
+    assert(dirNames(base).contains("b000000000001"),
+      "grace: the publishing pass keeps what it just superseded")
+    assert(!StreamNetting.compact(ss, base), "sweep pass covers nothing new")
+    assert(!dirNames(base).contains("b000000000001"), "then the sweep lands")
     copyTree(bak, src)
     assert(dirNames(base).contains("b000000000001"), "straggler restored")
     assert(released(base) == relBefore && deadLetters(base) == dlBefore,
       "superseded versions are excluded by id, not by absence")
-    // the next compaction pass sweeps the straggler without re-absorbing it
+    // a later pass sweeps the straggler without re-absorbing it
     assert(!StreamNetting.compact(ss, base), "nothing new to cover")
     assert(!dirNames(base).contains("b000000000001"), "straggler swept")
     assert(released(base) == relBefore && deadLetters(base) == dlBefore)
@@ -131,8 +152,16 @@ class VersionedStoreCompactionSpec extends SparkSpec {
     assert(rel.contains((1L, 20L, 900L)))
     assert(StreamNetting.compact(ss, base), "new versions to cover")
     assert(released(base) == rel && deadLetters(base) == dl)
+    // the second pass absorbed c0002 into c0004 but graces it (a reader
+    // in flight during the pass still holds it); its sweep deleted only
+    // what the FIRST pass superseded (b0000-b0002)
+    assert(dirNames(base) == Seq("b000000000003", "b000000000004",
+      "b000000000005", "c000000000002", "c000000000004"),
+      s"old compaction graced, first pass's covered set swept: ${dirNames(base)}")
+    assert(!StreamNetting.compact(ss, base), "sweep pass")
     assert(dirNames(base) == Seq("b000000000005", "c000000000004"),
       s"old compaction absorbed and deleted: ${dirNames(base)}")
+    assert(released(base) == rel && deadLetters(base) == dl)
   }
 
   test("a log sub-store absent from covered versions stays readable (rejects precedent)") {
