@@ -146,8 +146,17 @@ object StreamNetting {
 
     // Suffix-min envelope over (axis carry + rows), floored at f_net:
     // released cash is the one thing a pending claw can never touch.
-    val wAsc = Window.partitionBy("key").orderBy(col("ts"), col("id"))
-    val wRev = Window.partitionBy("key").orderBy(col("ts").desc, col("id").desc)
+    // NULLS LAST on ts (round-17 advice): null-ts rows never release
+    // (`ts <= wm` is null → filtered), so under Spark's default
+    // nulls-first asc a nonzero-amount null-ts row would sit AHEAD of the
+    // released rows in window order and break the prefix property the
+    // __grew telescope (rel_raw < 0, below) is derived from. Ordering
+    // nulls last keeps released rows a contiguous prefix by construction;
+    // wRev is the exact reverse so __rmin/__prev stay aligned.
+    val wAsc = Window.partitionBy("key")
+      .orderBy(col("ts").asc_nulls_last, col("id").asc_nulls_last)
+    val wRev = Window.partitionBy("key")
+      .orderBy(col("ts").desc_nulls_first, col("id").desc_nulls_first)
     val wAll = Window.partitionBy("key")
     val netted = rows
       .join(axis, Seq("key"), "left")
@@ -195,9 +204,9 @@ object StreamNetting {
       // that envelope's released net TELESCOPES: rel_net2 − rel_raw =
       // max(c_raw, rmin(lastReleased)) − cum(lastReleased), and rmin ≤
       // cum makes the test equivalent to the sign of released raw cash —
-      // rel_raw < 0 (round-16 advice; the only divergent case is a
-      // null-ts row sorting ahead of the prefix, and null-ts rows never
-      // release). A refund that released but was fully absorbed in-batch
+      // rel_raw < 0 (round-16 advice; null-ts rows order LAST in wAsc and
+      // never release, so the prefix property holds by construction —
+      // round-17 advice). A refund that released but was fully absorbed in-batch
       // contributes nothing — advancing the clock on it would keep an
       // OLD remainder alive forever under recurring absorbed refund
       // traffic (a +x/−x pair per batch). Comparing d1 to d0 instead is

@@ -254,6 +254,36 @@ class StreamNettingSpec extends SparkSpec {
       == Seq((2L, 2000L)))
   }
 
+  test("null-ts row in the same batch as a releasing refund is inert (prefix property)") {
+    // Round-17 advice: the __grew telescope (rel_raw < 0) needs released
+    // rows to form a contiguous prefix of the wAsc order. Under Spark's
+    // default nulls-first asc, a nonzero-amount null-ts row would sit
+    // AHEAD of that prefix; ts orders nulls LAST so the property holds by
+    // construction. Pin: a garbage null-ts row rides along without
+    // perturbing released values, never releases, never dead-letters.
+    def driveRows(base: String, withNull: Boolean): Unit = {
+      apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", 100.00)), DAY, 0L)
+      val b1 = Seq((1L, 2L, "2024-01-02 00:00:00", -30.00), // releasing refund
+        (1L, 4L, "2024-01-10 00:00:00", 0.00)) // advances the watermark
+      val b1null = if (withNull) b1 :+ ((1L, 3L, null.asInstanceOf[String], 20.00)) else b1
+      val df = b1null.toDF("cust", "pid", "t0", "amt")
+        .select(col("cust"), col("pid"), col("t0").cast("timestamp").as("ts"), col("amt"))
+      StreamNetting.applyBatch(df, col("cust"), col("pid"), col("ts"),
+        col("amt"), DAY, base, 1L): Unit
+    }
+    val withNull = tmp(); val control = tmp()
+    driveRows(withNull, withNull = true)
+    driveRows(control, withNull = false)
+    def rel(base: String) = StreamNetting.readReleased(ss, base).get
+      .select("id", "net_cents").as[(Long, Long)].collect().toMap
+    assert(rel(withNull) == rel(control), "null-ts row does not perturb released values")
+    assert(rel(withNull) == Map(1L -> 7000L, 2L -> 0L),
+      "refund nets the posting exactly as batch (p1 100 − 30); the advance row itself is still pending")
+    assert(!rel(withNull).contains(3L), "null-ts row never releases")
+    assert(StreamNetting.readDeadLetters(ss, withNull).get.count() == 0,
+      "null-ts row never dead-letters")
+  }
+
   test("replay of a committed batch is a no-op returning the committed delta") {
     val base = tmp()
     apply1(base, Seq((1L, 1L, "2024-01-01 00:00:00", 50.00)), DAY, 0L)
