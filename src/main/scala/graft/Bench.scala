@@ -10,11 +10,15 @@ import org.apache.spark.sql.SparkSession
   * Driver stdout contract: the harness keeps only the LAST 2000 chars of
   * stdout and parses the JSON line out of that tail. Round 6 shipped an
   * unparseable bench because 75 queries at full double precision pushed the
-  * line past 2000 chars. The line is therefore built for compactness:
-  *   - per-query keys are the unique `qNN` prefix (the contract example
-  *     itself uses short keys: `{"q1":sec,...}`); full-name timings go to
-  *     BENCH_LOCAL.json next to the repo for human/judge consumption.
-  *   - times print at 2 decimals (10 ms — same precision BASELINE.md pins).
+  * line past 2000 chars; round 17's qNN-keyed line overflowed again at
+  * 177 queries (BENCH_r17.json parsed:null). The line is therefore built
+  * for compactness:
+  *   - per-query keys are the bare registry number ([[lineKey]]: q44_… ->
+  *     `44`); full-name timings go to BENCH_LOCAL.json next to the repo
+  *     for human/judge consumption.
+  *   - times print at ≤3 chars ([[fmtLine]]: 0.1 s below 10 s, whole
+  *     seconds above — pins adjudicate at 2x, and BENCH_LOCAL.json keeps
+  *     3 decimals).
   *   - `sf` is the directory basename, not the full path.
   * `BenchContractSpec` asserts the worst-case rendered line stays < 1900
   * chars as queries are added.
@@ -54,6 +58,21 @@ object Bench {
   /** `q07_segment_flag` -> `q07`; names without an underscore pass through. */
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** Driver-LINE key: the registry number alone (`q07_segment_flag` ->
+    * `7`, `q177_robot_slots_roundtrip` -> `177`); non-qNN names fall back
+    * to [[shortKey]]. Round 17 proved the qNN-keyed line OVERFLOWS the
+    * driver's 2000-char stdout tail at 177 queries (BENCH_r17.json:
+    * `parsed: null`, tail clipped mid-line) — the q prefix and leading
+    * zeros cost ~230 chars the tail doesn't have. The mapping back is
+    * mechanical (`"44"` = q44's row in BASELINE.md / BENCH_LOCAL.json);
+    * the committed local artifact keeps FULL names at 3 decimals. */
+  def lineKey(name: String): String = {
+    val s = shortKey(name)
+    if (s.length > 1 && s.head == 'q' && s.tail.forall(_.isDigit))
+      s.tail.dropWhile(_ == '0') match { case "" => "0"; case d => d }
+    else s
+  }
+
   /** Host-wide busy CPU seconds since boot (user+nice+system+irq+softirq+
     * steal from /proc/stat, USER_HZ=100), or -1 where /proc is unavailable.
     * Deltaed around the timed passes and netted against the JVM's own
@@ -68,8 +87,12 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       val cols = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
         finally src.close()
-      // col layout: user nice system idle iowait irq softirq steal ...
-      val busy = cols.zipWithIndex.collect {
+      // col layout: user nice system idle iowait irq softirq steal guest
+      // guest_nice. Only the first 8 count: the kernel already folds guest
+      // and guest_nice into user/nice, so summing every non-idle column
+      // double-counts VM guest time — and benchgate hard-gates on this
+      // number (round-17 advice).
+      val busy = cols.take(8).zipWithIndex.collect {
         case (v, i) if i != 3 && i != 4 => v
       }.sum
       busy / 100.0
@@ -117,7 +140,8 @@ object Bench {
       case None => names
       case Some(s) =>
         val wanted = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        names.filter(n => wanted.contains(n) || wanted.contains(shortKey(n)))
+        names.filter(n => wanted.contains(n) || wanted.contains(shortKey(n)) ||
+          wanted.contains(lineKey(n)))
     }
 
   /** Local-artifact routing: a SUBSET re-time or a HOT capture must never
@@ -138,25 +162,28 @@ object Bench {
     * all-success case. */
   def renderLine(results: Seq[(String, Double)], sfDir: String, hot: Boolean,
                  errs: Seq[String] = Nil): String = {
-    // Adaptive precision keeps the line inside the driver's 2000-char
-    // stdout tail as the registry grows (137 queries at a flat %.2f put
-    // the worst case at 1910 chars — BenchContractSpec caught it): 10 ms
-    // precision below 10 s, 3 significant figures above. Pins compare at
-    // 2x, so the coarser tail precision loses nothing that matters;
-    // BENCH_LOCAL.json keeps full names at 3 decimals regardless.
+    // Compact keys + ≤3-char values keep the line inside the driver's
+    // 2000-char stdout tail as the registry grows. History: 137 queries
+    // at flat %.2f hit 1910 worst-case (round 6 shipped unparseable);
+    // round 17's qNN keys + 4-char values overflowed FOR REAL at 177
+    // queries (BENCH_r17.json parsed: null). Now: bare registry-number
+    // keys (lineKey) and 0.1 s / whole-second precision (fmtLine) put
+    // 183 queries at ~1810 worst-case, cap ~198. Pins compare at 2x and
+    // the committed BENCH_LOCAL.json keeps full names at 3 decimals, so
+    // the tail precision loses nothing adjudication needs.
     val qs = results
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtAdaptive(v) }
+      .map { case (k, v) => "\"" + lineKey(k) + "\":" + fmtLine(v) }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.2f"
     val sf = new java.io.File(sfDir).getName
-    val errField = errs.map("\"" + shortKey(_) + "\"").mkString(""","err":[""", ",", "]")
+    val errField = errs.map("\"" + lineKey(_) + "\"").mkString(""","err":[""", ",", "]")
     val hotField = if (hot) ",\"hot\":1" else ""
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"$errField$hotField}"""
   }
 
-  /** ≤4-char rendering: 0.42 / 9.99 / 12.3 / 999 (+1 char past 1000 s). */
-  def fmtAdaptive(v: Double): String =
-    if (v < 9.995) f"$v%.2f" else if (v < 99.95) f"$v%.1f" else f"$v%.0f"
+  /** ≤3-char rendering: 0.4 / 9.9 / 12 / 999 (+1 char past 1000 s). */
+  def fmtLine(v: Double): String =
+    if (v < 9.95) f"$v%.1f" else f"$v%.0f"
 
   /** Full-name 3-decimal timings for the committed local artifact, plus the
     * per-query BYTES block: shuffle read+write MB, spill MB, and the task
