@@ -13,11 +13,14 @@ Exit codes: 0 = pass, 1 = regression(s) or crashed queries, 2 = unusable
 inputs (missing/hot capture — a hot capture cannot adjudicate a gate; re-run
 quiet or use SPARK_GRAFT_BENCH_ONLY to re-time suspects). "Hot" is decided
 by the start loadavg sample AND by the capture's ambient block when present
-(other-process CPU during the timed passes, written by graft.Bench):
-ambient avg_cores > 1.0 is mid-run interference the start sample can't see
-(the round-16 end-load-4.5 capture read six phantom >2x rows). Pre-ambient
-artifacts with a high END loadavg only WARN — the end sample is dominated
-by the bench's own local[N] work, so it can't hard-gate.
+(other-process CPU during the timed passes, written by graft.Bench).
+Ambient tiers (round-17: ambient 0.25 cores inflated rows up to 2.8x while
+sailing under the old 1.0-core cutoff): avg_cores <= 0.15 adjudicates at
+the strict ratio; 0.15-0.5 is DEGRADED (seconds allowance widens to
+ratio*(1+2*ambient); in-between rows print as SUSPECTs to re-time, not
+failures); > 0.5 is UNUSABLE. Pre-ambient artifacts with a high END
+loadavg only WARN — the end sample is dominated by the bench's own
+local[N] work, so it can't hard-gate.
 
 Protocol notes (BASELINE.md): a per-query number within the ratio is
 noise-compatible; queries in the capture's "err" array have no timing and
@@ -239,13 +242,36 @@ def main(argv):
     # gate — it is dominated by the bench's own local[N] work (quiet sf1
     # captures legitimately end at load ~19) — so for pre-ambient
     # artifacts it only WARNS and demands a re-time.
+    #
+    # Tiers (round-17 adjudication: ambient 0.25 cores inflated the suite
+    # ~22% and individual sub-second rows up to 2.8x, yet sat far under
+    # the old 1.0-core cutoff — five phantom FAILs, all exonerated by
+    # quiet re-times):
+    #   a <= 0.15        quiet — strict --ratio applies.
+    #   0.15 < a <= 0.5  DEGRADED — per-row seconds allowance widens to
+    #                    ratio*(1 + 2a) (covers the measured 2.8x at
+    #                    a=0.25 while a real 3.5x regression still
+    #                    fails); rows over the base ratio but inside the
+    #                    widened band print as SUSPECTs to re-time, not
+    #                    failures. Bytes/skew gates are unaffected —
+    #                    they are plan-deterministic, not time-based.
+    #   a > 0.5          UNUSABLE — no band can honestly adjudicate.
     amb = cap.get("ambient")
-    if amb is not None and amb.get("avg_cores", 0.0) > 1.0:
-        print(f"GATE UNUSABLE: ambient CPU {amb['avg_cores']:.2f} cores avg "
+    amb_cores = amb.get("avg_cores", 0.0) if amb is not None else 0.0
+    if amb_cores > 0.5:
+        print(f"GATE UNUSABLE: ambient CPU {amb_cores:.2f} cores avg "
               f"during the timed passes ({amb.get('cpu_s', 0):.0f} cpu-s over "
               f"{amb.get('wall_s', 0):.0f} s) — other-process interference; "
               "re-run quiet or re-time suspects with SPARK_GRAFT_BENCH_ONLY")
         return 2
+    eff_ratio = ratio
+    if amb_cores > 0.15:
+        eff_ratio = ratio * (1.0 + 2.0 * amb_cores)
+        print(f"WARN: DEGRADED capture — ambient CPU {amb_cores:.2f} cores "
+              f"during the timed passes; seconds rows adjudicate at a "
+              f"widened {eff_ratio:.2f}x (base {ratio}x). Rows between the "
+              "bands are SUSPECTS: re-time quiet before pinning or "
+              "adjudicating them.")
     end_load = loads[1] if len(loads) > 1 else None
     if amb is None and end_load is not None and end_load > 2.5:
         print(f"WARN: pre-ambient artifact ended at load {end_load} — the "
@@ -270,8 +296,11 @@ def main(argv):
                     print(f"note   {q}: pinned {pin:.2f}s but absent from capture")
             continue
         r = t / pin if pin > 0 else float("inf")
-        if r > ratio:
-            failures.append(f"REGRESS {q}: {t:.2f}s vs pin {pin:.2f}s = {r:.2f}x (> {ratio}x)")
+        if r > eff_ratio:
+            failures.append(f"REGRESS {q}: {t:.2f}s vs pin {pin:.2f}s = {r:.2f}x (> {eff_ratio:.2f}x)")
+        elif r > ratio:
+            print(f"SUSPECT {q}: {t:.2f}s vs pin {pin:.2f}s = {r:.2f}x — over the "
+                  f"base {ratio}x but inside the ambient-widened band; re-time quiet")
     # Closed under registration: every query the bench timed must carry a
     # pin row, or the 2x gate silently never covers it (q145 shipped
     # unpinned in round 10 exactly this way). Pin new queries min-of-two

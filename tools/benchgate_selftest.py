@@ -183,10 +183,40 @@ def main():
                    {"load": [0.2, 4.5], "err": [],
                     "queries": {"q01_agg": 1.0, "q02_x": 2.0}}, expect=0)
 
+    # --- ambient tiers (round-17: 0.25 cores made five phantom >2x rows
+    #     while sailing under the old 1.0-core UNUSABLE cutoff) ---
+    # 30. 0.5 < a <= old 1.0 cutoff → now unusable (the r17 blind band).
+    ok &= run_case("unusable_ambient_over_half_core", PINS,
+                   {"load": [0.2, 2.0], "err": [],
+                    "queries": {"q01_agg": 1.0, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 120.0, "wall_s": 200.0,
+                                "avg_cores": 0.60}}, expect=2)
+    # 31. DEGRADED band: a=0.25 widens the row allowance to 2*(1+0.5)=3x;
+    #     a 2.8x row (exactly the r17 phantom class) is a SUSPECT note,
+    #     not a failure.
+    ok &= run_case("pass_degraded_row_inside_widened_band", PINS,
+                   {"load": [0.2, 1.6], "err": [],
+                    "queries": {"q01_agg": 2.8, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 50.0, "wall_s": 200.0,
+                                "avg_cores": 0.25}}, expect=0)
+    # 32. ...but a row past the WIDENED band still fails — degraded is a
+    #     wider gate, not an open one.
+    ok &= run_case("fail_degraded_row_past_widened_band", PINS,
+                   {"load": [0.2, 1.6], "err": [],
+                    "queries": {"q01_agg": 3.5, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 50.0, "wall_s": 200.0,
+                                "avg_cores": 0.25}}, expect=1)
+    # 33. Quiet tier unchanged: a <= 0.15 adjudicates at the strict ratio.
+    ok &= run_case("fail_quiet_tier_strict", PINS,
+                   {"load": [0.2, 1.6], "err": [],
+                    "queries": {"q01_agg": 2.8, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 20.0, "wall_s": 200.0,
+                                "avg_cores": 0.10}}, expect=1)
+
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (29 cases)")
+    print("SELFTEST PASS (33 cases)")
     return 0
 
 
