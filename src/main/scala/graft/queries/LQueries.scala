@@ -100,7 +100,32 @@ object LQueries {
     "q152_corpus_delta" -> ((s, d) => q152(s, d)),
     "q150_weighted_dedup_eval" -> ((s, d) => q150(s, d)),
     "q135_corpus_report" -> ((s, d) => q135(s, d)),
+    "q183_incremental_dedup" -> ((s, d) => q183(s, d)),
   )
+
+  /** L65 oracle-keyed (round-18): incremental near-dup admission against
+    * the persisted signature store, driven over three doc_id-hash batches
+    * in sequence — exactly the production arrival shape. The oracle
+    * replays the WHOLE decision procedure in SQL from proven fragments
+    * (q18's md5 MinHash + banded buckets, q42's recursive-CTE connected
+    * components): per round, reject batch docs whose banded-candidate
+    * signature agreement with any PREVIOUSLY ADMITTED doc reaches
+    * minAgree, then cluster the survivors intra-batch and keep each
+    * cluster's min id. Shingle-less docs carry no signature and are
+    * always admitted (the admit contract). Params mirror q18:
+    * k=3, numHashes=8, rowsPerBand=2, minAgree=4 (Jaccard ≈ 0.5). */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    var store = graft.operators.IncrementalDedup.emptyStore(s, k = 3, numHashes = 8)
+    (0 until 3).map { b =>
+      val adm = graft.operators.IncrementalDedup.admit(
+        docs.where(pmod(col("doc_id"), lit(3)) === b),
+        col("doc_id"), col("text"), store,
+        k = 3, numHashes = 8, rowsPerBand = 2, minAgree = 4)
+      store = adm.store
+      adm.admitted.select(col("doc_id"), lit(b.toLong).as("batch"))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+  }
 
   /** L72: per-source dataset card — volume, vocabulary health, exact-dup
     * rate, language concentration in one frame. */
@@ -1372,6 +1397,58 @@ object LQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // L65: the three-round sequential admission replayed in SQL. Fragments
+    // are the proven ones (q18's mh/banded CTEs, q42's recursive reach);
+    // `match` is the symmetric signature-agreement relation restricted to
+    // banded candidates — the restriction IS the algorithm (both probes in
+    // IncrementalDedup.admit join on band buckets), not an approximation.
+    // Docs with no shingles have no mh rows, hence no edges: always
+    // admitted. Round r rejects against ADMITTED ids of rounds < r only
+    // (the store grows by admitted signatures alone), then keeps each
+    // intra-batch component's min id.
+    "q183_incremental_dedup" -> (grams.replace("WITH ", "WITH RECURSIVE ") +
+      """,
+        |mh AS (SELECT id, i, min(md5(CAST(i AS VARCHAR) || ':' || gram)) AS mh
+        |       FROM (SELECT id, gram, unnest(range(8)) AS i FROM g) x GROUP BY id, i),
+        |banded AS (SELECT id, CAST(i // 2 AS INT) AS band,
+        |                  md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || mh, '|'
+        |                                 ORDER BY lpad(CAST(i AS VARCHAR), 2, '0'))) AS bucket
+        |           FROM mh GROUP BY id, CAST(i // 2 AS INT)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+        |         JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |ag AS (SELECT c.id_a, c.id_b FROM cand c
+        |       JOIN mh a ON a.id = c.id_a JOIN mh b ON b.id = c.id_b AND b.i = a.i
+        |       GROUP BY c.id_a, c.id_b
+        |       HAVING sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) >= 4),
+        |mt AS (SELECT id_a AS x, id_b AS y FROM ag UNION ALL SELECT id_b AS x, id_a AS y FROM ag),
+        |e0 AS (SELECT x, y FROM mt WHERE x % 3 = 0 AND y % 3 = 0),
+        |reach0(id, r) AS (SELECT x, x FROM e0
+        |  UNION SELECT e.y, r.r FROM reach0 r JOIN e0 e ON e.x = r.id),
+        |adm0 AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0
+        |         AND doc_id NOT IN (SELECT id FROM (SELECT id, min(r) AS c FROM reach0 GROUP BY id) z
+        |                            WHERE id <> c)),
+        |rs1 AS (SELECT DISTINCT m.x AS id FROM mt m JOIN adm0 a ON a.id = m.y WHERE m.x % 3 = 1),
+        |s1 AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 1
+        |       AND doc_id NOT IN (SELECT id FROM rs1)),
+        |e1 AS (SELECT m.x, m.y FROM mt m JOIN s1 a ON a.id = m.x JOIN s1 b ON b.id = m.y),
+        |reach1(id, r) AS (SELECT x, x FROM e1
+        |  UNION SELECT e.y, r.r FROM reach1 r JOIN e1 e ON e.x = r.id),
+        |adm1 AS (SELECT id FROM s1
+        |         WHERE id NOT IN (SELECT id FROM (SELECT id, min(r) AS c FROM reach1 GROUP BY id) z
+        |                          WHERE id <> c)),
+        |st2 AS (SELECT id FROM adm0 UNION ALL SELECT id FROM adm1),
+        |rs2 AS (SELECT DISTINCT m.x AS id FROM mt m JOIN st2 a ON a.id = m.y WHERE m.x % 3 = 2),
+        |s2 AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2
+        |       AND doc_id NOT IN (SELECT id FROM rs2)),
+        |e2 AS (SELECT m.x, m.y FROM mt m JOIN s2 a ON a.id = m.x JOIN s2 b ON b.id = m.y),
+        |reach2(id, r) AS (SELECT x, x FROM e2
+        |  UNION SELECT e.y, r.r FROM reach2 r JOIN e2 e ON e.x = r.id),
+        |adm2 AS (SELECT id FROM s2
+        |         WHERE id NOT IN (SELECT id FROM (SELECT id, min(r) AS c FROM reach2 GROUP BY id) z
+        |                          WHERE id <> c))
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS batch FROM adm0
+        |UNION ALL SELECT CAST(id AS BIGINT), CAST(1 AS BIGINT) FROM adm1
+        |UNION ALL SELECT CAST(id AS BIGINT), CAST(2 AS BIGINT) FROM adm2""".stripMargin),
     "q102_pagerank" -> pagerankOracle,
     "q103_triangles" -> trianglesOracle,
     "q105_quantize" -> quantizeOracle,

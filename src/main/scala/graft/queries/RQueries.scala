@@ -102,6 +102,11 @@ object RQueries {
     "q175_compaction_roundtrip" -> ((s, d) => q175(s, d)),
     "q176_br_csv_roundtrip" -> ((s, d) => q176(s, d)),
     "q177_robot_slots_roundtrip" -> ((s, d) => q177(s, d)),
+    "q178_stream_funnel" -> ((s, d) => q178(s, d)),
+    "q179_stream_attribution" -> ((s, d) => q179(s, d)),
+    "q180_stream_cusum" -> ((s, d) => q180(s, d)),
+    "q181_stream_concurrency" -> ((s, d) => q181(s, d)),
+    "q182_stream_scd2" -> ((s, d) => q182(s, d)),
   )
 
   /** Drive a [[graft.streaming.VersionedStore]]-backed streaming operator
@@ -336,6 +341,178 @@ object RQueries {
       .select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("user_id"),
         col("event_type"), col("slot").cast("string").as("slot"))
+      .localCheckpoint(true)
+  }
+
+  /** Drive a Dataset-typed stateful streaming operator (the
+    * flatMapGroupsWithState family — S9/S13/S18) through Spark's REAL
+    * streaming engine over deterministic event-time micro-batches: each
+    * batch is WRITTEN to a watched directory (the data never collects to
+    * the driver) and processed to completion before the next lands, so
+    * arrival order respects event time — the ordering contract those
+    * operators' stream==batch equivalence is conditioned on. Results
+    * accumulate in a memory sink (bounded by EMITTED rows — per-key
+    * state rows, not input rows) and return checkpointed off the
+    * dropped temp view. */
+  private def driveFileStream(s: SparkSession, name: String,
+                              batches: Seq[DataFrame], outputMode: String)
+                             (mk: DataFrame => org.apache.spark.sql.Dataset[_]): DataFrame =
+    withTempStore("graft_stream_") { dir =>
+      val srcDir = dir + "/in"
+      batches.head.write.mode("overwrite").parquet(srcDir)
+      val q = mk(s.readStream.schema(batches.head.schema).parquet(srcDir))
+        .writeStream.outputMode(outputMode).format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        batches.tail.foreach { b =>
+          b.write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val out = s.table(name).localCheckpoint(true)
+      s.catalog.dropTempView(name): Unit
+      out
+    }
+
+  /** S9 oracle-keyed: the streaming conversion funnel — the REAL
+    * flatMapGroupsWithState query driven by the streaming engine over
+    * event-time tercile file drops — must land every key on exactly the
+    * strict-chain state q64's batch funnel (R40) derives from the full
+    * log. Update-mode emissions strictly grow `stepsCompleted` per key,
+    * so the final state is the max-struct row. Null-ts rows are filtered
+    * up front: they cannot advance a strict chain on either side (the
+    * batch fold null-propagates them into no-ops). */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val ev = Tables.events(s, d)
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin(steps: _*))
+    val batches = tsBatches(ev).map(_.select(col("user_id").as("key"),
+      unix_micros(col("ts")).as("tsUs"), col("event_type").as("step")))
+    val rows = driveFileStream(s, "q178_funnel_sink", batches, "update") { df =>
+      graft.streaming.StreamFunnel.funnelStream(
+        df.as[graft.streaming.StreamFunnel.StepEvent], steps)
+    }
+    rows.groupBy(col("key"))
+      .agg(max(struct(col("stepsCompleted"), col("times"))).as("m"))
+      .select(col("key").as("user_id"),
+        col("m.times").getItem(0).as("t_view_us"),
+        col("m.times").getItem(1).as("t_click_us"),
+        col("m.times").getItem(2).as("t_purchase_us"),
+        col("m.stepsCompleted").cast("long").as("steps_completed"))
+      .where(col("t_view_us").isNotNull)
+  }
+
+  /** S13 oracle-keyed: streaming last-touch attribution — the real
+    * Append-mode flatMapGroupsWithState query over event-time tercile
+    * drops — must emit, per purchase with an in-lookback touch, exactly
+    * the last-touch row q99's batch attribution (R53) computes; the
+    * oracle is q99's CTE chain restricted to its last-touch columns
+    * (the stream's real-time feed carries no first-touch by design —
+    * it would mean unbounded per-user history). */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+    val batches = tsBatches(ev).map(_.select(col("user_id").as("user"),
+      col("event_id").as("id"), unix_micros(col("ts")).as("tsUs"),
+      col("event_type").as("typ"),
+      round(col("value") * 100).cast("long").as("cents")))
+    val rows = driveFileStream(s, "q179_attr_sink", batches, "append") { df =>
+      graft.streaming.StreamAttribution.attributeStream(
+        df.as[graft.streaming.StreamAttribution.TouchEvent],
+        "purchase", Seq("view", "click"), lookbackUs = 3L * 86400L * 1000000L)
+    }
+    rows.select(col("convId").as("conv_id"), col("user").as("user_id"),
+      col("convUs").as("conv_us"), col("cents"),
+      col("nTouches").as("n_touches"), col("lastTouchId").as("last_touch_id"),
+      col("lastTouchType").as("last_touch_type"), col("lastTouchUs").as("last_touch_us"))
+  }
+
+  /** S18 oracle-keyed: the streaming CUSUM monitor, fed q123's daily
+    * counts on the D-scaled deviation axis (x = D·n − S, ref 0, per-key
+    * h = mult·S — the frozen per-metric parameters [[graft.streaming.StreamCusum.monitorKeyed]]
+    * exists for), folds per key to EXACTLY the batch closed form's
+    * cusum_q and alarm (R64/q123's oracle text verbatim). The params
+    * collect is one row per event type — bounded metadata. */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("grp"), to_date(col("ts")).as("dd"))
+      .where(col("dd").isNotNull)
+      .groupBy("grp", "dd").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // reused thrice: params, observations, final join
+    val tot = daily.groupBy("grp").agg(sum("n").as("s"), count(lit(1)).as("dn"))
+    val params = tot.collect()
+      .map(r => r.getString(0) -> (0L, 3L * r.getLong(1))).toMap
+    val obs = daily.join(tot, "grp")
+      .select(col("grp"), col("dd"),
+        datediff(col("dd"), lit("1970-01-01").cast("date")).cast("long").as("ord"),
+        (col("dn") * col("n") - col("s")).as("x"))
+    val batches = tsBatches(obs.withColumn("ts", col("dd").cast("timestamp")))
+      .map(_.select(col("grp").as("key"), col("ord"), col("x")))
+    val rows = driveFileStream(s, "q180_cusum_sink", batches, "append") { df =>
+      graft.streaming.StreamCusum.monitorKeyed(
+        df.as[graft.streaming.StreamCusum.Obs], params)
+    }
+    val dailyOrd = daily.withColumn("dord",
+      datediff(col("dd"), lit("1970-01-01").cast("date")).cast("long"))
+    rows.join(dailyOrd,
+        rows("key") === dailyOrd("grp") && rows("ord") === dailyOrd("dord"))
+      .select(col("grp"), date_format(col("dd"), "yyyy-MM-dd").as("day"),
+        col("n"), col("cusumQ").as("cusum_q"), col("alarm"))
+  }
+
+  /** S21 oracle-keyed: the streaming sweep-line store, folded over THREE
+    * hash-split interval batches via the real
+    * [[graft.streaming.StreamConcurrency.applyBatch]] (delta merge +
+    * commit markers), must read back exactly q127's batch daily actives
+    * (R66's oracle text verbatim). The split is by order key, not event
+    * time: endpoint deltas commute by per-day addition, so ANY arrival
+    * order is a valid one — that commutativity is the operator's whole
+    * out-of-order story, and this row proves it against the oracle. */
+  def q181(s: SparkSession, d: String): DataFrame = withTempStore("graft_q181_") { store =>
+    val ship = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ship_end"))
+    val iv = Tables.orders(s, d)
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey").as("k"), col("o_orderdate").as("st"),
+        greatest(col("ship_end"), col("o_orderdate")).as("en"))
+    (0 until 3).foreach { b =>
+      graft.streaming.StreamConcurrency.applyBatch(
+        iv.where(pmod(col("k"), lit(3)) === b), col("st"), col("en"), store, b.toLong)
+    }
+    graft.streaming.StreamConcurrency.activeDaily(s, store).get.localCheckpoint(true)
+  }
+
+  /** S10 oracle-keyed: streaming SCD2 dimension maintenance — q78's two
+    * snapshot days dropped as two micro-batches through the real
+    * [[graft.streaming.StreamScd2.applyBatch]] (diff against the latest
+    * published version, close/insert, marker-committed publish); the
+    * final dimension read back must hash-equal the batch merge-apply
+    * (R45b's oracle text verbatim). */
+  def q182(s: SparkSession, d: String): DataFrame = withTempStore("graft_q182_") { dim =>
+    val c = Tables.customer(s, d)
+    val snap1 = c.filter(col("c_custkey") % 10 =!= 3)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("snap", lit("2024-01-01"))
+    val snap2 = c.filter(col("c_custkey") % 10 =!= 7)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("CHANGED")).otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("snap", lit("2024-01-02"))
+    val cols = Seq("c_mktsegment", "c_acctbal")
+    graft.streaming.StreamScd2.applyBatch(snap1, "c_custkey", cols, "snap", dim)
+    graft.streaming.StreamScd2.applyBatch(snap2, "c_custkey", cols, "snap", dim)
+    graft.streaming.StreamScd2.readLatest(s, dim).get
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("valid_from"), coalesce(col("valid_to"), lit("")).as("valid_to"))
       .localCheckpoint(true)
   }
 
@@ -1329,7 +1506,43 @@ object RQueries {
       |            ELSE 'HOLD' END AS next_action
       |FROM lad""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = base ++ streamFlipOracles
+
+  /** The round-18 stream-flip rows (q178-q182) verify a STREAMING drive
+    * against the already-proven batch oracle of the operator's batch
+    * sibling — the q166-q168 precedent: same oracle text where the output
+    * contract is identical, a derived projection of it where the stream's
+    * feed is a documented subset (q179: last-touch only — a real-time
+    * feed carrying first-touch would need unbounded per-user history). */
+  private def streamFlipOracles: Map[String, String] = Map(
+    "q178_stream_funnel" -> base("q64_funnel"),
+    "q180_stream_cusum" -> base("q123_cusum"),
+    "q181_stream_concurrency" -> base("q127_concurrency"),
+    "q182_stream_scd2" -> base("q78_scd2_apply"),
+    // q99's CTE chain restricted to its last-touch columns
+    "q179_stream_attribution" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+        |             event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_id AS conv_id, user_id, us AS conv_us, cents
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS touch_id, user_id, us AS touch_us, event_type AS touch_type
+        |      FROM e WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT c.conv_id, c.user_id, c.conv_us, c.cents,
+        |             t.touch_id, t.touch_type, t.touch_us
+        |      FROM c JOIN t ON t.user_id = c.user_id
+        |       AND t.touch_us >= c.conv_us - 259200000000 AND t.touch_us <= c.conv_us),
+        |r AS (SELECT p.*,
+        |        row_number() OVER (PARTITION BY conv_id ORDER BY touch_us DESC, touch_id DESC) AS rl
+        |      FROM p)
+        |SELECT conv_id, user_id, conv_us, cents, CAST(count(*) AS BIGINT) AS n_touches,
+        |       max(CASE WHEN rl = 1 THEN touch_id END) AS last_touch_id,
+        |       max(CASE WHEN rl = 1 THEN touch_type END) AS last_touch_type,
+        |       max(CASE WHEN rl = 1 THEN touch_us END) AS last_touch_us
+        |FROM r GROUP BY conv_id, user_id, conv_us, cents""".stripMargin,
+  )
+
+  private lazy val base: Map[String, String] = Map(
     "q02_per_key_totals" ->
       """SELECT o_orderkey, o_custkey,
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS valor_divida,

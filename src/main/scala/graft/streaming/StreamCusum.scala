@@ -46,13 +46,31 @@ object StreamCusum {
 
   def monitor(ds: Dataset[Obs], ref: Long, h: Long): Dataset[CusumRow] = {
     require(h >= 1, "h >= 1")
+    monitorWith(ds, _ => (ref, h))
+  }
+
+  /** Per-key frozen parameters — production monitors freeze a DIFFERENT
+    * reference level and alarm threshold per metric (a purchase stream's
+    * mean is not a click stream's). `params` maps key → (ref, h); a key
+    * with no entry fails the task loudly (an unconfigured alert silently
+    * defaulting its threshold is worse than a crash). The map is one
+    * entry per monitored metric — closure-shipped bounded metadata. */
+  def monitorKeyed(ds: Dataset[Obs], params: Map[String, (Long, Long)]): Dataset[CusumRow] = {
+    require(params.values.forall(_._2 >= 1), "h >= 1 for every key")
+    monitorWith(ds, k => params.getOrElse(k,
+      throw new IllegalArgumentException(s"StreamCusum: no (ref, h) configured for key '$k'")))
+  }
+
+  private def monitorWith(ds: Dataset[Obs],
+                          paramsOf: String => (Long, Long)): Dataset[CusumRow] = {
     implicit val keyEnc = Encoders.STRING
     implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     implicit val outEnc = Encoders.product[CusumRow]
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[St, CusumRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_, rows, state: GroupState[St]) =>
+        (key, rows, state: GroupState[St]) =>
+          val (ref, h) = paramsOf(key)
           val (st, out) = step(state.getOption.getOrElse((0L, 0L)), ref, h, rows.toSeq)
           state.update(st)
           out.iterator
