@@ -225,6 +225,23 @@ object StreamNetting {
       // full value where batch would net it (stream ≠ batch on this
       // shape). Distinguishing (b) from the +x/−x pair requires
       // per-refund deficit remainders, not a scalar axis.
+      //
+      // ADJUDICATED FINAL (round 18, closing the r17 verdict's open
+      // design question): the one-slot axis stays. Per-refund remainders
+      // would bound state by refunds-in-horizon (acceptable), but they
+      // change the axis schema (a durable-store migration for every
+      // deployed stream), complicate the dead-letter attribution
+      // contract (one write-off row per refund instead of one per key),
+      // and buy exactness only on shape (b) — a refund co-released with
+      // cash that an OLD standing deficit fully consumes in the same
+      // micro-batch, whose absorbers then arrive across the 2-horizon
+      // boundary. The failure is bounded (one refund's remainder
+      // dead-letters early; cash conservation per key still holds:
+      // released net + dead-lettered == released raw floored at 0), both
+      // behaviors are spec-pinned (StreamNettingSpec "one-slot
+      // compromise"), and batch netAdjustments over the settled log
+      // remains the stated replay/repair path for ledgers that need the
+      // corner exact.
       .withColumn("__grew", col("rel_raw") < 0)
       .withColumn("__dref_ts", when(col("d1") > 0,
         when(col("__grew") && col("last_refund").isNotNull &&

@@ -181,6 +181,44 @@ class VersionedStoreCompactionSpec extends SparkSpec {
       "state (latest arms) survives on the kept newest version")
   }
 
+  test("60-batch drive: directory count stays bounded across six compactions (r18 task)") {
+    // The production-lifetime claim, asserted not narrated: with
+    // compactEvery = 10, the store's directory count is bounded by
+    // 2·compactEvery + 3 at every point in a 60-batch stream (graced
+    // dirs from the previous interval + live dirs + two c-dirs), and
+    // returns to ≤ compactEvery + 3 right after each pass — flat
+    // forever, not merely slower-growing. Driven through StreamAbTest
+    // (one verdict row per batch) so the read walk stays exact too.
+    val base = tmp()
+    val every = 10
+    var worstEver = 0
+    (0 until 60).foreach { i =>
+      StreamAbTest.applyBatch(
+        Seq(("a", (i % 2).toInt), ("b", ((i + 1) % 2).toInt)).toDF("v", "s"),
+        col("v"), col("s"), base, i.toLong)
+      worstEver = math.max(worstEver, dirNames(base).size)
+      if ((i + 1) % every == 0) {
+        StreamAbTest.compact(ss, base): Unit
+        assert(dirNames(base).size <= 2 * every + 3,
+          s"post-compaction bound blown at batch $i: ${dirNames(base)}")
+      }
+      assert(dirNames(base).size <= 2 * every + 3,
+        s"directory bound blown at batch $i: ${dirNames(base)}")
+      // the read walk never exceeds one c-dir + the live interval
+      assert(VersionedStore.logDirs(ss, base, "verdicts").size <= every + 1,
+        s"read walk grew at batch $i")
+    }
+    assert(worstEver <= 2 * every + 3, s"lifetime worst $worstEver")
+    // read equivalence across all six compactions: one verdict per batch
+    assert(StreamAbTest.verdictsAll(ss, base).get.count() == 60)
+    // replay spanning the last compaction boundary stays a committed no-op
+    StreamAbTest.applyBatch(Seq(("a", 1), ("b", 0)).toDF("v", "s"),
+      col("v"), col("s"), base, 59L)
+    assert(StreamAbTest.verdictsAll(ss, base).get.count() == 60,
+      "replayed batch must not double-append across a compaction")
+    assert(StreamAbTest.readLatestArms(ss, base).nonEmpty)
+  }
+
   private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     scala.util.Using.resource(Files.walk(from)) { s =>
