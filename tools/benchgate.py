@@ -14,11 +14,20 @@ inputs (missing/hot capture — a hot capture cannot adjudicate a gate; re-run
 quiet or use SPARK_GRAFT_BENCH_ONLY to re-time suspects). "Hot" is decided
 by the start loadavg sample AND by the capture's ambient block when present
 (other-process CPU during the timed passes, written by graft.Bench).
-Ambient tiers (round-17: ambient 0.25 cores inflated rows up to 2.8x while
-sailing under the old 1.0-core cutoff): avg_cores <= 0.15 adjudicates at
-the strict ratio; 0.15-0.5 is DEGRADED (seconds allowance widens to
-ratio*(1+2*ambient); in-between rows print as SUSPECTs to re-time, not
-failures); > 0.5 is UNUSABLE. Pre-ambient artifacts with a high END
+Ambient tiers, calibrated round 18 after the accounting itself was fixed
+(pre-r18 readings folded in three phantom sources: guest-time double
+count, a JDK-17 getProcessCpuTime deficit of 1-2 cores under saturated
+local[32] bursts, and hypervisor STEAL that scales with the bench's own
+load — the r17 "0.25 cores inflated rows 2.8x" reading was mostly these):
+the gate's effective interference is a_eff = avg_cores + 0.5*max(0,
+steal_cores - 0.5) (sub-0.5 steal is the self-induced overcommit tax a
+saturated 32-vCPU burst shows on an otherwise-empty VM — measured 0.39;
+beyond that, deprivation slows wall-clock roughly half-for-half).
+a_eff <= 0.35 adjudicates at the strict ratio (~1% timing effect on 32
+vCPUs, far inside round-to-round noise); 0.35-1.0 is DEGRADED (seconds
+allowance widens to ratio*(1+2*a_eff); in-between rows print as SUSPECTs
+to re-time, not failures); > 1.0 is UNUSABLE (the r16 mid-run-hot class
+read multiple foreign cores). Pre-ambient artifacts with a high END
 loadavg only WARN — the end sample is dominated by the bench's own
 local[N] work, so it can't hard-gate.
 
@@ -243,29 +252,28 @@ def main(argv):
     # captures legitimately end at load ~19) — so for pre-ambient
     # artifacts it only WARNS and demands a re-time.
     #
-    # Tiers (round-17 adjudication: ambient 0.25 cores inflated the suite
-    # ~22% and individual sub-second rows up to 2.8x, yet sat far under
-    # the old 1.0-core cutoff — five phantom FAILs, all exonerated by
-    # quiet re-times):
-    #   a <= 0.15        quiet — strict --ratio applies.
-    #   0.15 < a <= 0.5  DEGRADED — per-row seconds allowance widens to
-    #                    ratio*(1 + 2a) (covers the measured 2.8x at
-    #                    a=0.25 while a real 3.5x regression still
-    #                    fails); rows over the base ratio but inside the
-    #                    widened band print as SUSPECTs to re-time, not
-    #                    failures. Bytes/skew gates are unaffected —
-    #                    they are plan-deterministic, not time-based.
-    #   a > 0.5          UNUSABLE — no band can honestly adjudicate.
+    # Tiers on a_eff = avg_cores + 0.5*max(0, steal_cores - 0.5) — see
+    # the module docstring for the round-18 calibration (fixed accounting;
+    # steal below 0.5 cores is the bench's own overcommit tax).
+    #   a_eff <= 0.35       quiet — strict --ratio applies.
+    #   0.35 < a_eff <= 1.0 DEGRADED — per-row seconds allowance widens
+    #                       to ratio*(1 + 2*a_eff); rows over the base
+    #                       ratio but inside the widened band print as
+    #                       SUSPECTs to re-time, not failures. Bytes/skew
+    #                       gates unaffected (plan-deterministic).
+    #   a_eff > 1.0         UNUSABLE — no band can honestly adjudicate.
     amb = cap.get("ambient")
     amb_cores = amb.get("avg_cores", 0.0) if amb is not None else 0.0
-    if amb_cores > 0.5:
+    if amb is not None:
+        amb_cores += 0.5 * max(0.0, amb.get("steal_cores", 0.0) - 0.5)
+    if amb_cores > 1.0:
         print(f"GATE UNUSABLE: ambient CPU {amb_cores:.2f} cores avg "
               f"during the timed passes ({amb.get('cpu_s', 0):.0f} cpu-s over "
               f"{amb.get('wall_s', 0):.0f} s) — other-process interference; "
               "re-run quiet or re-time suspects with SPARK_GRAFT_BENCH_ONLY")
         return 2
     eff_ratio = ratio
-    if amb_cores > 0.15:
+    if amb_cores > 0.35:
         eff_ratio = ratio * (1.0 + 2.0 * amb_cores)
         print(f"WARN: DEGRADED capture — ambient CPU {amb_cores:.2f} cores "
               f"during the timed passes; seconds rows adjudicate at a "

@@ -183,40 +183,60 @@ def main():
                    {"load": [0.2, 4.5], "err": [],
                     "queries": {"q01_agg": 1.0, "q02_x": 2.0}}, expect=0)
 
-    # --- ambient tiers (round-17: 0.25 cores made five phantom >2x rows
-    #     while sailing under the old 1.0-core UNUSABLE cutoff) ---
-    # 30. 0.5 < a <= old 1.0 cutoff → now unusable (the r17 blind band).
-    ok &= run_case("unusable_ambient_over_half_core", PINS,
-                   {"load": [0.2, 2.0], "err": [],
-                    "queries": {"q01_agg": 1.0, "q02_x": 2.0},
-                    "ambient": {"cpu_s": 120.0, "wall_s": 200.0,
-                                "avg_cores": 0.60}}, expect=2)
-    # 31. DEGRADED band: a=0.25 widens the row allowance to 2*(1+0.5)=3x;
-    #     a 2.8x row (exactly the r17 phantom class) is a SUSPECT note,
-    #     not a failure.
+    # --- ambient tiers on a_eff = avg_cores + 0.5*max(0, steal-0.5)
+    #     (r18 calibration: fixed accounting, steal counted half past the
+    #     self-induced 0.5-core overcommit tax) ---
+    # 30. DEGRADED band: a_eff=0.60 widens the allowance to 2*(1+1.2)=4.4x;
+    #     a 2.8x row (the r17 phantom class) is a SUSPECT note, not a
+    #     failure.
     ok &= run_case("pass_degraded_row_inside_widened_band", PINS,
                    {"load": [0.2, 1.6], "err": [],
                     "queries": {"q01_agg": 2.8, "q02_x": 2.0},
-                    "ambient": {"cpu_s": 50.0, "wall_s": 200.0,
-                                "avg_cores": 0.25}}, expect=0)
-    # 32. ...but a row past the WIDENED band still fails — degraded is a
+                    "ambient": {"cpu_s": 120.0, "wall_s": 200.0,
+                                "avg_cores": 0.60}}, expect=0)
+    # 31. ...but a row past the WIDENED band still fails — degraded is a
     #     wider gate, not an open one.
     ok &= run_case("fail_degraded_row_past_widened_band", PINS,
                    {"load": [0.2, 1.6], "err": [],
-                    "queries": {"q01_agg": 3.5, "q02_x": 2.0},
-                    "ambient": {"cpu_s": 50.0, "wall_s": 200.0,
-                                "avg_cores": 0.25}}, expect=1)
-    # 33. Quiet tier unchanged: a <= 0.15 adjudicates at the strict ratio.
+                    "queries": {"q01_agg": 4.6, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 120.0, "wall_s": 200.0,
+                                "avg_cores": 0.60}}, expect=1)
+    # 32. Quiet tier: a_eff <= 0.35 adjudicates at the strict ratio even
+    #     with sub-floor steal present (steal 0.45 < 0.5 contributes 0).
     ok &= run_case("fail_quiet_tier_strict", PINS,
                    {"load": [0.2, 1.6], "err": [],
                     "queries": {"q01_agg": 2.8, "q02_x": 2.0},
-                    "ambient": {"cpu_s": 20.0, "wall_s": 200.0,
-                                "avg_cores": 0.10}}, expect=1)
+                    "ambient": {"cpu_s": 60.0, "wall_s": 200.0,
+                                "avg_cores": 0.30, "steal_cores": 0.45}},
+                   expect=1)
+    # 33. a_eff > 1.0 is unusable.
+    ok &= run_case("unusable_ambient_over_core", PINS,
+                   {"load": [0.2, 2.0], "err": [],
+                    "queries": {"q01_agg": 1.0, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 240.0, "wall_s": 200.0,
+                                "avg_cores": 1.20}}, expect=2)
+    # 34. Steal folds in at half past the floor: avg 0.2 + steal 2.3 →
+    #     a_eff = 0.2 + 0.9 = 1.1 → unusable (a deprived capture cannot
+    #     adjudicate even though in-VM foreign CPU looks quiet).
+    ok &= run_case("unusable_steal_deprivation", PINS,
+                   {"load": [0.2, 2.0], "err": [],
+                    "queries": {"q01_agg": 1.0, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 40.0, "wall_s": 200.0,
+                                "avg_cores": 0.20, "steal_cores": 2.30}},
+                   expect=2)
+    # 35. Sub-floor steal on a quiet capture stays a clean PASS (the
+    #     saturated local[32] self-tax must not self-flag).
+    ok &= run_case("pass_quiet_with_self_steal", PINS,
+                   {"load": [0.2, 1.6], "err": [],
+                    "queries": {"q01_agg": 1.0, "q02_x": 2.0},
+                    "ambient": {"cpu_s": 60.0, "wall_s": 200.0,
+                                "avg_cores": 0.30, "steal_cores": 0.45}},
+                   expect=0)
 
     if not ok:
         print("SELFTEST FAIL")
         return 1
-    print("SELFTEST PASS (33 cases)")
+    print("SELFTEST PASS (35 cases)")
     return 0
 
 

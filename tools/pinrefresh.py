@@ -30,14 +30,16 @@ def main(argv):
     if cap.get("hot") or cap.get("load", [0])[0] > 1.5:
         print(f"REFUSING: hot capture (load {cap.get('load')})", file=sys.stderr)
         return 2
-    # Pins demand QUIET evidence (round-17: ambient 0.25 cores inflated
-    # rows up to 2.8x) — a degraded capture can't lower a pin honestly
-    # (min() would keep the old one anyway) but could pin a NEW query too
-    # high, flattering every later gate on it.
-    amb_cores = (cap.get("ambient") or {}).get("avg_cores", 0.0)
-    if amb_cores > 0.15:
-        print(f"REFUSING: ambient CPU {amb_cores:.2f} cores during the "
-              "timed passes (> 0.15) — pins take quiet captures only",
+    # Pins demand QUIET evidence — a degraded capture can't lower a pin
+    # honestly (min() would keep the old one anyway) but could pin a NEW
+    # query too high, flattering every later gate on it. Same a_eff and
+    # threshold as benchgate's quiet tier (r18 calibration: fixed
+    # accounting, steal counted half past the 0.5-core self-induced tax).
+    amb = cap.get("ambient") or {}
+    a_eff = amb.get("avg_cores", 0.0) + 0.5 * max(0.0, amb.get("steal_cores", 0.0) - 0.5)
+    if a_eff > 0.35:
+        print(f"REFUSING: effective ambient {a_eff:.2f} cores during the "
+              "timed passes (> 0.35) — pins take quiet captures only",
               file=sys.stderr)
         return 2
     if cap.get("err"):
