@@ -82,8 +82,12 @@ object ProfGraph {
           graft.operators.Graph.seedDistances(sym, seeds, maxDepth = 3).count()
         }
       case "kcore" =>
-        report("kcore") {
-          graft.operators.Graph.kCorePeel(und, k = 10, rounds = 5).count()
+        // k/rounds env-overridable so the q126 shape (k=80, 5 full rounds)
+        // can be stage-profiled too — the default k=10 fixpoints in 1.
+        val k = sys.env.getOrElse("SPARK_GRAFT_PROF_K", "10").toInt
+        val rounds = sys.env.getOrElse("SPARK_GRAFT_PROF_ROUNDS", "5").toInt
+        report(s"kcore_k${k}_r$rounds") {
+          graft.operators.Graph.kCorePeel(und, k = k, rounds = rounds).count()
         }
       case "pagerank" =>
         report("pagerank") {

@@ -66,7 +66,8 @@ object StreamBlocklist {
       .map(prev => prev.unionByName(delta)
         .groupBy("key").agg(sum("n_critical").as("n_critical")))
       .getOrElse(delta)
-      .localCheckpoint(true) // key-sized; don't re-run batch scan + store read per write
+      // one write consumer, no eager checkpoint: checkpoint-then-write
+      // materializes twice and costs an extra job per batch (round-18)
     VersionedStore.publish(spark, baseDir, batchId) { target =>
       merged.write.parquet(new Path(target, "counts").toString)
     }

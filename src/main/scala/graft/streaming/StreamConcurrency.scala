@@ -46,7 +46,8 @@ object StreamConcurrency {
       .map(prev => prev.unionByName(dl).groupBy("d")
         .agg(sum("n_start").as("n_start"), sum("n_freed").as("n_freed")))
       .getOrElse(dl)
-      .localCheckpoint(true) // calendar-bounded frame, one write source
+      // one write consumer, no eager checkpoint: checkpoint-then-write
+      // materializes twice and costs an extra job per batch (round-18)
     VersionedStore.publish(spark, baseDir, batchId) { target =>
       merged.write.parquet(target.toString)
     }

@@ -187,7 +187,7 @@ object StreamNetting {
     // once the expiry clock passes the deficit's refund (no absorber can
     // still arrive on time) is the remainder — less what the pending
     // buffer will provably absorb — written off and c_raw squared up.
-    val deltas = netted.groupBy(col("key"))
+    val deltas0 = netted.groupBy(col("key"))
       .agg(first(col("c_raw")).as("c_raw"), first(col("f_net")).as("f_net"),
         first(col("dref_id")).as("dref_id0"), first(col("dref_ts")).as("dref_ts0"),
         sum(when(col("__rel"), col("c")).otherwise(0L)).as("rel_raw"),
@@ -255,6 +255,14 @@ object StreamNetting {
         wm2.map(col("__dref_ts") < lit(_)).getOrElse(lit(false)))
       .withColumn("dl", when(col("__expired"),
         greatest(col("d1") - col("absorb_pos"), lit(0L))).otherwise(lit(0L)))
+    // Checkpointed ONCE: deltas feeds the dead-letter write AND both
+    // branches of the axis merge — left lazy, each of the three writes
+    // below would re-run the aggregation over `netted` (round-18: the
+    // old shape eagerly checkpointed the four OUTPUT frames instead,
+    // which recomputed deltas twice and paid four extra materialization
+    // jobs per micro-batch just to feed one write each; writes off the
+    // two cached frames are strictly fewer jobs).
+    val deltas = deltas0.localCheckpoint(true)
     val deadLetters = deltas.where(col("dl") > 0)
       .select(col("key"), col("__dref_id").as("id"),
         col("__dref_ts").as("ts"), col("dl").as("cents"))
@@ -268,17 +276,17 @@ object StreamNetting {
     val axisOut = axis.join(deltas.select("key"), Seq("key"), "left_anti")
       .unionByName(axisTouched)
 
-    val relOut = released.localCheckpoint(true)
-    val pendOut = pendingOut.localCheckpoint(true)
-    val dlOut = deadLetters.localCheckpoint(true)
-    val axOut = axisOut.localCheckpoint(true)
     import spark.implicits._
     val metaOut = batchMax.toSeq.toDF("max_ts_ms")
+    // Every write source is a narrow projection/filter over the two
+    // eager checkpoints above (netted, deltas) — no extra checkpoint
+    // per output frame; each write computes its rows once off cached
+    // partitions.
     VersionedStore.publish(spark, baseDir, batchId) { v =>
-      relOut.write.parquet(new Path(v, "released").toString)
-      pendOut.write.parquet(new Path(v, "pending").toString)
-      dlOut.write.parquet(new Path(v, "deadletter").toString)
-      axOut.write.parquet(new Path(v, "axis").toString)
+      released.write.parquet(new Path(v, "released").toString)
+      pendingOut.write.parquet(new Path(v, "pending").toString)
+      deadLetters.write.parquet(new Path(v, "deadletter").toString)
+      axisOut.write.parquet(new Path(v, "axis").toString)
       metaOut.write.parquet(new Path(v, "meta").toString)
     }
     spark.read.parquet(target)

@@ -119,16 +119,20 @@ object StreamRemittance {
           (col("pay_lo") + coalesce(col("received_cents"), lit(0L))).as("pay_lo"),
           (col("pay_hi") + coalesce(col("received_cents"), lit(0L))).as("pay_hi"))
     }
-    val alloc = Remittance.allocate(invIntervals, pay).localCheckpoint(true)
+    val alloc = Remittance.allocate(invIntervals, pay)
     val batchTotals = pay.groupBy("key").agg(max(col("pay_hi")).as("received_cents"))
     val totals = prev match {
       case None => batchTotals
       case Some(t) => t.unionByName(batchTotals)
         .groupBy("key").agg(max(col("received_cents")).as("received_cents"))
     }
-    val totalsOut = totals.localCheckpoint(true) // debtor-sized
+    // Each frame feeds exactly ONE write: no eager checkpoint first —
+    // checkpoint-then-write materializes the rows twice (cache pass +
+    // write pass) and pays an extra job per sub-store per micro-batch
+    // for frames nothing else consumes (round-18 job audit: applyBatch
+    // ran 3 extra jobs/batch on frames with a single downstream write).
     VersionedStore.publish(spark, baseDir, batchId) { target =>
-      totalsOut.write.parquet(new Path(target, "totals").toString)
+      totals.write.parquet(new Path(target, "totals").toString)
       alloc.write.parquet(new Path(target, "alloc").toString)
       rejects.write.parquet(new Path(target, "rejects").toString)
     }
