@@ -139,6 +139,22 @@ object ProfGraph {
           }
           report(s"self_join_$i") { selfJoinEdges().count() }
         }
+      case "degab" =>
+        // A/B the endpoint-degree primitive over the checkpointed edge
+        // base, interleaved ×2: union-of-two-projections (two cached
+        // scans) vs explode(array(u,v)) (one scan, codegen'd Generate).
+        // The degree count runs 6× per q126 peel and once per q103 —
+        // if the scan is the cost, halving passes shows here.
+        (1 to 2).foreach { i =>
+          report(s"deg_union_$i") {
+            und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+              .groupBy("node").agg(count(lit(1)).as("deg")).count()
+          }
+          report(s"deg_explode_$i") {
+            und.select(explode(array(col("u"), col("v"))).as("node"))
+              .groupBy("node").agg(count(lit(1)).as("deg")).count()
+          }
+        }
       case "plans" =>
         // Build-side audit (load-insensitive): materialize, then print the
         // AQE-final plan's join/broadcast lines. An edge-scale frame on the

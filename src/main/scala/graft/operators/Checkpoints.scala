@@ -149,7 +149,14 @@ object Checkpoints {
   def materializeOnce(df: DataFrame): DataFrame = {
     def scanCheap(p: LogicalPlan): Boolean = p match {
       case _: LogicalRDD | _: LocalRelation => true
-      case _: Project | _: Filter | _: Union => p.children.forall(scanCheap)
+      // Generate (explode) is as narrow as Project — one pass over the
+      // child, no shuffle. Without this case the round-18 explode-form
+      // symmetrize ([[Graph.symmetrize]]) read as "not scan-cheap" and
+      // got re-checkpointed into a second full edge copy per query —
+      // exactly the GC re-materialization this helper exists to avoid.
+      case _: Project | _: Filter | _: Union |
+           _: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        p.children.forall(scanCheap)
       case _ => false
     }
     if (scanCheap(df.queryExecution.optimizedPlan)) df

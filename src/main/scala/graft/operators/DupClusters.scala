@@ -72,6 +72,10 @@ object DupClusters {
     // blocks re-derives at scan cost once per round, which beats holding
     // a second full deserialized copy of the edges in block storage (the
     // object-churn GC class [[Checkpoints.materializeOnce]] documents).
+    // Union, not explode-of-struct-array: this frame feeds the push JOIN
+    // probe, where the Generate's per-row allocations showed no win
+    // (round-18 A/B — the explode form is only kept for endpoint
+    // aggregations, see [[Graph.degrees]]).
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Spread floor scoped to the label-propagation loop (and the init

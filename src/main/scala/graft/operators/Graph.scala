@@ -59,7 +59,16 @@ object Graph {
       .localCheckpoint(true)
   }
 
-  /** Both directions of an undirected (u, v) edge set. */
+  /** Both directions of an undirected (u, v) edge set. Union of two
+    * projections, DELIBERATELY (round-18 A/B): an explode-of-struct-array
+    * form reads the edge set once instead of twice, but this frame feeds
+    * JOIN probes (PageRank's contribution join, BFS expansion, the CC
+    * push join), where the per-row array+struct allocation of the
+    * Generate showed no win over the codegen'd branch projections —
+    * the union branches also column-prune independently, which the
+    * packed struct cannot. The explode form IS the right shape for
+    * endpoint AGGREGATIONS — see [[degrees]], which the `degab`
+    * interleaved microbench proved 3x cheaper that way. */
   def symmetrize(und: DataFrame): DataFrame =
     und.select(col("u").as("src"), col("v").as("dst"))
       .union(und.select(col("v").as("src"), col("u").as("dst")))
@@ -199,7 +208,10 @@ object Graph {
     // via symmetrize's union), edge direction, and the closing probe.
     val u = Checkpoints.materializeOnce(
       und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v")))
-    val deg = symmetrize(u).groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    // Endpoint-degree via the explode form (one pass over the cached
+    // edge base, both endpoints combined in the same partial map) — the
+    // round-18 `degab` microbench shape; see [[degrees]].
+    val deg = degrees(u).select(col("node").as("n"), col("deg").as("d"))
     // Direct each edge from its lower-(deg, id) endpoint. Rank packs into a
     // single struct comparison so the join condition stays codegen-simple.
     val dl = if (broadcastDegrees) broadcast(deg) else deg
@@ -308,8 +320,11 @@ object Graph {
   def kCoreConverged(und: DataFrame, k: Int, rounds: Int): Boolean =
     kCorePeel(und, k, rounds).where(col("deg") < k).isEmpty
 
-  /** Undirected degree per endpoint node of (u, v) edges. */
+  /** Undirected degree per endpoint node of (u, v) edges. Explode form
+    * for the same reason as [[symmetrize]] — this count runs once per
+    * peel round (6× per q126), so the single-scan shape is the one the
+    * loop pays for. */
   private def degrees(edges: DataFrame): DataFrame =
-    edges.select(col("u").as("node")).unionAll(edges.select(col("v").as("node")))
+    edges.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 }

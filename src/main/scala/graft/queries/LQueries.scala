@@ -1108,7 +1108,7 @@ object LQueries {
   def q109(s: SparkSession, d: String): DataFrame = {
     val und = graft.operators.Graph.coOccurrenceEdges(
       Tables.lineitem(s, d), "l_orderkey", "l_partkey")
-    val seeds = und.select(col("u").as("node")).union(und.select(col("v")))
+    val seeds = und.select(explode(array(col("u"), col("v"))).as("node"))
       .distinct().where(col("node") % 100 === 0)
     graft.operators.Graph.seedDistances(
       graft.operators.Graph.symmetrize(und), seeds, maxDepth = 3)
