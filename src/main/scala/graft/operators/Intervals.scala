@@ -44,12 +44,19 @@ object Intervals {
         .when(col("e") < col("s"),
           raise_error(lit("dailyConcurrency: interval with end < start")))
         .otherwise(col("s")).as("s"), col("e"))
-    val starts = iv.groupBy(col("s").as("d")).agg(count(lit(1)).as("n_start"))
-    val frees = iv.groupBy(date_add(col("e"), 1).as("d")).agg(count(lit(1)).as("n_freed"))
-    starts.join(frees, Seq("d"), "full_outer")
-      .select(col("d"),
-        coalesce(col("n_start"), lit(0L)).as("n_start"),
-        coalesce(col("n_freed"), lit(0L)).as("n_freed"))
+    // ONE scan, one aggregation, no join: both endpoint kinds explode
+    // from each interval row and aggregate together — the fused form of
+    // the old per-kind groupBy pair + full-outer day join, which scanned
+    // the input twice and paid three exchanges where this pays one
+    // (round-18; the Graph.degrees endpoint-aggregation A/B shape). Day
+    // set and counts are identical: every emitted day has >= 1 endpoint,
+    // and the absent kind sums to 0 exactly as the old coalesce filled.
+    iv.select(explode(array(
+        struct(col("s").as("d"), lit(1L).as("st")),
+        struct(date_add(col("e"), 1).as("d"), lit(0L).as("st")))).as("p"))
+      .groupBy(col("p.d").as("d"))
+      .agg(sum(col("p.st")).as("n_start"),
+        sum(lit(1L) - col("p.st")).as("n_freed"))
   }
 
   /** Running actives from a (d, n_start, n_freed) delta frame. The

@@ -42,13 +42,20 @@ object Reconcile {
       .select(col("key"), col("fv.field").as("field"), col("fv.value").as("value"))
       .where(col("value").isNotNull)
       .groupBy("key", "field", "value").agg(count(lit(1)).as("votes"))
-    val winners = TopK.topKPerKeyNative(votes,
-      Seq(col("key"), col("field")), Seq(col("votes").desc, col("value").asc), 1)
-    val cast = votes.groupBy("key", "field")
-      .agg(sum("votes").as("n_votes_cast"))
-    winners.join(cast, Seq("key", "field"))
-      .select(col("key"), col("field"), col("value").as("winner"), col("votes"),
-        col("n_votes_cast"),
-        when(col("votes") < col("n_votes_cast"), 1L).otherwise(0L).as("disputed"))
+    // Winner + vote total in ONE aggregation over the vote table: the
+    // previous top-1-per-(key,field) + separate cast-count + rejoin
+    // consumed `votes` twice — and `votes` is not checkpointed (it is
+    // data-scale: rows × fields), so its whole upstream (tagged union +
+    // melt + vote count) executed twice and the rejoin paid a third
+    // (key, field) exchange (round-18; q133's plan drops from 5
+    // Exchanges + a join to 3 Exchanges, no join). min(struct(-votes,
+    // value)) IS the old ordering — max votes first, lexicographically
+    // smallest value among ties — so winners are bit-identical.
+    votes.groupBy("key", "field")
+      .agg(min(struct((-col("votes")).as("nv"), col("value"))).as("w"),
+        sum("votes").as("n_votes_cast"))
+      .select(col("key"), col("field"), col("w.value").as("winner"),
+        (-col("w.nv")).as("votes"), col("n_votes_cast"),
+        when(-col("w.nv") < col("n_votes_cast"), 1L).otherwise(0L).as("disputed"))
   }
 }
